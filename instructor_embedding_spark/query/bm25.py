@@ -1,0 +1,211 @@
+"""Brute-force Okapi BM25 retrieval — the engine's exact reference oracle.
+
+Pure DataFrame ops end-to-end (tokenize → tf → df/idf → score → top-k
+window); no Python UDF in the scoring path, so Catalyst/Tungsten run the
+whole thing JVM-side.  This mirrors the reference's retrieval semantics —
+corpus scan, query×doc scoring, global top-k with score-descending sort
+(RetrievalEvaluator.py:121-197 in /root/reference) — with BM25 replacing
+cosine over embeddings so scores are exactly reproducible.
+
+Pinned semantics (SURVEY.md §8):
+
+- D1 tie-break: ``(score DESC, doc_id ASC)`` everywhere.
+- D2 constants: k1=1.2, b=0.75; idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+- D6 query terms are de-duplicated (set semantics, like Lucene's unique
+  term iteration).
+- N counts ALL documents (including empty-after-tokenize); avgdl averages
+  dl over all documents (zeros included).
+- Ranking/hashing stability: ordering uses round(score, 6); emitted score
+  is round(score, 6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from instructor_embedding_spark.functions.tokenize import (
+    sql_tokens_expr,
+    tokens_col,
+    tokens_pandas_udf,
+)
+
+K1 = 1.2
+B = 0.75
+SCORE_DECIMALS = 6
+
+
+@dataclass(frozen=True)
+class CorpusStats:
+    n_docs: int
+    avgdl: float
+
+
+def tokenized(docs: DataFrame, text_col: str, id_col: str = "doc_id",
+              use_pandas_udf: bool = False) -> DataFrame:
+    """(id, tokens, dl) — dl is the post-filter token count (pinned)."""
+    tok = tokens_pandas_udf(text_col) if use_pandas_udf else tokens_col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        tok.alias("tokens"),
+    ).withColumn("dl", F.size("tokens"))
+
+
+def doc_stats(toks: DataFrame) -> DataFrame:
+    """(doc_id, dl) for every document, zero-token docs included."""
+    return toks.select("doc_id", "dl")
+
+
+def tf_table(toks: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, dl) — one shuffle, map-side partial agg."""
+    return (
+        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc_id", "term", "tf", "dl")
+    )
+
+
+def corpus_stats(toks: DataFrame) -> CorpusStats:
+    row = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0))
+
+
+def term_stats(tf: DataFrame, stats: CorpusStats) -> DataFrame:
+    """(term, df, idf) with the pinned smooth idf."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).withColumn(
+        "idf",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(stats.n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+    )
+
+
+def query_terms(queries: DataFrame, use_pandas_udf: bool = False) -> DataFrame:
+    """(query_id, term) — de-duplicated per query (pinned D6)."""
+    tok = (
+        tokens_pandas_udf("query_text")
+        if use_pandas_udf
+        else tokens_col("query_text")
+    )
+    return (
+        queries.select("query_id", F.explode(tok).alias("term"))
+        .distinct()
+    )
+
+
+def bm25_score_col(tf_col, dl_col, idf_col, avgdl: float):
+    """The per-(term, doc) BM25 contribution as a column expression."""
+    return idf_col * (
+        tf_col * (K1 + 1.0)
+        / (tf_col + K1 * (1.0 - B + B * dl_col / F.lit(float(avgdl))))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_pandas_udf: bool = False,
+) -> DataFrame:
+    """End-to-end brute-force BM25 top-k: (query_id, rank, doc_id, score).
+
+    The query-term table is tiny relative to the tf table, so the term
+    equi-join broadcasts (the inverted-index engine replaces this join's
+    probe side with pre-built segments; semantics are identical).
+    """
+    toks = tokenized(docs, text_col, id_col, use_pandas_udf)
+    stats = corpus_stats(toks)
+    tf = tf_table(toks)
+    ts = term_stats(tf, stats)
+    qt = query_terms(queries, use_pandas_udf)
+
+    contrib = bm25_score_col(F.col("tf"), F.col("dl"), F.col("idf"), stats.avgdl)
+    scored = (
+        tf.join(ts.select("term", "idf"), "term")
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score_raw"), SCORE_DECIMALS).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round(F.col("score_raw"), SCORE_DECIMALS).alias("score"),
+        )
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle SQL computing exactly :func:`bm25_topk`.
+
+    ``queries_values`` is inlined as a VALUES list so the oracle is
+    self-contained over the pre-registered parquet views.
+    """
+    vals = ", ".join(
+        f"({qid}, '{text}')" for qid, text in queries_values
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {sql_tokens_expr(text_col)} AS tokens FROM {table}
+),
+dl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+q(query_id, query_text) AS (VALUES {vals}),
+qtok AS (SELECT query_id, {sql_tokens_expr('query_text')} AS tokens FROM q),
+qt AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, unnest(tokens) AS term FROM qtok)
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM qt
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id,
+         round(score_raw, {SCORE_DECIMALS}) AS score
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""

@@ -1,0 +1,115 @@
+"""Brute-force BM25 vs DuckDB oracle on the driver's documents table,
+plus a hand-computed micro-fixture (FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from instructor_embedding_spark.fixtures import DRIVER_QUERY_SET, TOP_K
+from instructor_embedding_spark.query.bm25 import bm25_topk, bm25_topk_sql
+
+
+def _spark_result(spark, sf_dir, use_pandas_udf=False):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = spark.createDataFrame(
+        DRIVER_QUERY_SET, "query_id long, query_text string"
+    )
+    out = bm25_topk(
+        docs, queries, k=TOP_K, text_col="text", use_pandas_udf=use_pandas_udf
+    )
+    return sorted(
+        [(r.query_id, r.rank, r.doc_id, r.score) for r in out.collect()]
+    )
+
+
+def _duckdb_result(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = bm25_topk_sql("documents", DRIVER_QUERY_SET, k=TOP_K, text_col="text")
+    return sorted([tuple(r) for r in con.execute(sql).fetchall()])
+
+
+def test_bm25_matches_duckdb_oracle(spark, sf_small_dir):
+    got = _spark_result(spark, sf_small_dir)
+    want = _duckdb_result(sf_small_dir)
+    assert len(got) == len(want) and len(got) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)  # query_id, rank, doc_id identical
+        assert g[3] == pytest.approx(w[3], abs=1e-6)
+
+
+def test_bm25_pandas_udf_path_matches_expression_path(spark, sf_small_dir):
+    assert _spark_result(spark, sf_small_dir, False) == _spark_result(
+        spark, sf_small_dir, True
+    )
+
+
+def test_bm25_micro_fixture_hand_computed(spark):
+    """4 docs, hand-computable scores; includes a tie pinned by doc_id ASC.
+
+    Corpus (after tokenization):
+      d1: [alpha, beta]            dl=2
+      d2: [alpha, alpha, gamma]    dl=3
+      d3: [beta, beta, beta]       dl=3
+      d4: [alpha, beta]            dl=2   (identical to d1 → tie on query 'alpha beta')
+    N=4, avgdl=2.5
+    df(alpha)=3, df(beta)=3, df(gamma)=1
+    """
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha alpha gamma"),
+            (3, "beta beta beta"),
+            (4, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "alpha beta"), (200, "gamma")], "query_id long, query_text string"
+    )
+    out = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+
+    k1, b = 1.2, 0.75
+    N, avgdl = 4, 2.5
+
+    def idf(df):
+        return math.log(1 + (N - df + 0.5) / (df + 0.5))
+
+    def w(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    s_d1_alpha_beta = idf(3) * w(1, 2) + idf(3) * w(1, 2)
+    s_d2_alpha = idf(3) * w(2, 3)
+    s_d3_beta = idf(3) * w(3, 3)
+    s_d2_gamma = idf(1) * w(1, 3)
+
+    # query 100: d1 and d4 tie → doc_id ASC pins d1 before d4
+    assert out[(100, 1)][0] == 1
+    assert out[(100, 2)][0] == 4
+    assert out[(100, 1)][1] == pytest.approx(round(s_d1_alpha_beta, 6), abs=1e-9)
+    assert out[(100, 2)][1] == pytest.approx(round(s_d1_alpha_beta, 6), abs=1e-9)
+    ranked_34 = sorted(
+        [(round(s_d2_alpha, 6), 2), (round(s_d3_beta, 6), 3)],
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert out[(100, 3)][0] == ranked_34[0][1]
+    assert out[(100, 4)][0] == ranked_34[1][1]
+
+    # query 200: only d2 matches gamma
+    assert out[(200, 1)] == (2, pytest.approx(round(s_d2_gamma, 6), abs=1e-9))
+    assert (200, 2) not in out
+
+    # all-stopword query contributes nothing
+    q_empty = spark.createDataFrame(
+        [(300, "a of the")], "query_id long, query_text string"
+    )
+    assert bm25_topk(docs, q_empty, k=10).count() == 0
