@@ -12,14 +12,21 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import hashlib
+import os
+
 from instructor_embedding_spark.fixtures import DRIVER_QUERY_SET, TOP_K
 from instructor_embedding_spark.functions.tokenize import sql_tokens_expr
-from instructor_embedding_spark.query import bm25
+from instructor_embedding_spark.index.build import IndexParams, build_index
+from instructor_embedding_spark.query import bm25, wand
+from instructor_embedding_spark.shipping import ensure_shipped
 
 SF_SMALL = "/root/testdata/sf0.001"
+RUNTIME_DIR = "/root/repo/.runtime"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark, RUNTIME_DIR)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -42,6 +49,26 @@ def _q_bm25_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.bm25_topk(
         _docs(spark, sf_dir), _queries_df(spark), k=TOP_K, text_col="text"
     )
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    """Build (or reuse via checkpoint manifests) the index for a sf_dir."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = os.path.join(RUNTIME_DIR, f"index_{tag}")
+    params = IndexParams(
+        doc_block_span=1024, n_sub_blocks=8, corpus_fingerprint=sf_dir
+    )
+    return build_index(
+        spark, _docs(spark, sf_dir), idx_dir, params, text_col="text"
+    )
+
+
+def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND over the compressed segmented index; oracle is the
+    same brute-force BM25 SQL — the driver check IS the rank-identity
+    gate."""
+    handle = _index_for(spark, sf_dir)
+    return wand.wand_topk(spark, handle, _queries_df(spark), k=TOP_K)
 
 
 def _q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,6 +100,7 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_bruteforce": _q_bm25_bruteforce,
+        "bm25_topk_wand": _q_bm25_wand,
         "tokenize_tf": _q_tokenize_tf,
         "doc_stats": _q_doc_stats,
         "term_stats": _q_term_stats,
@@ -91,6 +119,9 @@ _TOKS_CTE = (
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk_bruteforce": bm25.bm25_topk_sql(
+            "documents", DRIVER_QUERY_SET, k=TOP_K, text_col="text"
+        ),
+        "bm25_topk_wand": bm25.bm25_topk_sql(
             "documents", DRIVER_QUERY_SET, k=TOP_K, text_col="text"
         ),
         "tokenize_tf": _TOKS_CTE

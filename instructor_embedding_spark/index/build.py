@@ -1,0 +1,349 @@
+"""Inverted-index build pipeline (checkpointed, lineage-tracked).
+
+Stage graph (each stage = one parquet checkpoint + manifest; restart skips
+complete stages whose parameter hash matches):
+
+  documents ─ tokenize (vectorized) ─► postings_raw  (term, doc_id, tf, dl, doc_block)
+            └───────────────────────► doc_stats      (doc_id, dl, doc_block)
+  doc_stats ─ per-block pack ───────► doc_lens       (doc_block, doc_ids/dls varint)
+  postings_raw ─ groupBy(term) ─────► term_stats     (term, df, idf)  + globals N, avgdl
+  postings_raw ⋈ term_stats
+     ─ salted repartition by (term, doc_block) ─ encode ─► segments
+       (term, doc_block, idf, df_block, doc_bytes, tf_bytes,
+        sub_offsets, sub_max, bytes)
+
+Scale design notes (local[32] today, 1000 executors tomorrow):
+
+- The tokenize stage is one narrow map (whole-stage codegen via the
+  expression tokenizer; optional Arrow pandas-UDF path) followed by a single
+  shuffle into the (doc_id, term) partial+final aggregation — Spark's
+  map-side combine keeps the shuffle small.
+- The segment shuffle keys on (term, doc_block): doc_block (= doc_id //
+  span) is the deterministic salt that splits stopword-like skewed terms
+  across partitions, bounding any single task's postings to one term-block.
+  AQE skew-join handles residual imbalance.
+- Segments are written sorted by term within files, so query-time term
+  filters prune parquet row groups; the doc_block column gives
+  document-partitioned locality for block-max WAND (all of a query's terms
+  for a doc range land in one group).
+- impacts (idf * (k1+1) * tf / (tf + k1*(1-b+b*dl/avgdl))) are precomputed
+  at build time into per-sub-block maxima — the block-max WAND skip
+  metadata; exact doubles, so upper bounds are true bounds.
+
+Reference analog: the encode pipeline instructor.py:577-694 (tokenize →
+batch → pooled vectors) is the reference's "index build"; its chunked
+corpus scan (RetrievalEvaluator.py:123-142) maps to our doc_block
+partitioning (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from instructor_embedding_spark.functions.codec import encode_postings, varint_encode
+from instructor_embedding_spark.index.manifest import (
+    ManifestStore,
+    StageManifest,
+    StageTimer,
+    params_hash,
+)
+from instructor_embedding_spark.query.bm25 import (
+    K1,
+    B,
+    corpus_stats,
+    term_stats as term_stats_df,
+    tf_table,
+    tokenized,
+)
+
+
+@dataclass(frozen=True)
+class IndexParams:
+    doc_block_span: int = 8192      # docs per doc_block (the salt unit)
+    n_sub_blocks: int = 16          # block-max granularity inside a block
+    k1: float = K1
+    b: float = B
+    use_pandas_udf_tokenizer: bool = False
+    segment_shuffle_partitions: int | None = None
+    corpus_fingerprint: str = ""    # caller-supplied input identity
+
+    @property
+    def sub_span(self) -> int:
+        return self.doc_block_span // self.n_sub_blocks
+
+
+SEGMENT_SCHEMA = (
+    "term string, doc_block long, idf double, df_block long, "
+    "doc_bytes binary, tf_bytes binary, sub_offsets array<int>, "
+    "sub_max array<double>, bytes long"
+)
+
+DOC_LENS_SCHEMA = (
+    "doc_block long, doc_ids_bin binary, dls_bin binary, n_docs long, bytes long"
+)
+
+
+@dataclass
+class IndexHandle:
+    index_dir: str
+    n_docs: int
+    avgdl: float
+    params: IndexParams
+
+    def segments(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.index_dir, "segments"))
+
+    def doc_lens(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.index_dir, "doc_lens"))
+
+    def term_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+
+    def doc_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
+
+
+def _segment_encoder(params: IndexParams, avgdl: float):
+    """applyInPandas kernel: one (term, doc_block) group → one segment row."""
+    span, n_sub, sub_span = (
+        params.doc_block_span,
+        params.n_sub_blocks,
+        params.sub_span,
+    )
+    k1, b = params.k1, params.b
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        block = int(pdf["doc_block"].iloc[0])
+        idf = float(pdf["idf"].iloc[0])
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+        tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
+        dls = pdf["dl"].to_numpy()[order].astype(np.float64)
+
+        doc_bytes, tf_bytes = encode_postings(doc_ids, tfs)
+
+        tff = tfs.astype(np.float64)
+        impacts = idf * (
+            tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dls / avgdl))
+        )
+        base = block * span
+        bounds = base + np.arange(1, n_sub + 1, dtype=np.int64) * sub_span
+        offsets = np.zeros(n_sub + 1, dtype=np.int64)
+        offsets[1:] = np.searchsorted(doc_ids, bounds.astype(np.uint64), "left")
+        sub_max = np.zeros(n_sub, dtype=np.float64)
+        for j in range(n_sub):
+            lo, hi = offsets[j], offsets[j + 1]
+            if hi > lo:
+                sub_max[j] = impacts[lo:hi].max()
+
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "doc_block": [block],
+                "idf": [idf],
+                "df_block": [int(doc_ids.size)],
+                "doc_bytes": [doc_bytes],
+                "tf_bytes": [tf_bytes],
+                "sub_offsets": [offsets.astype(np.int32).tolist()],
+                "sub_max": [sub_max.tolist()],
+                "bytes": [len(doc_bytes) + len(tf_bytes)],
+            }
+        )
+
+    return encode
+
+
+def _doc_lens_packer(params: IndexParams):
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        block = int(pdf["doc_block"].iloc[0])
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+        dls = pdf["dl"].to_numpy()[order].astype(np.uint64)
+        d_bin = varint_encode(np.diff(doc_ids, prepend=np.uint64(0)).astype(np.uint64))
+        # NOTE: prepend=0 makes gaps[0] = doc_ids[0] (absolute), matching codec
+        l_bin = varint_encode(dls)
+        return pd.DataFrame(
+            {
+                "doc_block": [block],
+                "doc_ids_bin": [d_bin],
+                "dls_bin": [l_bin],
+                "n_docs": [int(doc_ids.size)],
+                "bytes": [len(d_bin) + len(l_bin)],
+            }
+        )
+
+    return pack
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    params: IndexParams = IndexParams(),
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    resume: bool = True,
+) -> IndexHandle:
+    """Build (or resume building) the full index under ``index_dir``."""
+    store = ManifestStore(index_dir)
+    phash = params_hash(asdict(params))
+
+    def stage_done(name: str) -> bool:
+        return resume and store.is_complete(name, phash)
+
+    def commit_stage(name: str, timer: StageTimer, rows: int,
+                     metrics: dict, lineage: list[dict]) -> None:
+        store.write(
+            StageManifest(
+                stage=name, phash=phash, status="complete", rows=rows,
+                wall_ms=timer.ms, metrics=metrics, lineage=lineage,
+            )
+        )
+
+    span = params.doc_block_span
+    p_raw = os.path.join(index_dir, "postings_raw")
+    p_docstats = os.path.join(index_dir, "doc_stats")
+    p_doclens = os.path.join(index_dir, "doc_lens")
+    p_termstats = os.path.join(index_dir, "term_stats")
+    p_segments = os.path.join(index_dir, "segments")
+
+    # ---- stage 1: tokenize → postings_raw + doc_stats -------------------
+    if not (stage_done("postings_raw") and stage_done("doc_stats")):
+        with StageTimer() as t:
+            toks = tokenized(
+                docs, text_col, id_col, params.use_pandas_udf_tokenizer
+            )
+            tf = tf_table(toks).withColumn(
+                "doc_block", (F.col("doc_id") / span).cast("long")
+            )
+            tf.write.mode("overwrite").parquet(p_raw)
+            ds = toks.select("doc_id", "dl").withColumn(
+                "doc_block", (F.col("doc_id") / span).cast("long")
+            )
+            ds.write.mode("overwrite").parquet(p_docstats)
+        raw = spark.read.parquet(p_raw)
+        lineage = [
+            {"partition": int(r["doc_block"]),
+             "postings": int(r["postings"]), "docs": int(r["docs"])}
+            for r in raw.groupBy("doc_block")
+            .agg(F.count(F.lit(1)).alias("postings"),
+                 F.countDistinct("doc_id").alias("docs"))
+            .collect()
+        ]
+        n_postings = sum(x["postings"] for x in lineage)
+        commit_stage("postings_raw", t, n_postings,
+                     {"docs_tokenized": int(spark.read.parquet(p_docstats).count())},
+                     lineage)
+        commit_stage("doc_stats", t,
+                     int(spark.read.parquet(p_docstats).count()), {}, [])
+
+    # ---- stage 2: globals + term_stats ----------------------------------
+    if not stage_done("term_stats"):
+        with StageTimer() as t:
+            ds = spark.read.parquet(p_docstats)
+            row = ds.agg(
+                F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+            ).collect()[0]
+            n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+            raw = spark.read.parquet(p_raw)
+            ts = raw.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            ts = ts.withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+            )
+            ts.write.mode("overwrite").parquet(p_termstats)
+        store.write_globals(
+            {"n_docs": n_docs, "avgdl": avgdl, "phash": phash,
+             "params": asdict(params)}
+        )
+        commit_stage(
+            "term_stats", t, int(spark.read.parquet(p_termstats).count()),
+            {"n_docs": n_docs, "avgdl": avgdl}, [],
+        )
+    g = store.load_globals()
+    n_docs, avgdl = int(g["n_docs"]), float(g["avgdl"])
+
+    # ---- stage 3: doc_lens (per-block packed lengths) --------------------
+    if not stage_done("doc_lens"):
+        with StageTimer() as t:
+            ds = spark.read.parquet(p_docstats)
+            (
+                ds.groupBy("doc_block")
+                .applyInPandas(_doc_lens_packer(params), schema=DOC_LENS_SCHEMA)
+                .write.mode("overwrite")
+                .parquet(p_doclens)
+            )
+        dl_df = spark.read.parquet(p_doclens)
+        lineage = [
+            {"partition": int(r["doc_block"]), "docs": int(r["n_docs"]),
+             "bytes": int(r["bytes"])}
+            for r in dl_df.select("doc_block", "n_docs", "bytes").collect()
+        ]
+        commit_stage("doc_lens", t, len(lineage), {}, lineage)
+
+    # ---- stage 4: segments (salted shuffle + encode) ---------------------
+    if not stage_done("segments"):
+        with StageTimer() as t:
+            raw = spark.read.parquet(p_raw)
+            ts = spark.read.parquet(p_termstats).select("term", "idf")
+            joined = raw.join(ts, "term")
+            nparts = params.segment_shuffle_partitions or int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            seg = (
+                joined.repartition(nparts, "term", "doc_block")
+                .groupBy("term", "doc_block")
+                .applyInPandas(
+                    _segment_encoder(params, avgdl), schema=SEGMENT_SCHEMA
+                )
+            )
+            seg.sortWithinPartitions("term").write.mode("overwrite").parquet(
+                p_segments
+            )
+        seg_df = spark.read.parquet(p_segments)
+        lin_rows = (
+            seg_df.groupBy("doc_block")
+            .agg(
+                F.count(F.lit(1)).alias("terms"),
+                F.sum("df_block").alias("postings"),
+                F.sum("bytes").alias("bytes"),
+            )
+            .collect()
+        )
+        lineage = [
+            {"partition": int(r["doc_block"]), "terms": int(r["terms"]),
+             "postings": int(r["postings"]), "bytes": int(r["bytes"])}
+            for r in lin_rows
+        ]
+        commit_stage(
+            "segments", t, int(seg_df.count()),
+            {"bytes_compressed": sum(x["bytes"] for x in lineage)}, lineage,
+        )
+
+    return IndexHandle(index_dir=index_dir, n_docs=n_docs, avgdl=avgdl,
+                       params=params)
+
+
+def load_index(spark: SparkSession, index_dir: str) -> IndexHandle:
+    """Open an existing index from its manifest."""
+    store = ManifestStore(index_dir)
+    g = store.load_globals()
+    params = IndexParams(**{
+        k: v for k, v in g["params"].items()
+        if k in IndexParams.__dataclass_fields__
+    })
+    return IndexHandle(
+        index_dir=index_dir, n_docs=int(g["n_docs"]),
+        avgdl=float(g["avgdl"]), params=params,
+    )

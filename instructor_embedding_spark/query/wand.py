@@ -1,0 +1,180 @@
+"""Block-max WAND top-k retrieval over the compressed segmented index.
+
+Distributed shape (the scatter/gather of the reference's chunked retrieval,
+RetrievalEvaluator.py:121-197, re-expressed for a pre-built index):
+
+1. tokenize queries → de-duplicated (query_id, term) — tiny, broadcast
+2. segment scan: ``segments.join(broadcast(query_terms), on='term')`` —
+   Catalyst turns the tiny build side into a broadcast hash join and the
+   term filter prunes parquet row groups (segments are term-sorted within
+   files), so only the query terms' posting lists are read
+3. join packed doc-lengths on doc_block (co-partitioned by the same key)
+4. ``groupBy(query_id, doc_block).applyInPandas(wand_kernel)`` — every
+   group holds ALL of a query's terms for one doc range (document-
+   partitioned locality), so scoring is local; the kernel prunes sub-blocks
+   whose block-max upper bound can't beat the running top-k threshold and
+   emits ≤k candidates per group (scatter)
+5. global window ``(round(score,6) DESC, doc_id ASC)`` row_number ≤ k
+   (gather; pinned tie-break D1)
+
+Exactness: sub_max values are true per-term upper bounds computed from the
+same double-precision impact formula the kernel re-evaluates, and a
+sub-block is skipped only when its summed upper bound is STRICTLY below the
+k-th best score seen so far — so the result is rank-identical to the
+brute-force oracle (property-tested in tests/test_wand.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from instructor_embedding_spark.functions.codec import decode_postings, varint_decode
+from instructor_embedding_spark.index.build import IndexHandle
+from instructor_embedding_spark.query.bm25 import SCORE_DECIMALS, query_terms
+
+WAND_SCHEMA = "query_id long, doc_id long, score_raw double"
+
+_EMPTY = pd.DataFrame(
+    {
+        "query_id": pd.Series([], dtype="int64"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "score_raw": pd.Series([], dtype="float64"),
+    }
+)
+
+
+def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int):
+    """applyInPandas kernel for one (query_id, doc_block) group."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = int(pdf["query_id"].iloc[0])
+        block = int(pdf["doc_block"].iloc[0])
+        base = block * span
+
+        # Decode the block's packed doc lengths once.
+        dl_doc_ids = np.cumsum(
+            varint_decode(pdf["doc_ids_bin"].iloc[0]), dtype=np.uint64
+        )
+        dl_vals = varint_decode(pdf["dls_bin"].iloc[0]).astype(np.float64)
+
+        # Decode each term's postings; sort terms for deterministic sums.
+        pdf = pdf.sort_values("term")
+        terms = []
+        n_sub = None
+        for _, row in pdf.iterrows():
+            doc_ids, tfs = decode_postings(row["doc_bytes"], row["tf_bytes"])
+            offsets = np.asarray(row["sub_offsets"], dtype=np.int64)
+            sub_max = np.asarray(row["sub_max"], dtype=np.float64)
+            n_sub = sub_max.size
+            terms.append((float(row["idf"]), doc_ids, tfs, offsets, sub_max))
+        if not terms:
+            return _EMPTY
+
+        # Upper bound per sub-block = Σ_t sub_max[t][j]; process in
+        # descending-UB order, stop once UB < kth-best (strict).
+        ub = np.zeros(n_sub, dtype=np.float64)
+        for _, _, _, _, sm in terms:
+            ub += sm
+        order = np.argsort(-ub, kind="stable")
+
+        sub_span = span // n_sub
+        cand_docs: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        theta = -np.inf
+        kth_count = 0
+        # Prune slack: final ranking compares round(score, 6), so a doc with
+        # raw score within one rounding quantum below θ can still tie the
+        # kth candidate and win on doc_id ASC. Skipping only when
+        # ub < θ - quantum keeps pruning safe under the pinned tie-break.
+        quantum = 10.0 ** (-SCORE_DECIMALS)
+        for j in order:
+            if ub[j] <= 0.0 or (kth_count >= k and ub[j] < theta - quantum):
+                break
+            scores = np.zeros(sub_span, dtype=np.float64)
+            sub_base = base + j * sub_span
+            touched = False
+            for idf, doc_ids, tfs, offsets, _ in terms:
+                lo, hi = int(offsets[j]), int(offsets[j + 1])
+                if hi <= lo:
+                    continue
+                touched = True
+                d = doc_ids[lo:hi]
+                tf = tfs[lo:hi].astype(np.float64)
+                pos = np.searchsorted(dl_doc_ids, d)
+                dl = dl_vals[pos]
+                imp = idf * (
+                    tf * (k1 + 1.0)
+                    / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                )
+                idx = (d - np.uint64(sub_base)).astype(np.int64)
+                scores[idx] += imp
+            if not touched:
+                continue
+            nz = np.flatnonzero(scores)
+            if nz.size == 0:
+                continue
+            cand_docs.append(nz.astype(np.int64) + sub_base)
+            cand_scores.append(scores[nz])
+            # update running kth-best threshold
+            all_scores = np.concatenate(cand_scores)
+            kth_count = all_scores.size
+            if kth_count >= k:
+                theta = np.partition(all_scores, kth_count - k)[kth_count - k]
+
+        if not cand_docs:
+            return _EMPTY
+        docs = np.concatenate(cand_docs)
+        scores = np.concatenate(cand_scores)
+        # keep top-k candidates per group using the SAME ordering as the
+        # global gather window — (round(score,6) DESC, doc_id ASC) — so a
+        # rounded near-tie can never be cut differently here vs there
+        sel = np.lexsort((docs, -np.round(scores, SCORE_DECIMALS)))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": query_id,
+                "doc_id": docs[sel],
+                "score_raw": scores[sel],
+            }
+        )
+
+    return kernel
+
+
+def wand_topk(
+    spark: SparkSession,
+    handle: IndexHandle,
+    queries: DataFrame,
+    k: int = 10,
+    segments: DataFrame | None = None,
+    doc_lens: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — rank-identical to the oracle."""
+    p = handle.params
+    segments = segments if segments is not None else handle.segments(spark)
+    doc_lens = doc_lens if doc_lens is not None else handle.doc_lens(spark)
+
+    qt = query_terms(queries, p.use_pandas_udf_tokenizer)
+    hits = segments.join(F.broadcast(qt), "term")
+    grouped = hits.join(
+        doc_lens.select("doc_block", "doc_ids_bin", "dls_bin"), "doc_block"
+    )
+
+    kernel = _wand_kernel(k, p.k1, p.b, handle.avgdl, p.doc_block_span)
+    candidates = grouped.groupBy("query_id", "doc_block").applyInPandas(
+        kernel, schema=WAND_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score_raw"), SCORE_DECIMALS).desc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.round(F.col("score_raw"), SCORE_DECIMALS).alias("score"),
+        )
+    )

@@ -1,0 +1,75 @@
+"""Property-style WAND tests: adversarial ties, random corpora, random k
+(SURVEY.md §5 item 6)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from instructor_embedding_spark.index.build import IndexParams, build_index
+from instructor_embedding_spark.query.bm25 import bm25_topk
+from instructor_embedding_spark.query.wand import wand_topk
+
+
+def _rows(df):
+    return sorted((r.query_id, r.rank, r.doc_id, r.score) for r in df.collect())
+
+
+def _check(spark, docs_rows, queries_rows, k, tmp_path, params):
+    docs = spark.createDataFrame(docs_rows, "doc_id long, content string")
+    queries = spark.createDataFrame(
+        queries_rows, "query_id long, query_text string"
+    )
+    handle = build_index(
+        spark, docs, str(tmp_path), params, text_col="content"
+    )
+    got = _rows(wand_topk(spark, handle, queries, k=k))
+    want = _rows(bm25_topk(docs, queries, k=k, text_col="content"))
+    assert [g[:3] for g in got] == [w[:3] for w in want], (k, got[:5], want[:5])
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], abs=1e-6)
+
+
+def test_duplicate_content_ties(spark, tmp_path):
+    """Many byte-identical docs → exact score ties; tie-break must pin
+    doc_id ASC identically in WAND and oracle."""
+    rows = []
+    for i in range(120):
+        if i % 3 == 0:
+            rows.append((i, "alpha beta gamma delta"))
+        elif i % 3 == 1:
+            rows.append((i, "alpha beta"))
+        else:
+            rows.append((i, "gamma delta epsilon"))
+    queries = [(1, "alpha gamma"), (2, "beta"), (3, "epsilon delta")]
+    _check(
+        spark, rows, queries, 10, tmp_path,
+        IndexParams(doc_block_span=16, n_sub_blocks=4),
+    )
+
+
+def test_random_corpora_random_k(spark, tmp_path):
+    rng = random.Random(1234)
+    vocab = [f"tok{j}" for j in range(30)] + ["the", "of", "a"]  # + stopwords
+    for trial in range(3):
+        n = rng.randint(40, 150)
+        rows = [
+            (
+                i,
+                " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(0, 40))
+                ),
+            )
+            for i in range(n)
+        ]
+        queries = [
+            (q, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4))))
+            for q in range(1, 6)
+        ]
+        k = rng.choice([1, 5, 10, 50])
+        _check(
+            spark, rows, queries, k, tmp_path / f"t{trial}",
+            IndexParams(doc_block_span=32, n_sub_blocks=4,
+                        corpus_fingerprint=f"trial{trial}"),
+        )
