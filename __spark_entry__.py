@@ -18,8 +18,19 @@ import os
 from instructor_embedding_spark.fixtures import DRIVER_QUERY_SET, TOP_K
 from instructor_embedding_spark.functions.tokenize import sql_tokens_expr
 from instructor_embedding_spark.index.build import IndexParams, build_index
+from instructor_embedding_spark.analytics import dedup, pairs, similarity, text_stats
+from instructor_embedding_spark.functions.tokenize import tokens_col
+from instructor_embedding_spark.metrics.ranking import (
+    metrics_sql,
+    per_query_metrics,
+    summary_metrics,
+)
 from instructor_embedding_spark.query import bm25, wand
 from instructor_embedding_spark.shipping import ensure_shipped
+
+#: ks for the retrieval_metrics entry (reference defaults, D3, minus 100
+#: because qrels here are BM25 top-20 so k=100 truncates identically to 20).
+METRIC_KS = (1, 3, 5, 10)
 
 SF_SMALL = "/root/testdata/sf0.001"
 RUNTIME_DIR = "/root/repo/.runtime"
@@ -71,6 +82,22 @@ def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand.wand_topk(spark, handle, _queries_df(spark), k=TOP_K)
 
 
+def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """accuracy/precision/recall/MRR/nDCG/MAP@k summary (W4).
+
+    Self-contained fixture: qrels := brute-force BM25 top-20 per query,
+    results := top-10 — both fully SQL-expressible, so the whole metric
+    stack is oracle-checked end-to-end."""
+    docs, qdf = _docs(spark, sf_dir), _queries_df(spark)
+    results = bm25.bm25_topk(docs, qdf, k=10, text_col="text")
+    qrels = bm25.bm25_topk(docs, qdf, k=20, text_col="text").select(
+        "query_id", "doc_id"
+    )
+    return summary_metrics(
+        per_query_metrics(spark, results, qrels, ks=METRIC_KS)
+    )
+
+
 def _q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = bm25.tokenized(_docs(spark, sf_dir), "text")
     return bm25.tf_table(toks).select(
@@ -97,14 +124,172 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark, RUNTIME_DIR)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic labeled pairs from embeddings: (a, a+250), a < 250;
+    score = cosine, label = same cluster label (PairClassification shape,
+    PairClassificationEvaluator.py:49-64)."""
+    from pyspark.sql import functions as FF
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        FF.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+    ).withColumn(
+        "nrm", similarity._norm(FF.col("v"))
+    )
+    a = e.select(FF.col("vec_id").alias("aid"), FF.col("v").alias("va"),
+                 FF.col("nrm").alias("na"), FF.col("label").alias("la"))
+    b = e.select((FF.col("vec_id") - 250).alias("aid"),
+                 FF.col("v").alias("vb"), FF.col("nrm").alias("nb"),
+                 FF.col("label").alias("lb"))
+    return (
+        a.filter(FF.col("aid") < 250)
+        .join(b, "aid")
+        .select(
+            (similarity._dot(FF.col("va"), FF.col("vb"))
+             / (FF.col("na") * FF.col("nb"))).alias("score"),
+            (FF.col("la") == FF.col("lb")).cast("int").alias("label"),
+        )
+    )
+
+
+_PAIRS_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         label
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, label,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+)
+SELECT list_sum(list_transform(range(1, len(a.v) + 1),
+                               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)
+         AS score,
+       CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS label
+FROM n a JOIN n b ON b.vec_id = a.vec_id + 250
+WHERE a.vec_id < 250
+"""
+
+#: Relational coverage (SURVEY.md §2.3-§2.5 generic shapes) — ONE ANSI SQL
+#: string per op, executed verbatim by BOTH Spark and DuckDB.
+RELATIONAL_SQL: dict[str, str] = {
+    "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "rel_top3_orders_per_customer": """
+SELECT o_custkey, rnk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS BIGINT) AS rnk
+  FROM orders
+) t WHERE rnk <= 3
+""",
+    "rel_customer_orders_semi_join": """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+    "rel_events_hourly_rollup": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+    "rel_nation_region_join_agg": """
+SELECT r.r_name AS region, count(*) AS n_suppliers,
+       round(sum(s.s_acctbal), 4) AS total_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+}
+
+_REL_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events",
+]
+
+
+def _rel_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in _REL_TABLES:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_topk_bruteforce": _q_bm25_bruteforce,
         "bm25_topk_wand": _q_bm25_wand,
+        "retrieval_metrics": _q_retrieval_metrics,
         "tokenize_tf": _q_tokenize_tf,
         "doc_stats": _q_doc_stats,
         "term_stats": _q_term_stats,
+        # dedup family (documents table)
+        "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
+        "dedup_minhash_signatures": lambda s, d: dedup.minhash_signatures(
+            _docs(s, d)
+        ),
+        "dedup_lsh_pairs": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
+            _docs(s, d)
+        ),
+        "dedup_simhash": lambda s, d: dedup.simhash64(_docs(s, d)),
+        # similarity search (embeddings table)
+        "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
+            _emb(s, d), k=10
+        ),
+        # text analysis (documents table)
+        "text_quality_scores": lambda s, d: text_stats.quality_scores(
+            _docs(s, d)
+        ),
+        "text_token_counts": lambda s, d: text_stats.token_counts(_docs(s, d)),
+        "text_lang_profile": lambda s, d: text_stats.lang_profile(_docs(s, d)),
+        "text_doc_fingerprints": lambda s, d: text_stats.doc_fingerprints(
+            _docs(s, d)
+        ),
+        # pairwise / statistical (reference evaluators)
+        "pair_threshold_sweep": lambda s, d: pairs.threshold_sweep(
+            _pairs_df(s, d)
+        ),
+        "stat_spearman_chars_tokens": lambda s, d: pairs.spearman(
+            _docs(s, d).select(
+                F.col("n_chars").alias("x"),
+                F.size(tokens_col("text")).alias("y"),
+            ),
+            "x", "y",
+        ),
+        "knn_classify": lambda s, d: pairs.knn_classify(_emb(s, d), k=5),
     }
+    for name, sql in RELATIONAL_SQL.items():
+        out[name] = _rel_query(sql)
+    return out
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -117,12 +302,41 @@ _TOKS_CTE = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
+        # dedup / similarity / text / pairwise oracles
+        "dedup_exact": dedup.exact_duplicates_sql("documents"),
+        "dedup_minhash_signatures": dedup.minhash_signatures_sql("documents"),
+        "dedup_lsh_pairs": dedup.lsh_candidate_pairs_sql("documents"),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents"),
+        "dedup_simhash": dedup.simhash64_sql("documents"),
+        "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", k=10),
+        "text_quality_scores": text_stats.quality_scores_sql("documents"),
+        "text_token_counts": text_stats.token_counts_sql("documents"),
+        "text_lang_profile": text_stats.lang_profile_sql("documents"),
+        "text_doc_fingerprints": text_stats.doc_fingerprints_sql("documents"),
+        "pair_threshold_sweep": pairs.threshold_sweep_sql(_PAIRS_SQL),
+        "stat_spearman_chars_tokens": pairs.spearman_sql(
+            "SELECT n_chars AS x, len("
+            + sql_tokens_expr("text")
+            + ") AS y FROM documents",
+            "x", "y",
+        ),
+        "knn_classify": pairs.knn_classify_sql("embeddings", k=5),
+    }
+    out.update(RELATIONAL_SQL)  # same SQL string both engines
+    out.update({
         "bm25_topk_bruteforce": bm25.bm25_topk_sql(
             "documents", DRIVER_QUERY_SET, k=TOP_K, text_col="text"
         ),
         "bm25_topk_wand": bm25.bm25_topk_sql(
             "documents", DRIVER_QUERY_SET, k=TOP_K, text_col="text"
+        ),
+        "retrieval_metrics": metrics_sql(
+            bm25.bm25_topk_sql("documents", DRIVER_QUERY_SET, k=10,
+                               text_col="text"),
+            bm25.bm25_topk_sql("documents", DRIVER_QUERY_SET, k=20,
+                               text_col="text"),
+            ks=METRIC_KS,
         ),
         "tokenize_tf": _TOKS_CTE
         + """
@@ -149,4 +363,5 @@ SELECT term, CAST(count(*) AS BIGINT) AS df,
                     / (count(*) + 0.5)), 6) AS idf
 FROM tf GROUP BY term
 """,
-    }
+    })
+    return out

@@ -1,0 +1,310 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each a (Spark DataFrame, DuckDB oracle SQL) pair:
+
+- exact:          hash-groupBy on content digest
+- minhash + LSH:  shingle → k minhashes → banded buckets → candidate pairs
+- n-gram Jaccard: exact Jaccard over distinct token shingles for candidates
+- simhash:        64-bit sign-aggregated fingerprint, near-dup by Hamming
+
+The reference's only dedup is Python ``set`` of sentences before encoding
+(PairClassificationEvaluator.py:75, BitextMiningEvaluator.py:36) — the
+"encode each distinct sentence once" optimization; these operators are the
+at-scale generalization the corpus side needs.
+
+Hash function discipline: every hash is derived from md5 hex strings so
+Spark and DuckDB compute bit-identical values (both expose md5; neither
+exposes the other's native hash).  Minhash uses the lexicographic MIN of
+the hex digest — uniform over inputs, totally ordered, engine-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from instructor_embedding_spark.functions.tokenize import sql_tokens_expr, tokens_col
+
+MINHASH_K = 8       # number of minhash functions
+LSH_BANDS = 4       # bands (r = K / BANDS rows per band)
+SHINGLE = 3         # tokens per shingle
+
+
+# ----------------------------------------------------------------- exact
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(content_md5, keep_doc_id, group_size) for groups with >1 doc.
+
+    keep = smallest doc_id (deterministic survivor rule)."""
+    return (
+        docs.select(
+            F.md5(F.col(text_col)).alias("content_md5"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def exact_duplicates_sql(table: str, text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    return f"""
+SELECT md5({text_col}) AS content_md5,
+       min({id_col}) AS keep_doc_id,
+       count(*) AS group_size
+FROM {table} GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# --------------------------------------------------------------- shingles
+
+def _shingles_col(text_col: str):
+    """Distinct token 3-shingles as an array column (JVM expressions)."""
+    toks = tokens_col(text_col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= SHINGLE,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - SHINGLE),
+                lambda i: F.concat_ws(
+                    " ", toks[i], toks[i + 1], toks[i + 2]
+                ),
+            ),
+        ).otherwise(F.array())
+    )
+
+
+def _shingles_sql(text_col: str) -> str:
+    t = sql_tokens_expr(text_col)
+    return (
+        f"list_distinct(CASE WHEN len({t}) >= {SHINGLE} THEN "
+        f"list_transform(range(1, len({t}) - {SHINGLE} + 2), "
+        f"i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]) "
+        "ELSE [] END)"
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, h0..h{K-1}) — min of md5(shingle || '#i') per hash i.
+
+    Documents with no shingles are dropped (nothing to compare)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles_col(text_col)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_sql(table: str, text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    aggs = ", ".join(
+        f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(MINHASH_K)
+    )
+    return f"""
+SELECT doc_id, {aggs}
+FROM (
+  SELECT {id_col} AS doc_id, unnest({_shingles_sql(text_col)}) AS shingle
+  FROM {table}
+)
+GROUP BY doc_id
+"""
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) — pairs sharing ≥1 LSH band.
+
+    Scale path: the band-bucket self-join only compares docs that collide,
+    never the full n² (the shuffle keys on the band value)."""
+    sig = minhash_signatures(docs, text_col, id_col)
+    r = MINHASH_K // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        *[F.col(f"h{i}") for i in range(MINHASH_K)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"h{bi * r + j}") for j in range(r)]
+                        ).alias("key"),
+                    )
+                    for bi in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", *[f"h{i}" for i in range(MINHASH_K)],
+             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[
+                (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int").alias(f"e{i}")
+                for i in range(MINHASH_K)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"e{i}") for i in range(MINHASH_K)) / float(MINHASH_K)
+    return pairs.select(
+        "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
+    )
+
+
+def lsh_candidate_pairs_sql(table: str, text_col: str = "text",
+                            id_col: str = "doc_id") -> str:
+    r = MINHASH_K // LSH_BANDS
+    band_rows = ", ".join(
+        "({}, h{})".format(
+            bi, " || '|' || h".join(str(bi * r + j) for j in range(r))
+        )
+        for bi in range(LSH_BANDS)
+    )
+    # build band rows via UNION ALL (engine-agnostic formulation)
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + " || '|' || ".join(f"h{bi * r + j}" for j in range(r))
+        + " AS key, "
+        + ", ".join(f"h{i}" for i in range(MINHASH_K))
+        + " FROM sig"
+        for bi in range(LSH_BANDS)
+    )
+    eqs = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+WITH sig AS ({minhash_signatures_sql(table, text_col, id_col)}),
+bands AS ({unions})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(({eqs}) * 1.0 / {MINHASH_K}, 6) AS est_jaccard
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------- exact jaccard
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b, jaccard) for LSH candidates with exact Jaccard ≥
+    threshold — the verify stage after LSH recall."""
+    cand = lsh_candidate_pairs(docs, text_col, id_col).select("doc_a", "doc_b")
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _shingles_col(text_col).alias("sh"),
+    )
+    j = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def ngram_jaccard_pairs_sql(table: str, threshold: float = 0.5,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> str:
+    return f"""
+WITH cand AS (
+  SELECT doc_a, doc_b FROM ({lsh_candidate_pairs_sql(table, text_col, id_col)})
+),
+sh AS (
+  SELECT {id_col} AS doc_id, {_shingles_sql(text_col)} AS sh FROM {table}
+)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM cand c
+JOIN sh a ON a.doc_id = c.doc_a
+JOIN sh b ON b.doc_id = c.doc_b
+WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+      len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+"""
+
+
+# ----------------------------------------------------------------- simhash
+
+def simhash64(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) — 60-bit simhash over tf-weighted token hashes.
+
+    Token hash = first 15 hex chars of md5 (60 bits, fits a signed BIGINT
+    in both engines); bit b contributes +tf / -tf by its parity."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = tf.withColumn(
+        "th", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long")
+    )
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1,
+                   F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"b{b}")
+        for b in range(60)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_cols)
+    sim = sum(
+        F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(60)
+    )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash64_sql(table: str, text_col: str = "text",
+                  id_col: str = "doc_id") -> str:
+    bit_sum = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (th // {2 ** b}) % 2 = 1 THEN tf "
+        f"ELSE -tf END) > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
+        for b in range(60)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (
+    SELECT {id_col} AS doc_id, unnest({sql_tokens_expr(text_col)}) AS term
+    FROM {table}
+  ) GROUP BY doc_id, term
+),
+h AS (
+  SELECT doc_id, tf,
+         CAST(('0x' || substr(md5(term), 1, 15))::UBIGINT AS BIGINT) AS th
+  FROM tf
+)
+SELECT doc_id, {bit_sum} AS simhash FROM h GROUP BY doc_id
+"""

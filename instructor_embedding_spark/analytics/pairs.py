@@ -1,0 +1,242 @@
+"""Pairwise / statistical analytics from the reference's evaluator suite.
+
+- threshold_sweep (W5): PairClassificationEvaluator's best-accuracy /
+  best-F1 threshold search (PairClassificationEvaluator.py:156-217) as a
+  cumulative-sum window scan.
+- average_precision (M8): sklearn.average_precision_score re-expressed as
+  the same cumulative formulation (RerankingEvaluator.py:308-324).
+- spearman (M6): STSEvaluator.py:95 — rank both sides with a window, then
+  Pearson on the ranks (average-rank tie handling, scipy-compatible).
+- knn_classify (J6/M10): ClassificationEvaluator.py:183-192 — cosine kNN
+  with majority vote, re-expressed as crossJoin + window top-k + mode.
+
+Each op has a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from instructor_embedding_spark.analytics.similarity import _dot, _norm
+
+
+def threshold_sweep(pairs: DataFrame, score_col: str = "score",
+                    label_col: str = "label") -> DataFrame:
+    """(best_acc, best_acc_threshold, best_f1, best_f1_threshold, ap).
+
+    Reference semantics (PairClassificationEvaluator.py:156-217): sort by
+    score DESC; predict positive above each cut between consecutive rows
+    (threshold = mean of the two scores); accuracy/F1 from running
+    positives.  AP per the cumulative precision formulation."""
+    n_row = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col)).alias("n_pos"),
+    ).collect()[0]
+    n, n_pos = int(n_row["n"]), int(n_row["n_pos"])
+
+    w = Window.orderBy(F.col(score_col).desc(), F.col(label_col).desc())
+    scanned = (
+        pairs.select(
+            F.col(score_col).alias("score"),
+            F.col(label_col).cast("long").alias("label"),
+        )
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "cum_pos",
+            F.sum("label").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("next_score", F.lead("score").over(w))
+    )
+    # predict positive for rows 1..i; threshold = midpoint of rows i, i+1.
+    # The LAST row is never a cut (reference: `for i in range(len(rows)-1)`,
+    # PairClassificationEvaluator.py:169, 200); AP uses all rows.  First
+    # maximum wins (`>` comparison) → tie-break max_by(metric, -i).
+    cuts = scanned.filter(F.col("next_score").isNotNull()).select(
+        "i",
+        ((F.col("cum_pos") + (n - F.col("i") - (n_pos - F.col("cum_pos"))))
+         / float(n)).alias("acc"),
+        (2.0 * F.col("cum_pos") / (F.col("i") + n_pos)).alias("f1"),
+        ((F.col("score") + F.col("next_score")) / 2.0).alias("thr"),
+    )
+    best_cuts = cuts.agg(
+        F.round(F.max("acc"), 6).alias("best_acc"),
+        F.round(
+            F.max_by("thr", F.struct(F.col("acc"), -F.col("i"))), 6
+        ).alias("best_acc_threshold"),
+        F.round(F.max("f1"), 6).alias("best_f1"),
+        F.round(
+            F.max_by("thr", F.struct(F.col("f1"), -F.col("i"))), 6
+        ).alias("best_f1_threshold"),
+    )
+    ap = scanned.agg(
+        F.round(
+            F.sum(
+                F.when(F.col("label") == 1, F.col("cum_pos") / F.col("i"))
+            ) / float(n_pos),
+            6,
+        ).alias("ap")
+    )
+    return best_cuts.crossJoin(ap)
+
+
+def threshold_sweep_sql(pairs_sql: str, score_col: str = "score",
+                        label_col: str = "label") -> str:
+    return f"""
+WITH p AS ({pairs_sql}),
+tot AS (SELECT count(*) AS n, sum({label_col}) AS n_pos FROM p),
+scanned AS (
+  SELECT {score_col} AS score,
+         CAST({label_col} AS BIGINT) AS label,
+         row_number() OVER (ORDER BY {score_col} DESC, {label_col} DESC) AS i,
+         sum({label_col}) OVER (
+           ORDER BY {score_col} DESC, {label_col} DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+         lead({score_col}) OVER (
+           ORDER BY {score_col} DESC, {label_col} DESC) AS next_score
+  FROM p
+),
+cuts AS (
+  SELECT i,
+         (cum_pos + (tot.n - i - (tot.n_pos - cum_pos))) * 1.0 / tot.n AS acc,
+         2.0 * cum_pos / (i + tot.n_pos) AS f1,
+         (score + next_score) / 2.0 AS thr
+  FROM scanned CROSS JOIN tot
+  WHERE next_score IS NOT NULL
+),
+acc_best AS (
+  SELECT round(acc, 6) AS best_acc, round(thr, 6) AS best_acc_threshold
+  FROM cuts ORDER BY acc DESC, i ASC LIMIT 1
+),
+f1_best AS (
+  SELECT round(f1, 6) AS best_f1, round(thr, 6) AS best_f1_threshold
+  FROM cuts ORDER BY f1 DESC, i ASC LIMIT 1
+),
+best AS (SELECT * FROM acc_best CROSS JOIN f1_best),
+apx AS (
+  SELECT round(sum(CASE WHEN label = 1 THEN cum_pos * 1.0 / i END)
+               / (SELECT n_pos FROM tot), 6) AS ap
+  FROM scanned
+)
+SELECT * FROM best CROSS JOIN apx
+"""
+
+
+def spearman(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """(spearman) — average-rank (fractional) ties, matching scipy."""
+    def avg_rank(c: str, out: str):
+        # average rank = (rank + (rank + count - 1)) / 2 via min rank + cnt
+        w = Window.orderBy(F.col(c))
+        return (
+            F.rank().over(w)
+            + (F.count(F.lit(1)).over(Window.partitionBy(F.col(c))) - 1) / 2.0
+        ).alias(out)
+
+    ranked = df.select(avg_rank(x_col, "rx"), avg_rank(y_col, "ry"))
+    return ranked.agg(F.round(F.corr("rx", "ry"), 6).alias("spearman"))
+
+
+def spearman_sql(inner_sql: str, x_col: str, y_col: str) -> str:
+    return f"""
+WITH d AS ({inner_sql}),
+r AS (
+  SELECT
+    rank() OVER (ORDER BY {x_col})
+      + (count(*) OVER (PARTITION BY {x_col}) - 1) / 2.0 AS rx,
+    rank() OVER (ORDER BY {y_col})
+      + (count(*) OVER (PARTITION BY {y_col}) - 1) / 2.0 AS ry
+  FROM d
+)
+SELECT round(corr(rx, ry), 6) AS spearman FROM r
+"""
+
+
+def knn_classify(embeddings: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """(accuracy, n_test) — cosine kNN majority vote; train = even ids,
+    test = odd ids (deterministic split).  Vote ties break toward the
+    smaller label (pinned)."""
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.col(label_col).alias("label"),
+    ).withColumn("n", _norm(F.col("v")))
+    train = e.filter(F.col("vid") % 2 == 0).select(
+        F.col("vid").alias("tid"), F.col("v").alias("tv"),
+        F.col("n").alias("tn"), F.col("label").alias("tlabel"),
+    )
+    test = e.filter(F.col("vid") % 2 == 1).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"),
+        F.col("n").alias("qn"), F.col("label").alias("qlabel"),
+    )
+    scored = test.crossJoin(train).select(
+        "qid", "qlabel", "tid", "tlabel",
+        (_dot(F.col("qv"), F.col("tv"))
+         / (F.col("qn") * F.col("tn"))).alias("cos_raw"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("tid").asc()
+    )
+    topk = scored.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    )
+    votes = topk.groupBy("qid", "qlabel", "tlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("tlabel").asc()
+    )
+    pred = votes.withColumn("rv", F.row_number().over(wv)).filter(
+        F.col("rv") == 1
+    )
+    return pred.agg(
+        F.round(
+            F.avg((F.col("tlabel") == F.col("qlabel")).cast("double")), 6
+        ).alias("accuracy"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+    )
+
+
+def knn_classify_sql(table: str, k: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label") -> str:
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
+         {label_col} AS label
+  FROM {table}
+),
+n AS (
+  SELECT vid, v, label,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT q.vid AS qid, q.label AS qlabel, t.vid AS tid, t.label AS tlabel,
+         list_sum(list_transform(range(1, len(q.v) + 1),
+                                 i -> q.v[i] * t.v[i]))
+           / (q.nrm * t.nrm) AS cos_raw
+  FROM n q, n t
+  WHERE q.vid % 2 = 1 AND t.vid % 2 = 0
+),
+topk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY round(cos_raw, 6) DESC, tid ASC) AS r
+  FROM scored
+),
+votes AS (
+  SELECT qid, qlabel, tlabel, count(*) AS votes
+  FROM topk WHERE r <= {k} GROUP BY qid, qlabel, tlabel
+),
+pred AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY votes DESC, tlabel ASC) AS rv
+  FROM votes
+)
+SELECT round(avg(CASE WHEN tlabel = qlabel THEN 1.0 ELSE 0.0 END), 6)
+         AS accuracy,
+       CAST(count(*) AS BIGINT) AS n_test
+FROM pred WHERE rv = 1
+"""

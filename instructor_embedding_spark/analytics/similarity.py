@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference's core scoring ops re-expressed at scale:
+
+- cos_sim / dot_score matrices (evaluators/utils.py:4-43) → brute-force
+  cosine top-k: crossJoin + JVM array arithmetic + window top-k.  This is
+  also the exact oracle for the approximate path.
+- FAISS IndexFlatL2 example (examples/faiss/README.md:49-90) → the LSH
+  (random-hyperplane) bucketed variant: each vector hashes to a signature;
+  candidates share a bucket; exact re-rank inside buckets.  Recall vs the
+  brute-force oracle is property-tested (not rank-identical by design).
+
+All dot products run as JVM higher-order array expressions
+(``aggregate(zip_with(...))``) — no Python in the scoring path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 12  # LSH signature bits
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(embeddings: DataFrame, k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, rank, neighbor_id, cosine) — exact brute-force kNN.
+
+    O(n²) scoring; at cluster scale this is the per-bucket re-rank kernel,
+    with the LSH variant below bounding the candidate set."""
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+    a = e.select(
+        F.col("vid").alias("vec_id"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = e.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id", "rank", "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
+def cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """DuckDB oracle: the same brute-force kNN via explicit list arithmetic
+    (double precision to match Spark's)."""
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+n AS (
+  SELECT vid, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT a.vid AS vec_id, b.vid AS neighbor_id,
+         list_sum(list_transform(range(1, len(a.v) + 1),
+                                 i -> a.v[i] * b.v[i]))
+           / (a.nrm * b.nrm) AS cos_raw
+  FROM n a, n b WHERE a.vid <> b.vid
+),
+ranked AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(cos_raw, 6) DESC, neighbor_id ASC
+         ) AS BIGINT) AS rank,
+         neighbor_id, round(cos_raw, 6) AS cosine
+  FROM scored
+)
+SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+def _plane_component(p: int, d: int):
+    """Deterministic pseudo-random hyperplane component in [-1, 1), derived
+    from md5 so any engine reproduces it."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"plane{p}d"), F.lit(str(d)))), 1, 8),
+        16, 10,
+    ).cast("double")
+    return h / F.lit(float(2 ** 32)) * 2.0 - 1.0
+
+
+def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 64, planes_per_table: int = 4,
+                    n_tables: int = 8) -> DataFrame:
+    """Approximate kNN: MULTI-TABLE random-hyperplane LSH + exact re-rank.
+
+    High-dim near-orthogonal vectors defeat a single signature (recall
+    collapses), so we use the standard multi-table construction: T
+    independent tables of P planes each; candidates = union of per-table
+    bucket collisions.  Recall vs the brute-force oracle is tuned by
+    (P, T): fewer planes per table ⇒ bigger buckets ⇒ higher recall.
+
+    Scale path: the n² crossJoin becomes a self-join keyed on
+    (table, sig) — candidates only within a bucket."""
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+
+    table_sigs = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(planes_per_table):
+            comps = F.array(
+                *[_plane_component(t * planes_per_table + p, d)
+                  for d in range(dim)]
+            )
+            bits.append(
+                F.when(_dot(F.col("v"), comps) >= 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+            )
+        table_sigs.append(
+            F.struct(F.lit(t).alias("tbl"),
+                     F.concat_ws("", *bits).alias("sig"))
+        )
+    e = e.select(
+        "vid", "v", "n",
+        F.explode(F.array(*table_sigs)).alias("ts"),
+    ).select("vid", "v", "n", F.col("ts.tbl").alias("tbl"),
+             F.col("ts.sig").alias("sig"))
+
+    a = e.select(F.col("vid").alias("vec_id"), F.col("v").alias("va"),
+                 F.col("n").alias("na"), "tbl", "sig")
+    b = e.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vb"),
+                 F.col("n").alias("nb"), "tbl", "sig")
+    scored = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id", "neighbor_id",
+            (_dot(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+        )
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.first("cos_raw").alias("cos_raw"))  # dedup multi-table hits
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id",
+                F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -1,0 +1,217 @@
+"""Text analysis for training-data pipelines: quality scoring, token
+counting, language profiling, document fingerprinting.
+
+Reference analogs: length predicates and normalization
+(ClusteringEvaluator.py:91-94, instructor.py:390-394), stopword filtering
+(bridge_content_encoder.py:8-46), the length-sorted batching statistic
+(instructor.py:632-641).  All pure JVM column expressions with DuckDB
+twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from instructor_embedding_spark.functions.tokenize import sql_tokens_expr, tokens_col
+from instructor_embedding_spark.stopwords import stopword_sql_list
+
+_STOP_SQL = stopword_sql_list()
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, distinct_ratio, stopword_ratio,
+    mean_token_len, quality) per doc.
+
+    quality = distinct_ratio * (1 - stopword_ratio) * min(n_tokens, 200)/200
+    — a simple monotone composite: repetitive, stopword-heavy, or very
+    short docs score low."""
+    toks = tokens_col(text_col)
+    ws = F.split(F.lower(F.col(text_col)), r"\s+")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        ws.alias("ws"),
+    )
+    n_tok = F.size("toks")
+    n_dis = F.size(F.array_distinct("toks"))
+    n_ws = F.size(F.expr(f"filter(ws, w -> w IN ({_STOP_SQL}))"))
+    total_len = F.aggregate(
+        F.col("toks"), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    out = d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_dis.cast("long").alias("n_distinct"),
+        F.round(
+            F.when(n_tok > 0, n_dis / n_tok).otherwise(0.0), 6
+        ).alias("distinct_ratio"),
+        F.round(
+            F.when(F.size("ws") > 0, n_ws / F.size("ws")).otherwise(0.0), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n_tok > 0, total_len / n_tok).otherwise(0.0), 6
+        ).alias("mean_token_len"),
+    )
+    return out.withColumn(
+        "quality",
+        F.round(
+            F.col("distinct_ratio")
+            * (1.0 - F.col("stopword_ratio"))
+            * F.least(F.col("n_tokens"), F.lit(200)) / 200.0,
+            6,
+        ),
+    )
+
+
+def quality_scores_sql(table: str, text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    t = sql_tokens_expr(text_col)
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {t} AS toks,
+         string_split_regex(lower({text_col}), '\\s+') AS ws
+  FROM {table}
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         round(CASE WHEN len(toks) > 0
+               THEN len(list_distinct(toks)) * 1.0 / len(toks)
+               ELSE 0.0 END, 6) AS distinct_ratio,
+         round(CASE WHEN len(ws) > 0
+               THEN len(list_filter(ws, w -> w IN ({_STOP_SQL}))) * 1.0
+                    / len(ws)
+               ELSE 0.0 END, 6) AS stopword_ratio,
+         round(CASE WHEN len(toks) > 0
+               THEN list_sum(list_transform(toks, t -> length(t))) * 1.0
+                    / len(toks)
+               ELSE 0.0 END, 6) AS mean_token_len
+  FROM d
+)
+SELECT *,
+       round(distinct_ratio * (1.0 - stopword_ratio)
+             * least(n_tokens, 200) / 200.0, 6) AS quality
+FROM s
+"""
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens, chars) — cheap cost estimators.
+
+    bpe_ish = count of word/number/punct-run pieces (a BPE-shaped regex),
+    the standard pre-tokenizer approximation for budget planning."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias(
+            "ws_tokens"
+        ),
+        F.size(
+            F.expr(
+                f"regexp_extract_all({text_col}, "
+                "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"
+            )
+        ).cast("long").alias("bpe_ish_tokens"),
+        F.length(text_col).cast("long").alias("chars"),
+    )
+
+
+def token_counts_sql(table: str, text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    return f"""
+SELECT {id_col} AS doc_id,
+       CAST(len(string_split_regex(trim({text_col}), '\\s+')) AS BIGINT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all({text_col},
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         AS bpe_ish_tokens,
+       CAST(length({text_col}) AS BIGINT) AS chars
+FROM {table}
+"""
+
+
+def lang_profile(docs: DataFrame, text_col: str = "text",
+                 lang_col: str = "lang") -> DataFrame:
+    """(lang, n_docs, avg_tokens, top_term) — per-language corpus profile
+    (M13/W9 composition: groupBy + max_by)."""
+    toks = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    top = tf.groupBy("lang").agg(
+        F.max_by("term", F.struct(F.col("tf"), F.col("term"))).alias("top_term")
+    )
+    base = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.size(tokens_col(text_col)).alias("n"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n"), 6).alias("avg_tokens"),
+    )
+    return base.join(top, "lang")
+
+
+def lang_profile_sql(table: str, text_col: str = "text",
+                     lang_col: str = "lang") -> str:
+    t = sql_tokens_expr(text_col)
+    return f"""
+WITH tf AS (
+  SELECT lang, term, count(*) AS tf
+  FROM (SELECT {lang_col} AS lang, unnest({t}) AS term FROM {table})
+  GROUP BY lang, term
+),
+top AS (
+  SELECT lang, term AS top_term FROM (
+    SELECT lang, term, row_number() OVER (
+      PARTITION BY lang ORDER BY tf DESC, term DESC) AS rn
+    FROM tf
+  ) WHERE rn = 1
+),
+base AS (
+  SELECT {lang_col} AS lang, count(*) AS n_docs,
+         round(avg(len({t})), 6) AS avg_tokens
+  FROM {table} GROUP BY 1
+)
+SELECT base.lang, base.n_docs, base.avg_tokens, top.top_term
+FROM base JOIN top ON base.lang = top.lang
+"""
+
+
+def doc_fingerprints(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", w: int = 5) -> DataFrame:
+    """(doc_id, fingerprint) — min-hash over w-gram windows (winnowing's
+    global-min special case): robust to local edits, engine-agnostic."""
+    toks = tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - w),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[toks[i + j] for j in range(w)])
+            ),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(grams).alias("fingerprint"),
+    )
+
+
+def doc_fingerprints_sql(table: str, text_col: str = "text",
+                         id_col: str = "doc_id", w: int = 5) -> str:
+    t = sql_tokens_expr(text_col)
+    joins = " || ' ' || ".join(f"t[i+{j}]" for j in range(w))
+    return f"""
+WITH d AS (SELECT {id_col} AS doc_id, {t} AS t FROM {table})
+SELECT doc_id,
+       CASE WHEN len(t) >= {w}
+       THEN list_min(list_transform(range(1, len(t) - {w} + 2),
+                                    i -> md5({joins})))
+       ELSE md5(array_to_string(t, ' '))
+       END AS fingerprint
+FROM d
+"""

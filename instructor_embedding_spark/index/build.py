@@ -14,10 +14,11 @@ complete stages whose parameter hash matches):
 
 Scale design notes (local[32] today, 1000 executors tomorrow):
 
-- The tokenize stage is one narrow map (whole-stage codegen via the
-  expression tokenizer; optional Arrow pandas-UDF path) followed by a single
-  shuffle into the (doc_id, term) partial+final aggregation — Spark's
-  map-side combine keeps the shuffle small.
+- The tokenize stage is ONE narrow ``mapInPandas`` pass: tf is a per-doc
+  aggregate, so it's counted map-side with zero shuffle (tfcount.py); the
+  same pass emits a NULL-term row per doc that becomes doc_stats.  The only
+  wide stages in the whole build are the df aggregation and the salted
+  segment repartition, both over already-aggregated (doc, term) triples.
 - The segment shuffle keys on (term, doc_block): doc_block (= doc_id //
   span) is the deterministic salt that splits stopword-like skewed terms
   across partitions, bounding any single task's postings to one term-block.
@@ -47,20 +48,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from instructor_embedding_spark.functions.codec import encode_postings, varint_encode
+from instructor_embedding_spark.functions.tfcount import tf_pairs_map_side
 from instructor_embedding_spark.index.manifest import (
     ManifestStore,
     StageManifest,
     StageTimer,
     params_hash,
 )
-from instructor_embedding_spark.query.bm25 import (
-    K1,
-    B,
-    corpus_stats,
-    term_stats as term_stats_df,
-    tf_table,
-    tokenized,
-)
+from instructor_embedding_spark.query.bm25 import K1, B
 
 
 @dataclass(frozen=True)
@@ -109,8 +104,15 @@ class IndexHandle:
         return spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
 
 
-def _segment_encoder(params: IndexParams, avgdl: float):
-    """applyInPandas kernel: one (term, doc_block) group → one segment row."""
+def _segment_bulk_encoder(params: IndexParams, avgdl: float):
+    """applyInPandas kernel over one HASH PARTITION of (term, doc_block)
+    groups — thousands of posting lists encoded per invocation.
+
+    A per-(term, doc_block) grouped-map would pay pandas group dispatch +
+    tiny-DataFrame construction for every posting list (milliseconds each ×
+    millions of term-blocks at scale); here one C-speed sort + boundary
+    scan amortizes that across the whole shuffle partition.
+    """
     span, n_sub, sub_span = (
         params.doc_block_span,
         params.n_sub_blocks,
@@ -119,43 +121,76 @@ def _segment_encoder(params: IndexParams, avgdl: float):
     k1, b = params.k1, params.b
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        block = int(pdf["doc_block"].iloc[0])
-        idf = float(pdf["idf"].iloc[0])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
-        dls = pdf["dl"].to_numpy()[order].astype(np.float64)
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="object"),
+                    "doc_block": pd.Series([], dtype="int64"),
+                    "idf": pd.Series([], dtype="float64"),
+                    "df_block": pd.Series([], dtype="int64"),
+                    "doc_bytes": pd.Series([], dtype="object"),
+                    "tf_bytes": pd.Series([], dtype="object"),
+                    "sub_offsets": pd.Series([], dtype="object"),
+                    "sub_max": pd.Series([], dtype="object"),
+                    "bytes": pd.Series([], dtype="int64"),
+                }
+            )
+        pdf = pdf.sort_values(
+            ["term", "doc_block", "doc_id"], kind="stable", ignore_index=True
+        )
+        terms = pdf["term"].to_numpy()
+        blocks = pdf["doc_block"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy().astype(np.uint64)
+        tfs = pdf["tf"].to_numpy().astype(np.uint64)
+        dls = pdf["dl"].to_numpy().astype(np.float64)
+        idfs = pdf["idf"].to_numpy().astype(np.float64)
 
-        doc_bytes, tf_bytes = encode_postings(doc_ids, tfs)
-
+        # all impacts vectorized once across the partition
         tff = tfs.astype(np.float64)
-        impacts = idf * (
+        impacts = idfs * (
             tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dls / avgdl))
         )
-        base = block * span
-        bounds = base + np.arange(1, n_sub + 1, dtype=np.int64) * sub_span
-        offsets = np.zeros(n_sub + 1, dtype=np.int64)
-        offsets[1:] = np.searchsorted(doc_ids, bounds.astype(np.uint64), "left")
-        sub_max = np.zeros(n_sub, dtype=np.float64)
-        for j in range(n_sub):
-            lo, hi = offsets[j], offsets[j + 1]
-            if hi > lo:
-                sub_max[j] = impacts[lo:hi].max()
 
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "doc_block": [block],
-                "idf": [idf],
-                "df_block": [int(doc_ids.size)],
-                "doc_bytes": [doc_bytes],
-                "tf_bytes": [tf_bytes],
-                "sub_offsets": [offsets.astype(np.int32).tolist()],
-                "sub_max": [sub_max.tolist()],
-                "bytes": [len(doc_bytes) + len(tf_bytes)],
-            }
-        )
+        # group boundaries: change of (term, doc_block)
+        new_grp = np.empty(len(pdf), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (terms[1:] != terms[:-1]) | (blocks[1:] != blocks[:-1])
+        starts = np.flatnonzero(new_grp)
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:]
+        ends[-1] = len(pdf)
+
+        out: dict[str, list] = {
+            "term": [], "doc_block": [], "idf": [], "df_block": [],
+            "doc_bytes": [], "tf_bytes": [], "sub_offsets": [],
+            "sub_max": [], "bytes": [],
+        }
+        sub_idx = np.arange(1, n_sub + 1, dtype=np.int64)
+        for lo, hi in zip(starts, ends):
+            d = doc_ids[lo:hi]
+            t = tfs[lo:hi]
+            imp = impacts[lo:hi]
+            block = int(blocks[lo])
+            doc_bytes, tf_bytes = encode_postings(d, t)
+            base = block * span
+            bounds = (base + sub_idx * sub_span).astype(np.uint64)
+            offsets = np.zeros(n_sub + 1, dtype=np.int64)
+            offsets[1:] = np.searchsorted(d, bounds, "left")
+            sub_max = np.zeros(n_sub, dtype=np.float64)
+            nonempty = np.flatnonzero(offsets[1:] > offsets[:-1])
+            if nonempty.size:
+                red = np.maximum.reduceat(imp, offsets[nonempty])
+                sub_max[nonempty] = red
+            out["term"].append(terms[lo])
+            out["doc_block"].append(block)
+            out["idf"].append(float(idfs[lo]))
+            out["df_block"].append(int(d.size))
+            out["doc_bytes"].append(doc_bytes)
+            out["tf_bytes"].append(tf_bytes)
+            out["sub_offsets"].append(offsets.astype(np.int32).tolist())
+            out["sub_max"].append(sub_max.tolist())
+            out["bytes"].append(len(doc_bytes) + len(tf_bytes))
+        return pd.DataFrame(out)
 
     return encode
 
@@ -215,34 +250,51 @@ def build_index(
     p_segments = os.path.join(index_dir, "segments")
 
     # ---- stage 1: tokenize → postings_raw + doc_stats -------------------
+    # tf is a per-doc aggregate → computed map-side (no shuffle); doc_stats
+    # is a second narrow JVM-only pass (expression tokenizer) that also
+    # covers zero-token docs.
     if not (stage_done("postings_raw") and stage_done("doc_stats")):
         with StageTimer() as t:
-            toks = tokenized(
-                docs, text_col, id_col, params.use_pandas_udf_tokenizer
+            combined = tf_pairs_map_side(
+                docs, text_col, id_col, include_doc_rows=True
+            ).withColumn("doc_block", (F.col("doc_id") / span).cast("long"))
+            combined.write.mode("overwrite").parquet(p_raw)
+            # doc_stats = the NULL-term rows of the same single tokenize
+            # pass (cheap columnar re-read, no second tokenize)
+            (
+                spark.read.parquet(p_raw)
+                .filter(F.col("term").isNull())
+                .select("doc_id", "dl", "doc_block")
+                .write.mode("overwrite")
+                .parquet(p_docstats)
             )
-            tf = tf_table(toks).withColumn(
-                "doc_block", (F.col("doc_id") / span).cast("long")
+        # per-block lineage: one pruned-column scan (doc_block + the
+        # null-term marker), no wide agg over posting rows — the segments
+        # stage re-derives the same posting counts from df_block as a
+        # cross-check
+        lin_rows = (
+            spark.read.parquet(p_raw)
+            .groupBy("doc_block")
+            .agg(
+                F.sum(
+                    F.when(F.col("term").isNull(), 1).otherwise(0)
+                ).alias("docs"),
+                F.sum(
+                    F.when(F.col("term").isNotNull(), 1).otherwise(0)
+                ).alias("postings"),
             )
-            tf.write.mode("overwrite").parquet(p_raw)
-            ds = toks.select("doc_id", "dl").withColumn(
-                "doc_block", (F.col("doc_id") / span).cast("long")
-            )
-            ds.write.mode("overwrite").parquet(p_docstats)
-        raw = spark.read.parquet(p_raw)
-        lineage = [
-            {"partition": int(r["doc_block"]),
-             "postings": int(r["postings"]), "docs": int(r["docs"])}
-            for r in raw.groupBy("doc_block")
-            .agg(F.count(F.lit(1)).alias("postings"),
-                 F.countDistinct("doc_id").alias("docs"))
             .collect()
+        )
+        lineage = [
+            {"partition": int(r["doc_block"]), "docs": int(r["docs"]),
+             "postings": int(r["postings"])}
+            for r in lin_rows
         ]
+        n_docs_tok = sum(x["docs"] for x in lineage)
         n_postings = sum(x["postings"] for x in lineage)
         commit_stage("postings_raw", t, n_postings,
-                     {"docs_tokenized": int(spark.read.parquet(p_docstats).count())},
-                     lineage)
-        commit_stage("doc_stats", t,
-                     int(spark.read.parquet(p_docstats).count()), {}, [])
+                     {"docs_tokenized": n_docs_tok}, lineage)
+        commit_stage("doc_stats", t, n_docs_tok, {}, [])
 
     # ---- stage 2: globals + term_stats ----------------------------------
     if not stage_done("term_stats"):
@@ -252,7 +304,7 @@ def build_index(
                 F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
             ).collect()[0]
             n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
-            raw = spark.read.parquet(p_raw)
+            raw = spark.read.parquet(p_raw).filter(F.col("term").isNotNull())
             ts = raw.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
             ts = ts.withColumn(
                 "idf",
@@ -295,17 +347,21 @@ def build_index(
     # ---- stage 4: segments (salted shuffle + encode) ---------------------
     if not stage_done("segments"):
         with StageTimer() as t:
-            raw = spark.read.parquet(p_raw)
+            raw = spark.read.parquet(p_raw).filter(F.col("term").isNotNull())
             ts = spark.read.parquet(p_termstats).select("term", "idf")
             joined = raw.join(ts, "term")
             nparts = params.segment_shuffle_partitions or int(
                 spark.conf.get("spark.sql.shuffle.partitions")
             )
+            # salted shuffle: hash(term, doc_block) → one partition per
+            # encoder task; the kernel vector-groups within the partition
             seg = (
-                joined.repartition(nparts, "term", "doc_block")
-                .groupBy("term", "doc_block")
+                joined.withColumn(
+                    "part", F.pmod(F.hash("term", "doc_block"), F.lit(nparts))
+                )
+                .groupBy("part")
                 .applyInPandas(
-                    _segment_encoder(params, avgdl), schema=SEGMENT_SCHEMA
+                    _segment_bulk_encoder(params, avgdl), schema=SEGMENT_SCHEMA
                 )
             )
             seg.sortWithinPartitions("term").write.mode("overwrite").parquet(
@@ -327,8 +383,9 @@ def build_index(
             for r in lin_rows
         ]
         commit_stage(
-            "segments", t, int(seg_df.count()),
-            {"bytes_compressed": sum(x["bytes"] for x in lineage)}, lineage,
+            "segments", t, sum(x["terms"] for x in lineage),
+            {"bytes_compressed": sum(x["bytes"] for x in lineage),
+             "postings": sum(x["postings"] for x in lineage)}, lineage,
         )
 
     return IndexHandle(index_dir=index_dir, n_docs=n_docs, avgdl=avgdl,

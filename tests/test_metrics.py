@@ -1,0 +1,66 @@
+"""Metric goldens reproduced exactly from the reference's own unit tests
+(/root/reference/evaluation/MTEB/tests/test_RetrievalEvaluator.py:10-100,
+via FIXTURES.md §4), TOL 1e-4."""
+
+from __future__ import annotations
+
+import pytest
+
+from instructor_embedding_spark.metrics.ranking import (
+    per_query_metrics,
+    summary_metrics,
+)
+
+TOL = 1e-4
+
+# queries 0,1,2; qrels 0→{0,1,2}, 1→{9}, 2→{4,5,9}
+QRELS = [(0, 0), (0, 1), (0, 2), (1, 9), (2, 4), (2, 5), (2, 9)]
+# ranked results: q0: (0,.9),(1,.7); q1: (5,.5),(7,.5),(8,.5); q2: (4,.9)
+RESULTS = [
+    (0, 1, 0, 0.9),
+    (0, 2, 1, 0.7),
+    (1, 1, 5, 0.5),
+    (1, 2, 7, 0.5),
+    (1, 3, 8, 0.5),
+    (2, 1, 4, 0.9),
+]
+
+GOLDEN = {
+    "accuracy": {1: 0.66666, 2: 0.66666, 3: 0.66666},
+    "ndcg": {1: 0.66666, 2: 0.53771, 3: 0.41154},
+    "mrr": {1: 0.66666, 2: 0.66666, 3: 0.66666},
+    "map": {1: 0.66666, 2: 0.5, 3: 0.33333},
+    "precision": {1: 0.66666, 2: 0.5, 3: 0.33333},
+    "recall": {1: 0.22222, 2: 0.33333, 3: 0.33333},
+}
+
+
+@pytest.fixture(scope="module")
+def summary(spark):
+    results = spark.createDataFrame(
+        RESULTS, "query_id long, rank long, doc_id long, score double"
+    )
+    qrels = spark.createDataFrame(QRELS, "query_id long, doc_id long")
+    pq = per_query_metrics(spark, results, qrels, ks=(1, 2, 3))
+    return {r["k"]: r.asDict() for r in summary_metrics(pq).collect()}
+
+
+@pytest.mark.parametrize("metric", sorted(GOLDEN))
+def test_reference_goldens(summary, metric):
+    for k, want in GOLDEN[metric].items():
+        assert summary[k][metric] == pytest.approx(want, abs=TOL), (metric, k)
+
+
+def test_query_with_zero_hits_counts_in_average(spark):
+    """A qrels-bearing query that retrieved nothing must drag averages down
+    (reference divides by len(queries), not len(queries-with-results))."""
+    results = spark.createDataFrame(
+        [(0, 1, 0, 1.0)], "query_id long, rank long, doc_id long, score double"
+    )
+    qrels = spark.createDataFrame(
+        [(0, 0), (7, 5)], "query_id long, doc_id long"
+    )
+    pq = per_query_metrics(spark, results, qrels, ks=(1,))
+    s = {r["k"]: r.asDict() for r in summary_metrics(pq).collect()}
+    assert s[1]["accuracy"] == pytest.approx(0.5, abs=TOL)
+    assert s[1]["ndcg"] == pytest.approx(0.5, abs=TOL)
