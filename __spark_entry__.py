@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import hashlib
@@ -18,7 +18,13 @@ import os
 from instructor_embedding_spark.fixtures import DRIVER_QUERY_SET, TOP_K
 from instructor_embedding_spark.functions.tokenize import sql_tokens_expr
 from instructor_embedding_spark.index.build import IndexParams, build_index
-from instructor_embedding_spark.analytics import dedup, pairs, similarity, text_stats
+from instructor_embedding_spark.analytics import (
+    clustering,
+    dedup,
+    pairs,
+    similarity,
+    text_stats,
+)
 from instructor_embedding_spark.functions.tokenize import tokens_col
 from instructor_embedding_spark.metrics.ranking import (
     metrics_sql,
@@ -286,6 +292,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "x", "y",
         ),
         "knn_classify": lambda s, d: pairs.knn_classify(_emb(s, d), k=5),
+        "stat_pearson_chars_tokens": lambda s, d: _docs(s, d).select(
+            F.col("n_chars").alias("x"),
+            F.size(tokens_col("text")).alias("y"),
+        ).agg(F.round(F.corr("x", "y"), 6).alias("pearson")),
+        # clustering: v-measure math oracle-checked on a deterministic
+        # modular "clustering"; the KMeans entry is rows-only (ML fit not
+        # SQL-expressible)
+        "clustering_vmeasure_mod": lambda s, d: clustering.v_measure(
+            _emb(s, d).select(
+                "label", (F.col("vec_id") % 7).alias("cluster")
+            )
+        ),
+        "clustering_kmeans_vmeasure": lambda s, d: clustering.v_measure(
+            clustering.kmeans_assign(
+                _emb(s, d),
+                k=int(_emb(s, d).select("label").distinct().count()),
+            )
+        ),
+        # A12: deterministic per-group undersampling (seeded-shuffle analog
+        # via md5 ordering — reproducible in any engine)
+        "sample_per_lang": lambda s, d: _docs(s, d)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.md5(F.col("doc_id").cast("string"))
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 30)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.sum("doc_id").alias("sum_doc"),
+        ),
     }
     for name, sql in RELATIONAL_SQL.items():
         out[name] = _rel_query(sql)
@@ -322,6 +364,25 @@ def oracle_sql() -> dict[str, str]:
             "x", "y",
         ),
         "knn_classify": pairs.knn_classify_sql("embeddings", k=5),
+        "stat_pearson_chars_tokens": (
+            "SELECT round(corr(x, y), 6) AS pearson FROM ("
+            "SELECT n_chars AS x, len("
+            + sql_tokens_expr("text")
+            + ") AS y FROM documents)"
+        ),
+        "clustering_vmeasure_mod": clustering.v_measure_sql(
+            "SELECT label, vec_id % 7 AS cluster FROM embeddings"
+        ),
+        "sample_per_lang": """
+WITH ranked AS (
+  SELECT lang, doc_id, row_number() OVER (
+    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       min(doc_id) AS min_doc, sum(doc_id) AS sum_doc
+FROM ranked WHERE rn <= 30 GROUP BY lang
+""",
     }
     out.update(RELATIONAL_SQL)  # same SQL string both engines
     out.update({

@@ -35,7 +35,9 @@ def threshold_sweep(pairs: DataFrame, score_col: str = "score",
     ).collect()[0]
     n, n_pos = int(n_row["n"]), int(n_row["n_pos"])
 
-    w = Window.orderBy(F.col(score_col).desc(), F.col(label_col).desc())
+    # (score DESC, label ASC): relevant-last within ties makes the
+    # cumulative AP formulation equal sklearn average_precision_score
+    w = Window.orderBy(F.col(score_col).desc(), F.col(label_col).asc())
     scanned = (
         pairs.select(
             F.col(score_col).alias("score"),
@@ -88,12 +90,12 @@ tot AS (SELECT count(*) AS n, sum({label_col}) AS n_pos FROM p),
 scanned AS (
   SELECT {score_col} AS score,
          CAST({label_col} AS BIGINT) AS label,
-         row_number() OVER (ORDER BY {score_col} DESC, {label_col} DESC) AS i,
+         row_number() OVER (ORDER BY {score_col} DESC, {label_col} ASC) AS i,
          sum({label_col}) OVER (
-           ORDER BY {score_col} DESC, {label_col} DESC
+           ORDER BY {score_col} DESC, {label_col} ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
          lead({score_col}) OVER (
-           ORDER BY {score_col} DESC, {label_col} DESC) AS next_score
+           ORDER BY {score_col} DESC, {label_col} ASC) AS next_score
   FROM p
 ),
 cuts AS (

@@ -157,7 +157,25 @@ def wand_topk(
     doc_lens = doc_lens if doc_lens is not None else handle.doc_lens(spark)
 
     qt = query_terms(queries, p.use_pandas_udf_tokenizer)
-    hits = segments.join(F.broadcast(qt), "term")
+    # Inline the (tiny, driver-known) query-term set as a scan predicate:
+    # a broadcast join alone does NOT push its keys into the parquet scan,
+    # so without this the whole index would be read per query batch.  With
+    # it, `.explain` shows PushedFilters: [In(term, [...])] and row groups
+    # that contain none of the query terms are skipped via column stats
+    # (segments are written term-sorted within files for exactly this).
+    term_list = [r["term"] for r in qt.select("term").distinct().collect()]
+    if not term_list:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, score double"
+        )
+    hits = (
+        segments.select(
+            "term", "doc_block", "idf", "doc_bytes", "tf_bytes",
+            "sub_offsets", "sub_max",
+        )
+        .filter(F.col("term").isin(term_list))
+        .join(F.broadcast(qt), "term")
+    )
     grouped = hits.join(
         doc_lens.select("doc_block", "doc_ids_bin", "dls_bin"), "doc_block"
     )

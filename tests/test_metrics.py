@@ -64,3 +64,39 @@ def test_query_with_zero_hits_counts_in_average(spark):
     s = {r["k"]: r.asDict() for r in summary_metrics(pq).collect()}
     assert s[1]["accuracy"] == pytest.approx(0.5, abs=TOL)
     assert s[1]["ndcg"] == pytest.approx(0.5, abs=TOL)
+
+
+def test_reranking_reference_goldens(spark):
+    """RerankingEvaluator goldens (tests/test_RerankingEvaluator.py:17-30):
+    mrr@{10,3}=0.5, mrr@1=0; AP([1,1,1,0,0],[.75,.93,.85,.76,.75])=0.86666
+    (score tie pinned rel-last, matching sklearn)."""
+    is_relevant = [1, 1, 1, 0, 0, 0, 0, 0, 0]
+    pred_ranking = [5, 2, 6, 1, 3, 4, 7, 8, 9]
+    results = spark.createDataFrame(
+        [(0, r + 1, idx, 0.0) for r, idx in enumerate(pred_ranking)],
+        "query_id long, rank long, doc_id long, score double",
+    )
+    qrels = spark.createDataFrame(
+        [(0, i) for i, rel in enumerate(is_relevant) if rel],
+        "query_id long, doc_id long",
+    )
+    pq = per_query_metrics(spark, results, qrels, ks=(1, 3, 10))
+    s = {r["k"]: r.asDict() for r in summary_metrics(pq).collect()}
+    assert s[10]["mrr"] == pytest.approx(0.5, abs=TOL)
+    assert s[3]["mrr"] == pytest.approx(0.5, abs=TOL)
+    assert s[1]["mrr"] == pytest.approx(0.0, abs=TOL)
+
+    # AP fixture with a score tie: order (score DESC, rel ASC) → sklearn
+    scores = [0.75, 0.93, 0.85, 0.76, 0.75]
+    rel = [1, 1, 1, 0, 0]
+    order = sorted(range(5), key=lambda i: (-scores[i], rel[i]))
+    results2 = spark.createDataFrame(
+        [(0, r + 1, i, scores[i]) for r, i in enumerate(order)],
+        "query_id long, rank long, doc_id long, score double",
+    )
+    qrels2 = spark.createDataFrame(
+        [(0, i) for i in range(5) if rel[i]], "query_id long, doc_id long"
+    )
+    pq2 = per_query_metrics(spark, results2, qrels2, ks=(5,))
+    s2 = {r["k"]: r.asDict() for r in summary_metrics(pq2).collect()}
+    assert s2[5]["map"] == pytest.approx(0.86666, abs=TOL)

@@ -1,0 +1,115 @@
+"""BeIR source round-trip, streaming incremental index, windowed rollup,
+clustering v-measure."""
+
+from __future__ import annotations
+
+import pytest
+
+from instructor_embedding_spark import datagen
+from instructor_embedding_spark.analytics.clustering import (
+    kmeans_assign,
+    v_measure,
+)
+from instructor_embedding_spark.index.build import IndexParams
+from instructor_embedding_spark.query.bm25 import bm25_topk
+from instructor_embedding_spark.query.wand import wand_topk
+from instructor_embedding_spark.sources.beir import read_beir, write_beir
+from instructor_embedding_spark.streaming.incremental import (
+    compact,
+    stream_build_batch_indexes,
+    windowed_event_rollup,
+)
+
+
+def test_beir_roundtrip(spark, tmp_path):
+    n = 120
+    docs = datagen.corpus(spark, n, partitions=2)
+    queries = datagen.queries_df(spark)
+    qrels = datagen.qrels_df(spark, n)
+    out = str(tmp_path / "beir")
+    write_beir(docs, queries, qrels, out)
+    d2, q2, r2 = read_beir(spark, out)
+    assert d2.count() == n
+    assert q2.count() == queries.count()
+    assert r2.count() == qrels.count()
+    # content survives (title empty → trim(concat) == original content)
+    orig = {r.doc_id: r.content for r in docs.collect()}
+    back = {r.doc_id: r.content for r in d2.collect()}
+    assert back == orig
+
+
+def test_streaming_incremental_index_matches_batch(spark, tmp_path):
+    """3 micro-batches streamed → per-batch indexes → compact → query
+    results rank-identical to a batch brute-force over the full corpus."""
+    n = 240
+    docs = datagen.corpus(spark, n, partitions=1).cache()
+    in_dir = str(tmp_path / "incoming")
+    # three disjoint doc batches land as separate files
+    for i, lo in enumerate(range(0, n, 80)):
+        docs.filter(f"doc_id >= {lo} AND doc_id < {lo + 80}").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    root = str(tmp_path / "idx")
+    params = IndexParams(doc_block_span=64, n_sub_blocks=4,
+                         corpus_fingerprint="stream")
+    batches = stream_build_batch_indexes(spark, in_dir, root, params)
+    assert len(batches) == 3
+    merged = compact(spark, root)
+    assert merged.n_docs == n
+
+    queries = datagen.queries_df(spark)
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id)
+        for r in wand_topk(spark, merged, queries, k=10).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.doc_id)
+        for r in bm25_topk(docs, queries, k=10, text_col="content").collect()
+    )
+    assert got == want
+
+
+def test_windowed_rollup_stream_equals_batch(spark, sf_small_dir, tmp_path):
+    events = spark.read.parquet(f"{sf_small_dir}/events.parquet")
+    batch = windowed_event_rollup(events, streaming=False)
+    want = sorted(map(tuple, batch.collect()))
+
+    # file stream source needs a DIRECTORY; stage the single parquet file
+    ev_dir = str(tmp_path / "events_in")
+    events.write.mode("overwrite").parquet(ev_dir)
+    stream = spark.readStream.schema(events.schema).parquet(ev_dir)
+    rolled = windowed_event_rollup(stream, streaming=True)
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM rollup_test").collect()))
+    assert got == want
+
+
+def test_v_measure_boundaries(spark):
+    perfect = spark.createDataFrame(
+        [(0, 10), (0, 10), (1, 20), (1, 20)], "label int, cluster int"
+    )
+    r = v_measure(perfect).collect()[0]
+    assert r.v_measure == pytest.approx(1.0, abs=1e-9)
+
+    anti = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 0), (1, 1)], "label int, cluster int"
+    )
+    r2 = v_measure(anti).collect()[0]
+    assert r2.v_measure == pytest.approx(0.0, abs=1e-9)
+
+
+def test_kmeans_vmeasure_runs(spark, sf_small_dir):
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet")
+    n_labels = emb.select("label").distinct().count()
+    assign = kmeans_assign(emb, k=n_labels)
+    r = v_measure(assign).collect()[0]
+    assert 0.0 <= r.v_measure <= 1.0
