@@ -232,7 +232,62 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 """,
+    # A7: bootstrap-style mean ± stddev across groups
+    # (AbsTaskClassification.py:96-101 — per-experiment scores averaged)
+    "rel_bootstrap_value_stats": """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(value), 6) AS mean_value,
+       round(stddev_samp(value), 6) AS std_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+""",
 }
+
+#: W7 (two_steps.py:37-60): walk candidates in similarity-desc order,
+#: keep while the running token budget holds.  Formulated over BM25
+#: results joined to doc token counts.
+CONTEXT_BUDGET = 120
+CONTEXT_CANDIDATES = 8
+
+
+def _q_budgeted_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, qdf = _docs(spark, sf_dir), _queries_df(spark)
+    results = bm25.bm25_topk(docs, qdf, k=CONTEXT_CANDIDATES, text_col="text")
+    toks = bm25.tokenized(docs, "text")
+    dl = toks.select("doc_id", F.col("dl").cast("long").alias("dl"))
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        results.join(dl, "doc_id")
+        .withColumn(
+            "cum_tokens",
+            F.sum("dl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("cum_tokens") <= CONTEXT_BUDGET)
+        .select("query_id", "rank", "doc_id", "dl", "cum_tokens")
+    )
+
+
+def _budgeted_context_sql() -> str:
+    topk = bm25.bm25_topk_sql(
+        "documents", DRIVER_QUERY_SET, k=CONTEXT_CANDIDATES, text_col="text"
+    )
+    return f"""
+WITH results AS ({topk}),
+dls AS (
+  SELECT doc_id, CAST(len({sql_tokens_expr('text')}) AS BIGINT) AS dl
+  FROM documents
+),
+cum AS (
+  SELECT r.query_id, r.rank, r.doc_id, d.dl,
+         sum(d.dl) OVER (PARTITION BY r.query_id ORDER BY r.rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM results r JOIN dls d ON r.doc_id = d.doc_id
+)
+SELECT query_id, rank, doc_id, dl, cum_tokens
+FROM cum WHERE cum_tokens <= {CONTEXT_BUDGET}
+"""
 
 _REL_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -329,9 +384,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("doc_id").alias("sum_doc"),
         ),
     }
+    out["budgeted_context_selection"] = _q_budgeted_context
+    out["proj_filter_chain"] = _q_proj_filter_chain
+    out["ann_euclidean_topk"] = lambda s, d: similarity.euclidean_topk(
+        _emb(s, d), k=10
+    )
     for name, sql in RELATIONAL_SQL.items():
         out[name] = _rel_query(sql)
     return out
+
+
+def _q_proj_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P4/P5/P6 in one pipeline: computed concat projection with
+    null guard, token-size predicate, limit with pinned order
+    (AbsTaskRetrieval.py:718-736; ClusteringEvaluator.py:91-94)."""
+    d = _docs(spark, sf_dir)
+    toks = tokens_col("text")
+    return (
+        d.select(
+            "doc_id",
+            F.trim(
+                F.concat_ws(
+                    " ", F.coalesce(F.col("lang"), F.lit("")), F.col("text")
+                )
+            ).alias("titled_text"),
+            F.size(toks).alias("n_tokens"),
+        )
+        .filter((F.col("n_tokens") > 10) & (F.col("n_tokens") <= 256))
+        .orderBy("doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.substring("titled_text", 1, 40).alias("head40"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -383,6 +470,21 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
        min(doc_id) AS min_doc, sum(doc_id) AS sum_doc
 FROM ranked WHERE rn <= 30 GROUP BY lang
 """,
+        "budgeted_context_selection": _budgeted_context_sql(),
+        "proj_filter_chain": f"""
+WITH base AS (
+  SELECT doc_id,
+         trim(concat_ws(' ', coalesce(lang, ''), text)) AS titled_text,
+         CAST(len({sql_tokens_expr('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, substr(titled_text, 1, 40) AS head40, n_tokens
+FROM base WHERE n_tokens > 10 AND n_tokens <= 256
+ORDER BY doc_id LIMIT 50
+""",
+        "ann_euclidean_topk": similarity.euclidean_topk_sql(
+            "embeddings", k=10
+        ),
     }
     out.update(RELATIONAL_SQL)  # same SQL string both engines
     out.update({

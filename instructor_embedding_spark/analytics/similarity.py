@@ -117,6 +117,73 @@ SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {k}
 """
 
 
+def euclidean_topk(embeddings: DataFrame, k: int = 10,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, rank, neighbor_id, dist) — exact L2 kNN (M3:
+    ClassificationEvaluator.py:230-247 torch.cdist(p=2)).  Ascending
+    distance; tie-break neighbor_id ASC."""
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.select(F.col("vid").alias("vec_id"), F.col("v").alias("va"))
+    b = e.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vb"))
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id", "neighbor_id",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("va"), F.col("vb"),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("dist_raw"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("dist_raw"), 6).asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id",
+                F.round("dist_raw", 6).alias("dist"))
+    )
+
+
+def euclidean_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+scored AS (
+  SELECT a.vid AS vec_id, b.vid AS neighbor_id,
+         sqrt(list_sum(list_transform(range(1, len(a.v) + 1),
+              i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))) AS dist_raw
+  FROM e a, e b WHERE a.vid <> b.vid
+),
+ranked AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(dist_raw, 6) ASC, neighbor_id ASC
+         ) AS BIGINT) AS rank,
+         neighbor_id, round(dist_raw, 6) AS dist
+  FROM scored
+)
+SELECT vec_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {k}
+"""
+
+
 def _plane_component(p: int, d: int):
     """Deterministic pseudo-random hyperplane component in [-1, 1), derived
     from md5 so any engine reproduces it."""
