@@ -14,14 +14,13 @@ explode+groupBy in tests/test_bm25.py / test_index_wand.py rank gates).
 
 from __future__ import annotations
 
-from collections import Counter
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from instructor_embedding_spark.functions.tokenize import tokenize_py
+from instructor_embedding_spark.functions.tokenize import term_counts
 
 TF_SCHEMA = "doc_id long, term string, tf long, dl long"
 
@@ -47,13 +46,12 @@ def tf_pairs_map_side(
             tfs: list[int] = []
             dls: list[int] = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                toks = tokenize_py(txt)
-                counts = Counter(toks)
+                counts, dl = term_counts(txt)
                 n = len(counts)
                 ids.extend([did] * n)
                 terms.extend(counts.keys())
                 tfs.extend(counts.values())
-                dls.extend([len(toks)] * n)
+                dls.extend([dl] * n)
                 if include_doc_rows:
                     # one NULL-term row per doc carries dl (covers
                     # zero-token docs) — doc_stats falls out of the same
@@ -61,7 +59,7 @@ def tf_pairs_map_side(
                     ids.append(did)
                     terms.append(None)
                     tfs.append(0)
-                    dls.append(len(toks))
+                    dls.append(dl)
             yield pd.DataFrame(
                 {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
             )

@@ -50,18 +50,46 @@ _STOPSET = frozenset(EFFECTIVE_STOPWORDS)
 MIN_TOKEN_LEN = 2
 
 
+#: Zero-width form of the two camel rules combined: insert a space at any
+#: position where (prev ∈ [A-Z] and next two ∈ [A-Z][a-z]) or (prev ∈
+#: [a-z0-9] and next ∈ [A-Z]).  Equivalent to applying _ACRONYM_RE then
+#: _CAMEL_RE sequentially (fuzz-verified over 20k random mixed-case
+#: strings + the corpus in tests), but one pass and no group templates.
+_BOUNDARY_C = re.compile(r"(?<=[A-Z])(?=[A-Z][a-z])|(?<=[a-z0-9])(?=[A-Z])")
+
+
 def tokenize_py(text: str | None) -> list[str]:
     """Reference Python implementation of the pinned tokenizer spec."""
     if not text:
         return []
-    s = _ACRONYM_C.sub(r"\1 \2", text)
-    s = _CAMEL_C.sub(r"\1 \2", s)
-    s = s.lower()
+    s = _BOUNDARY_C.sub(" ", text).lower()
     return [
         t
         for t in _SPLIT_C.split(s)
         if len(t) >= MIN_TOKEN_LEN and t not in _STOPSET
     ]
+
+
+def term_counts(text: str | None) -> tuple[dict[str, int], int]:
+    """(term → tf, dl) in one pass — the index build's hot kernel.
+
+    Counts ALL split pieces C-speed first, then applies the length/stopword
+    filter per UNIQUE term (≈2-3× fewer membership tests than per-token);
+    dl is the number of retained token occurrences, identical to
+    ``len(tokenize_py(text))`` (parity-tested)."""
+    if not text:
+        return {}, 0
+    from collections import Counter
+
+    s = _BOUNDARY_C.sub(" ", text).lower()
+    raw = Counter(_SPLIT_C.split(s))
+    out: dict[str, int] = {}
+    dl = 0
+    for t, n in raw.items():
+        if len(t) >= MIN_TOKEN_LEN and t not in _STOPSET:
+            out[t] = n
+            dl += n
+    return out, dl
 
 
 def tokens_col(col: Column | str) -> Column:

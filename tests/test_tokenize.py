@@ -70,3 +70,24 @@ def test_duckdb_sql_parity():
         expr = sql_tokens_expr(f"'{text}'")
         got = con.execute(f"SELECT {expr}").fetchone()[0]
         assert list(got) == expected, text
+
+
+def test_term_counts_parity_with_tokenize_py():
+    from collections import Counter
+
+    from instructor_embedding_spark.functions.tokenize import term_counts
+
+    import random, string
+    rng = random.Random(99)
+    alphabet = string.ascii_letters + string.digits + " _.-/:;()[]{}\n\t"
+    cases = [t for t, _ in GOLDENS if t is not None] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        for _ in range(2000)
+    ]
+    for s in cases:
+        toks = tokenize_py(s)
+        counts, dl = term_counts(s)
+        assert counts == dict(Counter(toks)), s
+        assert dl == len(toks), s
+    assert term_counts(None) == ({}, 0)
+    assert term_counts("") == ({}, 0)
