@@ -88,6 +88,19 @@ def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand.wand_topk(spark, handle, _queries_df(spark), k=TOP_K)
 
 
+def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered retrieval: top-k restricted to lang='zh' docs (global
+    corpus statistics, pinned).  Oracle = brute-force SQL with the same
+    candidate whitelist."""
+    handle = _index_for(spark, sf_dir)
+    doc_filter = _docs(spark, sf_dir).filter(F.col("lang") == "zh").select(
+        "doc_id"
+    )
+    return wand.wand_topk(
+        spark, handle, _queries_df(spark), k=TOP_K, doc_filter=doc_filter
+    )
+
+
 def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """accuracy/precision/recall/MRR/nDCG/MAP@k summary (W4).
 
@@ -308,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_topk_bruteforce": _q_bm25_bruteforce,
         "bm25_topk_wand": _q_bm25_wand,
+        "bm25_topk_wand_filtered": _q_bm25_wand_filtered,
         "retrieval_metrics": _q_retrieval_metrics,
         "tokenize_tf": _q_tokenize_tf,
         "doc_stats": _q_doc_stats,
@@ -493,6 +507,12 @@ ORDER BY doc_id LIMIT 50
         ),
         "bm25_topk_wand": bm25.bm25_topk_sql(
             "documents", DRIVER_QUERY_SET, k=TOP_K, text_col="text"
+        ),
+        "bm25_topk_wand_filtered": bm25.bm25_topk_sql(
+            "documents", DRIVER_QUERY_SET, k=TOP_K, text_col="text",
+            candidate_filter_sql=(
+                "SELECT doc_id FROM documents WHERE lang = 'zh'"
+            ),
         ),
         "retrieval_metrics": metrics_sql(
             bm25.bm25_topk_sql("documents", DRIVER_QUERY_SET, k=10,

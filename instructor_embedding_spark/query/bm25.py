@@ -115,6 +115,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     use_pandas_udf: bool = False,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end brute-force BM25 top-k: (query_id, rank, doc_id, score).
 
@@ -135,6 +136,12 @@ def bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum(contrib).alias("score_raw"))
     )
+    if doc_filter is not None:
+        # filtered retrieval: predicate narrows candidates AFTER scoring
+        # with global stats (pinned semantics, matches the WAND engine)
+        scored = scored.join(
+            doc_filter.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score_raw"), SCORE_DECIMALS).desc(), F.col("doc_id").asc()
     )
@@ -156,6 +163,7 @@ def bm25_topk_sql(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    candidate_filter_sql: str | None = None,
 ) -> str:
     """DuckDB oracle SQL computing exactly :func:`bm25_topk`.
 
@@ -164,6 +172,11 @@ def bm25_topk_sql(
     """
     vals = ", ".join(
         f"({qid}, '{text}')" for qid, text in queries_values
+    )
+    filt = (
+        f"WHERE doc_id IN ({candidate_filter_sql})"
+        if candidate_filter_sql
+        else ""
     )
     return f"""
 WITH toks AS (
@@ -205,7 +218,7 @@ ranked AS (
          ) AS BIGINT) AS rank,
          doc_id,
          round(score_raw, {SCORE_DECIMALS}) AS score
-  FROM scored
+  FROM scored {filt}
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """

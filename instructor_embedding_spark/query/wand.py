@@ -46,13 +46,25 @@ _EMPTY = pd.DataFrame(
 )
 
 
-def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int):
-    """applyInPandas kernel for one (query_id, doc_block) group."""
+def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
+                 filtered: bool = False):
+    """applyInPandas kernel for one (query_id, doc_block) group.
+
+    With ``filtered`` the group carries an ``allowed_bin`` varint-delta
+    column (the metadata-predicate whitelist for this block); candidates
+    outside it are dropped AFTER scoring — block-max upper bounds over the
+    unfiltered postings remain true bounds for the filtered subset, so
+    pruning stays exact."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(pdf["query_id"].iloc[0])
         block = int(pdf["doc_block"].iloc[0])
         base = block * span
+        allowed = None
+        if filtered:
+            allowed = np.cumsum(
+                varint_decode(pdf["allowed_bin"].iloc[0]), dtype=np.uint64
+            ).astype(np.int64)
 
         # Decode the block's packed doc lengths once.
         dl_doc_ids = np.cumsum(
@@ -116,8 +128,18 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int):
             nz = np.flatnonzero(scores)
             if nz.size == 0:
                 continue
-            cand_docs.append(nz.astype(np.int64) + sub_base)
-            cand_scores.append(scores[nz])
+            docs_here = nz.astype(np.int64) + sub_base
+            svals = scores[nz]
+            if allowed is not None:
+                pos = np.searchsorted(allowed, docs_here)
+                keep = (pos < allowed.size) & (
+                    allowed[np.minimum(pos, allowed.size - 1)] == docs_here
+                )
+                if not keep.any():
+                    continue
+                docs_here, svals = docs_here[keep], svals[keep]
+            cand_docs.append(docs_here)
+            cand_scores.append(svals)
             # update running kth-best threshold
             all_scores = np.concatenate(cand_scores)
             kth_count = all_scores.size
@@ -143,6 +165,34 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int):
     return kernel
 
 
+_FILTER_PACK_SCHEMA = "doc_block long, allowed_bin binary"
+
+
+def _pack_filter(doc_filter: DataFrame, span: int) -> DataFrame:
+    """(doc_id) whitelist → one varint-delta row per doc_block."""
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(pdf["doc_id"].to_numpy().astype(np.uint64))
+        gaps = np.empty_like(ids)
+        gaps[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+        from instructor_embedding_spark.functions.codec import varint_encode
+
+        return pd.DataFrame(
+            {
+                "doc_block": [int(pdf["doc_block"].iloc[0])],
+                "allowed_bin": [varint_encode(gaps)],
+            }
+        )
+
+    return (
+        doc_filter.select(
+            "doc_id", (F.col("doc_id") / span).cast("long").alias("doc_block")
+        )
+        .groupBy("doc_block")
+        .applyInPandas(pack, schema=_FILTER_PACK_SCHEMA)
+    )
+
+
 def wand_topk(
     spark: SparkSession,
     handle: IndexHandle,
@@ -150,8 +200,15 @@ def wand_topk(
     k: int = 10,
     segments: DataFrame | None = None,
     doc_lens: DataFrame | None = None,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
-    """(query_id, rank, doc_id, score) — rank-identical to the oracle."""
+    """(query_id, rank, doc_id, score) — rank-identical to the oracle.
+
+    ``doc_filter`` (a DataFrame with a doc_id column) restricts results to
+    that whitelist — filtered retrieval with GLOBAL corpus statistics
+    (standard semantics: the predicate narrows candidates, not df/avgdl).
+    Blocks with no allowed docs drop out of the plan via the inner join on
+    the packed filter."""
     p = handle.params
     segments = segments if segments is not None else handle.segments(spark)
     doc_lens = doc_lens if doc_lens is not None else handle.doc_lens(spark)
@@ -179,8 +236,13 @@ def wand_topk(
     grouped = hits.join(
         doc_lens.select("doc_block", "doc_ids_bin", "dls_bin"), "doc_block"
     )
+    if doc_filter is not None:
+        grouped = grouped.join(
+            _pack_filter(doc_filter, p.doc_block_span), "doc_block"
+        )
 
-    kernel = _wand_kernel(k, p.k1, p.b, handle.avgdl, p.doc_block_span)
+    kernel = _wand_kernel(k, p.k1, p.b, handle.avgdl, p.doc_block_span,
+                          filtered=doc_filter is not None)
     candidates = grouped.groupBy("query_id", "doc_block").applyInPandas(
         kernel, schema=WAND_SCHEMA
     )

@@ -169,3 +169,25 @@ def test_restart_from_checkpoint(spark, built, tmp_path):
                   datagen.queries_df(spark), k=10)
     )
     assert [g[:3] for g in got] == [w[:3] for w in want]
+
+
+def test_filtered_retrieval_rank_identity(spark, built):
+    """doc_filter restricts top-k to the whitelist; scores keep global
+    stats; rank-identical to the filtered brute force."""
+    handle, docs = built
+    queries = datagen.queries_df(spark)
+    flt = docs.filter("lang = 'python'").select("doc_id")
+    got = _rows(wand_topk(spark, handle, queries, k=10, doc_filter=flt))
+    want = _rows(
+        bm25_topk(docs, queries, k=10, text_col="content", doc_filter=flt)
+    )
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    assert len(got) > 0
+    allowed = {r.doc_id for r in flt.collect()}
+    assert all(g[2] in allowed for g in got)
+    # filtered scores equal the unfiltered scores of the same docs
+    unf = {(w[0], w[2]): w[3] for w in _rows(
+        wand_topk(spark, handle, queries, k=200))}
+    for g in got:
+        if (g[0], g[2]) in unf:
+            assert g[3] == unf[(g[0], g[2])]
