@@ -148,7 +148,7 @@ def run_scaling(n_docs: int, reps: int = 2) -> dict:
     best = {c: min(v) for c, v in times.items()}
     thr = {c: n_docs / best[c] for c in best}
     factor = hi / lo
-    result = {
+    result: dict = {
         "docs": n_docs,
         "cores_n": lo,
         "cores_4n": hi,
@@ -163,6 +163,8 @@ def run_scaling(n_docs: int, reps: int = 2) -> dict:
     os.makedirs(RUNTIME, exist_ok=True)
     with open(SCALING_CACHE, "w") as f:
         json.dump(result, f)
+    with open(os.path.join(REPO, "SCALING_RESULTS.json"), "w") as f:
+        json.dump(result, f)  # committed copy survives .runtime wipes
     return result
 
 
@@ -215,8 +217,13 @@ def main() -> None:
         fn(spark, SF_DIR).collect()
         queries[name] = round(time.monotonic() - t0, 3)
 
-    if os.path.exists(SCALING_CACHE):
-        with open(SCALING_CACHE) as f:
+    scaling_src = (
+        SCALING_CACHE
+        if os.path.exists(SCALING_CACHE)
+        else os.path.join(REPO, "SCALING_RESULTS.json")  # committed fallback
+    )
+    if os.path.exists(scaling_src):
+        with open(scaling_src) as f:
             extra["scaling"] = json.load(f)
 
     total = sum(queries.values())
