@@ -373,6 +373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "label", (F.col("vec_id") % 7).alias("cluster")
             )
         ),
+        # M11: rows-only (iterative ML fit not SQL-expressible)
+        "logreg_classify": lambda s, d: clustering.logreg_classify(
+            _emb(s, d)
+        ),
         "clustering_kmeans_vmeasure": lambda s, d: clustering.v_measure(
             clustering.kmeans_assign(
                 _emb(s, d),

@@ -36,6 +36,34 @@ def kmeans_assign(embeddings: DataFrame, k: int, seed: int = 42,
     )
 
 
+def logreg_classify(embeddings: DataFrame, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """(accuracy, n_test) — seeded pyspark.ml LogisticRegression (M11:
+    ClassificationEvaluator.py:304-336 sklearn LogisticRegression).
+    Train = even ids, test = odd ids (same split as knn_classify)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).cast("double").alias("label"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    train = feat.filter(F.col("vid") % 2 == 0)
+    test = feat.filter(F.col("vid") % 2 == 1)
+    model = LogisticRegression(maxIter=50, regParam=0.01).fit(train)
+    pred = model.transform(test)
+    return pred.agg(
+        F.round(
+            F.avg((F.col("prediction") == F.col("label")).cast("double")), 6
+        ).alias("accuracy"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+    )
+
+
 def v_measure(assignments: DataFrame, label_col: str = "label",
               cluster_col: str = "cluster") -> DataFrame:
     """(homogeneity, completeness, v_measure) from (label, cluster) rows —

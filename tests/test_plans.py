@@ -1,0 +1,58 @@
+"""Physical-plan regression guards: the scale-critical plan properties
+must survive refactors (the .explain audit, frozen as assertions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from instructor_embedding_spark import datagen
+from instructor_embedding_spark.index.build import IndexParams, build_index
+from instructor_embedding_spark.query.bm25 import bm25_topk
+from instructor_embedding_spark.query.wand import wand_topk
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("planidx"))
+    docs = datagen.corpus(spark, 300, partitions=3)
+    h = build_index(
+        spark, docs, idx,
+        IndexParams(doc_block_span=64, n_sub_blocks=4,
+                    corpus_fingerprint="plans"),
+        text_col="content",
+    )
+    return h, docs
+
+
+def _formatted(df):
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    return jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_wand_plan_pushes_terms_and_broadcasts(spark, built):
+    h, _ = built
+    plan = _formatted(wand_topk(spark, h, datagen.queries_df(spark), k=10))
+    # query-term set reaches the parquet scan as an In() predicate
+    assert "In(term" in plan, plan[:1500]
+    # query-terms join is a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in plan
+    # gather top-k uses rank-limit pushdown, not a full sort of candidates
+    assert "WindowGroupLimit" in plan
+    # segments scan reads only needed columns (bytes/df_block pruned)
+    seg_schema = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "doc_bytes" in ln
+    ]
+    assert seg_schema and "df_block" not in seg_schema[0], seg_schema
+
+
+def test_bruteforce_plan_broadcasts_query_terms(spark, built):
+    _, docs = built
+    plan = _formatted(
+        bm25_topk(docs, datagen.queries_df(spark), k=10, text_col="content")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan

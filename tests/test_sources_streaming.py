@@ -113,3 +113,12 @@ def test_kmeans_vmeasure_runs(spark, sf_small_dir):
     assign = kmeans_assign(emb, k=n_labels)
     r = v_measure(assign).collect()[0]
     assert 0.0 <= r.v_measure <= 1.0
+
+
+def test_logreg_classify_runs(spark, sf_small_dir):
+    from instructor_embedding_spark.analytics.clustering import logreg_classify
+
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet")
+    r = logreg_classify(emb).collect()[0]
+    assert 0.0 <= r.accuracy <= 1.0
+    assert r.n_test == emb.filter("vec_id % 2 = 1").count()
