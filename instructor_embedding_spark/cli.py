@@ -1,0 +1,133 @@
+"""Command-line entry points — the spark-submit surface.
+
+    spark-submit --py-files ies.zip -m ... # or:
+    python -m instructor_embedding_spark.cli build  --input DIR --index DIR
+    python -m instructor_embedding_spark.cli query  --index DIR --query "..."
+    python -m instructor_embedding_spark.cli merge  --sources A B --out DIR
+    python -m instructor_embedding_spark.cli datagen --docs N --out DIR
+
+Mirrors the reference's CLI shape (examples/evaluate_model.py — task name +
+model args in, JSON out): every command prints one JSON line to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(args):
+    from instructor_embedding_spark.session import get_spark
+    from instructor_embedding_spark.shipping import ensure_shipped
+
+    spark = get_spark(app_name=f"ies-{args.cmd}", master=args.master)
+    ensure_shipped(spark)
+    return spark
+
+
+def cmd_datagen(args) -> dict:
+    from instructor_embedding_spark import datagen
+
+    spark = _spark(args)
+    datagen.corpus(spark, args.docs, seed=args.seed).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    return {"cmd": "datagen", "docs": args.docs, "out": args.out}
+
+
+def cmd_build(args) -> dict:
+    from instructor_embedding_spark.index.build import IndexParams, build_index
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    t0 = time.monotonic()
+    h = build_index(
+        spark, docs, args.index,
+        IndexParams(
+            doc_block_span=args.block_span,
+            n_sub_blocks=args.sub_blocks,
+            corpus_fingerprint=args.input,
+        ),
+        text_col=args.text_col,
+    )
+    dt = time.monotonic() - t0
+    return {
+        "cmd": "build", "index": args.index, "n_docs": h.n_docs,
+        "avgdl": round(h.avgdl, 4), "seconds": round(dt, 2),
+        "docs_per_sec": round(h.n_docs / dt, 1),
+    }
+
+
+def cmd_query(args) -> dict:
+    from instructor_embedding_spark.index.build import load_index
+    from instructor_embedding_spark.query.wand import wand_topk
+
+    spark = _spark(args)
+    h = load_index(spark, args.index)
+    queries = spark.createDataFrame(
+        [(i + 1, q) for i, q in enumerate(args.query)],
+        "query_id long, query_text string",
+    )
+    t0 = time.monotonic()
+    rows = wand_topk(spark, h, queries, k=args.k).collect()
+    dt = time.monotonic() - t0
+    return {
+        "cmd": "query", "k": args.k, "seconds": round(dt, 3),
+        "results": [
+            {"query_id": r.query_id, "rank": r.rank,
+             "doc_id": r.doc_id, "score": r.score}
+            for r in rows
+        ],
+    }
+
+
+def cmd_merge(args) -> dict:
+    from instructor_embedding_spark.index.build import load_index
+    from instructor_embedding_spark.index.merge import merge_indexes
+
+    spark = _spark(args)
+    handles = [load_index(spark, s) for s in args.sources]
+    h = merge_indexes(spark, handles, args.out)
+    return {"cmd": "merge", "out": args.out, "n_docs": h.n_docs,
+            "sources": len(handles)}
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="instructor_embedding_spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("datagen")
+    d.add_argument("--docs", type=int, required=True)
+    d.add_argument("--seed", type=int, default=42)
+    d.add_argument("--out", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--text-col", default="content")
+    b.add_argument("--block-span", type=int, default=8192)
+    b.add_argument("--sub-blocks", type=int, default=16)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", action="append", required=True)
+    q.add_argument("-k", type=int, default=10)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--sources", nargs="+", required=True)
+    m.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    out = {
+        "datagen": cmd_datagen, "build": cmd_build,
+        "query": cmd_query, "merge": cmd_merge,
+    }[args.cmd](args)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,8 +54,9 @@ class ManifestStore:
     """Atomic JSON manifests under ``<index_dir>/_manifest/``."""
 
     def __init__(self, index_dir: str):
+        # no mkdir here: opening a store for READING (load_index) must not
+        # leave directories behind on a bad path
         self.dir = os.path.join(index_dir, "_manifest")
-        os.makedirs(self.dir, exist_ok=True)
 
     def _path(self, stage: str) -> str:
         return os.path.join(self.dir, f"{stage}.json")
@@ -72,19 +73,27 @@ class ManifestStore:
         return bool(m and m.get("status") == "complete" and m.get("phash") == phash)
 
     def write(self, manifest: StageManifest) -> None:
+        os.makedirs(self.dir, exist_ok=True)
         tmp = self._path(manifest.stage) + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(manifest.to_dict(), f, indent=1, sort_keys=True)
         os.replace(tmp, self._path(manifest.stage))
 
     def write_globals(self, globals_dict: dict[str, Any]) -> None:
+        os.makedirs(self.dir, exist_ok=True)
         tmp = os.path.join(self.dir, f"globals.json.tmp.{os.getpid()}")
         with open(tmp, "w") as f:
             json.dump(globals_dict, f, indent=1, sort_keys=True)
         os.replace(tmp, os.path.join(self.dir, "globals.json"))
 
     def load_globals(self) -> dict[str, Any]:
-        with open(os.path.join(self.dir, "globals.json")) as f:
+        p = os.path.join(self.dir, "globals.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"no index at {os.path.dirname(self.dir)!r}: missing {p}; "
+                "build one first (build_index / cli build)"
+            )
+        with open(p) as f:
             return json.load(f)
 
 

@@ -1,0 +1,32 @@
+"""CLI smoke: datagen → build → query as a user would run them."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def _run(args):
+    r = subprocess.run(
+        [sys.executable, "-m", "instructor_embedding_spark.cli", *args],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def test_cli_end_to_end(tmp_path):
+    docs = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    out = _run(["datagen", "--docs", "300", "--out", docs])
+    assert out["docs"] == 300
+    out = _run(["build", "--input", docs, "--index", idx,
+                "--block-span", "128", "--sub-blocks", "8"])
+    assert out["n_docs"] == 300
+    out = _run(["query", "--index", idx,
+                "--query", "parse varint block header", "-k", "3"])
+    assert len(out["results"]) == 3
+    assert out["results"][0]["rank"] == 1
+    # planted-identifier doc must top-rank (placement rule 97/3)
+    assert out["results"][0]["doc_id"] % 97 == 3
