@@ -31,7 +31,7 @@ from instructor_embedding_spark.metrics.ranking import (
     per_query_metrics,
     summary_metrics,
 )
-from instructor_embedding_spark.query import bm25, wand
+from instructor_embedding_spark.query import bm25, phrase, wand
 from instructor_embedding_spark.shipping import ensure_shipped
 
 #: ks for the retrieval_metrics entry (reference defaults, D3, minus 100
@@ -73,7 +73,8 @@ def _index_for(spark: SparkSession, sf_dir: str):
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     idx_dir = os.path.join(RUNTIME_DIR, f"index_{tag}")
     params = IndexParams(
-        doc_block_span=1024, n_sub_blocks=8, corpus_fingerprint=sf_dir
+        doc_block_span=1024, n_sub_blocks=8, corpus_fingerprint=sf_dir,
+        store_positions=True,
     )
     return build_index(
         spark, _docs(spark, sf_dir), idx_dir, params, text_col="text"
@@ -98,6 +99,23 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wand.wand_topk(
         spark, handle, _queries_df(spark), k=TOP_K, doc_filter=doc_filter
+    )
+
+
+#: exact-adjacency phrase fixtures over the driver documents vocabulary
+PHRASE_SET: list[tuple[int, str]] = [
+    (1, "merge sort"),
+    (2, "hash join"),
+    (3, "batch batch"),        # duplicate-term phrase
+    (4, "fast key order"),     # 3-term
+    (5, "zzz missing phrase"), # zero hits
+]
+
+
+def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    handle = _index_for(spark, sf_dir)
+    return phrase.phrase_topk(
+        spark, handle.positions(spark), PHRASE_SET, k=TOP_K
     )
 
 
@@ -322,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_bruteforce": _q_bm25_bruteforce,
         "bm25_topk_wand": _q_bm25_wand,
         "bm25_topk_wand_filtered": _q_bm25_wand_filtered,
+        "phrase_topk": _q_phrase_topk,
         "retrieval_metrics": _q_retrieval_metrics,
         "tokenize_tf": _q_tokenize_tf,
         "doc_stats": _q_doc_stats,
@@ -517,6 +536,9 @@ ORDER BY doc_id LIMIT 50
             candidate_filter_sql=(
                 "SELECT doc_id FROM documents WHERE lang = 'zh'"
             ),
+        ),
+        "phrase_topk": phrase.phrase_topk_sql(
+            "documents", PHRASE_SET, k=TOP_K, text_col="text"
         ),
         "retrieval_metrics": metrics_sql(
             bm25.bm25_topk_sql("documents", DRIVER_QUERY_SET, k=10,

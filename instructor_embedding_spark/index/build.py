@@ -67,6 +67,7 @@ class IndexParams:
     use_pandas_udf_tokenizer: bool = False
     segment_shuffle_partitions: int | None = None
     corpus_fingerprint: str = ""    # caller-supplied input identity
+    store_positions: bool = False   # optional positional side index (phrase)
 
     @property
     def sub_span(self) -> int:
@@ -102,6 +103,9 @@ class IndexHandle:
 
     def doc_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
+
+    def positions(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.index_dir, "positions"))
 
 
 def _segment_bulk_encoder(params: IndexParams, avgdl: float):
@@ -386,6 +390,28 @@ def build_index(
             "segments", t, sum(x["terms"] for x in lineage),
             {"bytes_compressed": sum(x["bytes"] for x in lineage),
              "postings": sum(x["postings"] for x in lineage)}, lineage,
+        )
+
+    # ---- stage 5 (optional): positional side index for phrase search ----
+    if params.store_positions and not stage_done("positions"):
+        from instructor_embedding_spark.query.phrase import build_positions
+
+        p_positions = os.path.join(index_dir, "positions")
+        with StageTimer() as t:
+            (
+                build_positions(docs, span, text_col, id_col)
+                .repartition(
+                    params.segment_shuffle_partitions
+                    or int(spark.conf.get("spark.sql.shuffle.partitions")),
+                    "term", "doc_block",
+                )
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(p_positions)
+            )
+        commit_stage(
+            "positions", t,
+            int(spark.read.parquet(p_positions).count()), {}, [],
         )
 
     return IndexHandle(index_dir=index_dir, n_docs=n_docs, avgdl=avgdl,
