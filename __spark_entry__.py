@@ -21,6 +21,7 @@ from instructor_embedding_spark.index.build import IndexParams, build_index
 from instructor_embedding_spark.analytics import (
     clustering,
     dedup,
+    fuzzy,
     pairs,
     similarity,
     text_stats,
@@ -29,6 +30,8 @@ from instructor_embedding_spark.functions.tokenize import tokens_col
 from instructor_embedding_spark.metrics.ranking import (
     metrics_sql,
     per_query_metrics,
+    rerank_metrics,
+    rerank_metrics_sql,
     summary_metrics,
 )
 from instructor_embedding_spark.query import bm25, phrase, wand
@@ -126,10 +129,12 @@ def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     results := top-10 — both fully SQL-expressible, so the whole metric
     stack is oracle-checked end-to-end."""
     docs, qdf = _docs(spark, sf_dir), _queries_df(spark)
-    results = bm25.bm25_topk(docs, qdf, k=10, text_col="text")
-    qrels = bm25.bm25_topk(docs, qdf, k=20, text_col="text").select(
-        "query_id", "doc_id"
-    )
+    # ONE brute-force scoring pass: the k=10 results are exactly rank<=10
+    # of the k=20 run, and top20 is tiny (n_queries*20 rows), so cache it
+    # rather than re-running the full tokenize->tf->score pipeline twice.
+    top20 = bm25.bm25_topk(docs, qdf, k=20, text_col="text").cache()
+    results = top20.filter(F.col("rank") <= 10)
+    qrels = top20.select("query_id", "doc_id")
     return summary_metrics(
         per_query_metrics(spark, results, qrels, ks=METRIC_KS)
     )
@@ -213,6 +218,90 @@ SELECT list_sum(list_transform(range(1, len(a.v) + 1),
 FROM n a JOIN n b ON b.vec_id = a.vec_id + 250
 WHERE a.vec_id < 250
 """
+
+#: Reranking fixture (W3/M8, RerankingEvaluator.py:281,308-324): queries =
+#: vec_id < 50; candidates = the 9 vectors at fixed offsets; score =
+#: cosine; positive = same cluster label.
+RERANK_OFFSETS = tuple(range(50, 451, 50))
+RERANK_N_QUERIES = 50
+
+
+def _rerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as FF
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        FF.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+    ).withColumn("nrm", similarity._norm(FF.col("v")))
+    q = e.filter(FF.col("vec_id") < RERANK_N_QUERIES).select(
+        FF.col("vec_id").alias("query_id"), FF.col("v").alias("vq"),
+        FF.col("nrm").alias("nq"), FF.col("label").alias("lq"),
+    )
+    qq = q.select(
+        "*",
+        FF.explode(
+            FF.array(*[FF.lit(o) for o in RERANK_OFFSETS])
+        ).alias("off"),
+    ).withColumn("cand_id", FF.col("query_id") + FF.col("off"))
+    c = e.select(
+        FF.col("vec_id").alias("cand_id"), FF.col("v").alias("vc"),
+        FF.col("nrm").alias("nc"), FF.col("label").alias("lc"),
+    )
+    return qq.join(c, "cand_id").select(
+        "query_id", "cand_id",
+        (similarity._dot(FF.col("vq"), FF.col("vc"))
+         / (FF.col("nq") * FF.col("nc"))).alias("score"),
+        (FF.col("lq") == FF.col("lc")).cast("int").alias("is_pos"),
+    )
+
+
+_RERANK_CAND_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         label
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, label,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+off(o) AS (VALUES {", ".join(f"({o})" for o in RERANK_OFFSETS)})
+SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       list_sum(list_transform(range(1, len(q.v) + 1),
+                               i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm)
+         AS score,
+       CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS is_pos
+FROM n q CROSS JOIN off JOIN n c ON c.vec_id = q.vec_id + off.o
+WHERE q.vec_id < {RERANK_N_QUERIES}
+"""
+
+#: k-means: the synthetic embeddings carry exactly 10 cluster labels at
+#: every sf (datagen invariant, asserted in the entry).
+KMEANS_K = 10
+
+#: D4 v2 fielded-BM25 fixture: synthetic title = the first 64 chars of the
+#: text (deterministic in both engines), boosted 2× over the body.
+FIELDED_TITLE_LEN = 64
+FIELDED_FIELDS = (("title", 2.0), ("text", 1.0))
+
+
+def _q_bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn(
+        "title", F.substring("text", 1, FIELDED_TITLE_LEN)
+    )
+    return bm25.bm25_topk_fielded(
+        docs, _queries_df(spark), k=TOP_K, fields=FIELDED_FIELDS
+    )
+
+
+def _q_kmeans_vmeasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    n_labels = int(emb.select("label").distinct().count())
+    assert n_labels == KMEANS_K, f"datagen invariant broken: {n_labels}"
+    return clustering.v_measure(clustering.kmeans_lloyd(emb, k=KMEANS_K))
+
 
 #: Relational coverage (SURVEY.md §2.3-§2.5 generic shapes) — ONE ANSI SQL
 #: string per op, executed verbatim by BOTH Spark and DuckDB.
@@ -312,8 +401,9 @@ dls AS (
 ),
 cum AS (
   SELECT r.query_id, r.rank, r.doc_id, d.dl,
-         sum(d.dl) OVER (PARTITION BY r.query_id ORDER BY r.rank
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         CAST(sum(d.dl) OVER (PARTITION BY r.query_id ORDER BY r.rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_tokens
   FROM results r JOIN dls d ON r.doc_id = d.doc_id
 )
 SELECT query_id, rank, doc_id, dl, cum_tokens
@@ -355,9 +445,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "dedup_simhash": lambda s, d: dedup.simhash64(_docs(s, d)),
+        # near-dup pairs: banded Hamming join over the simhash fingerprints
+        "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         # similarity search (embeddings table)
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
             _emb(s, d), k=10
+        ),
+        # the 100-TB-viable bucketed paths, oracle-gated as first-class
+        # entries (the crossJoin twins above stay as the exact baselines)
+        "ann_lsh_cosine_topk": lambda s, d: similarity.lsh_cosine_topk(
+            _emb(s, d), k=10
+        ),
+        "ann_lsh_euclidean_topk": lambda s, d: similarity.lsh_euclidean_topk(
+            _emb(s, d), k=10
+        ),
+        "embedding_mean_center": lambda s, d: similarity.mean_center_norms(
+            _emb(s, d)
+        ),
+        "rerank_mrr_map": lambda s, d: rerank_metrics(
+            _rerank_candidates(s, d), k=10
+        ),
+        "bm25_topk_fielded": _q_bm25_fielded,
+        # M16/J7-lite: difflib picklist matching (rows-only — no SQL engine
+        # implements difflib's ratio; pinned goldens in tests/test_fuzzy.py)
+        "fuzzy_longest_match": lambda s, d: fuzzy.fuzzy_match_topk(
+            _queries_df(s),
+            _docs(s, d)
+            .filter(F.col("doc_id") < 100)
+            .select(F.substring("text", 1, 24).alias("value")),
+            k=3,
+            threshold=0.3,
         ),
         # text analysis (documents table)
         "text_quality_scores": lambda s, d: text_stats.quality_scores(
@@ -385,23 +502,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size(tokens_col("text")).alias("y"),
         ).agg(F.round(F.corr("x", "y"), 6).alias("pearson")),
         # clustering: v-measure math oracle-checked on a deterministic
-        # modular "clustering"; the KMeans entry is rows-only (ML fit not
-        # SQL-expressible)
+        # modular "clustering"; k-means is deterministic Lloyd's with the
+        # unrolled-CTE DuckDB twin (M12 fully inside the gate)
         "clustering_vmeasure_mod": lambda s, d: clustering.v_measure(
             _emb(s, d).select(
                 "label", (F.col("vec_id") % 7).alias("cluster")
             )
         ),
-        # M11: rows-only (iterative ML fit not SQL-expressible)
+        # M11: rows-only — pyspark.ml LogisticRegression is an L-BFGS fit
+        # whose float reduction order is engine-internal; unlike Lloyd's
+        # (fixed small centroid state we can round each step) there is no
+        # bounded intermediate to pin, so no SQL twin is possible
         "logreg_classify": lambda s, d: clustering.logreg_classify(
             _emb(s, d)
         ),
-        "clustering_kmeans_vmeasure": lambda s, d: clustering.v_measure(
-            clustering.kmeans_assign(
-                _emb(s, d),
-                k=int(_emb(s, d).select("label").distinct().count()),
-            )
-        ),
+        "clustering_kmeans_vmeasure": _q_kmeans_vmeasure,
         # A12: deterministic per-group undersampling (seeded-shuffle analog
         # via md5 ordering — reproducible in any engine)
         "sample_per_lang": lambda s, d: _docs(s, d)
@@ -475,7 +590,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": dedup.lsh_candidate_pairs_sql("documents"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents"),
         "dedup_simhash": dedup.simhash64_sql("documents"),
+        "dedup_simhash_pairs": dedup.simhash_pairs_sql("documents"),
         "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", k=10),
+        "ann_lsh_cosine_topk": similarity.lsh_cosine_topk_sql(
+            "embeddings", k=10
+        ),
+        "ann_lsh_euclidean_topk": similarity.lsh_euclidean_topk_sql(
+            "embeddings", k=10
+        ),
+        "embedding_mean_center": similarity.mean_center_norms_sql(
+            "embeddings"
+        ),
+        "rerank_mrr_map": rerank_metrics_sql(_RERANK_CAND_SQL, k=10),
+        "bm25_topk_fielded": bm25.bm25_topk_fielded_sql(
+            f"SELECT doc_id, substr(text, 1, {FIELDED_TITLE_LEN}) AS title, "
+            "text FROM documents",
+            DRIVER_QUERY_SET, k=TOP_K, fields=FIELDED_FIELDS,
+        ),
+        "clustering_kmeans_vmeasure": clustering.v_measure_sql(
+            clustering.kmeans_lloyd_sql("embeddings", k=KMEANS_K)
+        ),
         "text_quality_scores": text_stats.quality_scores_sql("documents"),
         "text_token_counts": text_stats.token_counts_sql("documents"),
         "text_lang_profile": text_stats.lang_profile_sql("documents"),
@@ -504,7 +638,7 @@ WITH ranked AS (
   FROM documents
 )
 SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
-       min(doc_id) AS min_doc, sum(doc_id) AS sum_doc
+       min(doc_id) AS min_doc, CAST(sum(doc_id) AS BIGINT) AS sum_doc
 FROM ranked WHERE rn <= 30 GROUP BY lang
 """,
         "budgeted_context_selection": _budgeted_context_sql(),

@@ -36,6 +36,162 @@ def kmeans_assign(embeddings: DataFrame, k: int, seed: int = 42,
     )
 
 
+#: Lloyd iterations for the deterministic k-means (pinned; the DuckDB twin
+#: unrolls exactly this many assignment+recenter CTE pairs).
+LLOYD_ITERS = 3
+#: Rounding applied each step so partition-order float-sum differences
+#: between engines can never flip an assignment.
+DIST_DECIMALS = 6
+CENTROID_DECIMALS = 9
+
+
+def _lloyd_assign(pts: DataFrame, cents: list[tuple[int, list[float]]],
+                  dist_decimals: int = DIST_DECIMALS) -> DataFrame:
+    """Add ``cluster`` = argmin_j round(||v - c_j||², d) with ties broken by
+    cluster id — centroids are driver-side constants broadcast as literal
+    arrays, so assignment is a pure narrow column expression (the
+    scale-correct shape: k is small, points are not)."""
+    choices = []
+    for cid, c in cents:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        dist = F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            dist_decimals,
+        )
+        choices.append(F.struct(dist.alias("d"), F.lit(cid).alias("c")))
+    # array_min over (dist, cluster) structs = lexicographic argmin
+    return pts.withColumn(
+        "cluster",
+        F.array_min(F.array(*choices)).getField("c").cast("long"),
+    )
+
+
+def kmeans_lloyd(embeddings: DataFrame, k: int, iters: int = LLOYD_ITERS,
+                 dim: int = 64, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """(vec_id, label, cluster) — fully DETERMINISTIC Lloyd's k-means,
+    expressible identically in any engine (M12 inside the oracle gate —
+    reference ClusteringEvaluator.py:102-109 fits MiniBatchKMeans; the
+    iterative fit is made engine-reproducible by pinning every source of
+    nondeterminism):
+
+    - init: the first k vectors in md5(vec_id) order (seeded shuffle)
+    - exactly ``iters`` assignment→recenter rounds
+    - distances rounded to 6dp before argmin (ties → smallest cluster id),
+      centroids rounded to 9dp — so float-sum partition-order differences
+      between engines cannot flip a decision
+    - a cluster that empties keeps no row (next assignment runs over the
+      surviving centroids), matching the SQL twin's inner join semantics
+
+    Distributed shape: assignment is a narrow column expression over
+    broadcast literal centroids; recentering is one groupBy over k*dim
+    cells — per iteration one small shuffle, no crossJoin."""
+    pts = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # global sort + limit → TakeOrderedAndProject (per-partition top-k then
+    # driver merge — no full shuffle even at 10^9 rows)
+    seed_rows = (
+        pts.select("vec_id", "v")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(r["v"])) for i, r in enumerate(seed_rows)
+    ]
+    for _ in range(iters):
+        assign = _lloyd_assign(pts, cents)
+        cell_rows = (
+            assign.select("cluster", F.posexplode("v").alias("i", "val"))
+            .groupBy("cluster", "i")
+            .agg(F.round(F.avg("val"), CENTROID_DECIMALS).alias("m"))
+            .collect()  # k*dim cells — bounded by k, not by data size
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in cell_rows:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["i"])] = float(
+                r["m"]
+            )
+        cents = [
+            (cid, [cells[i] for i in range(dim)])
+            for cid, cells in sorted(by_cluster.items())
+        ]
+    return _lloyd_assign(pts, cents).select("vec_id", "label", "cluster")
+
+
+def kmeans_lloyd_sql(table: str, k: int, iters: int = LLOYD_ITERS,
+                     dim: int = 64, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label") -> str:
+    """DuckDB twin of :func:`kmeans_lloyd`: the fixed iteration count is
+    unrolled as CTE pairs (assign_t, cent_{t+1}); yields
+    (vec_id, label, cluster)."""
+    dist = (
+        "round(list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))), {dd})"
+    ).format(dim=dim, dd=DIST_DECIMALS)
+    assign_tpl = """
+a{t} AS (
+  SELECT vid, label, v, cl AS cluster FROM (
+    SELECT p.vid, p.label, p.v, c.cluster AS cl,
+           row_number() OVER (
+             PARTITION BY p.vid ORDER BY {dist} ASC, c.cluster ASC
+           ) AS rn
+    FROM pts p CROSS JOIN c{t} c
+  ) WHERE rn = 1
+)"""
+    recenter_tpl = """
+c{next} AS (
+  SELECT cluster, list(m ORDER BY i) AS c FROM (
+    SELECT cluster, i, round(avg(v[i]), {cd}) AS m
+    FROM a{t} CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i)
+    GROUP BY cluster, i
+  ) GROUP BY cluster
+)"""
+    parts = [
+        f"""pts AS (
+  SELECT {id_col} AS vid, {label_col} AS label,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+)""",
+        f"""seed AS (
+  SELECT v, row_number() OVER (
+    ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS rn
+  FROM pts
+)""",
+        f"c0 AS (SELECT rn - 1 AS cluster, v AS c FROM seed WHERE rn <= {k})",
+    ]
+    for t in range(iters):
+        parts.append(assign_tpl.format(t=t, dist=dist))
+        if t < iters - 1:
+            parts.append(
+                recenter_tpl.format(
+                    next=t + 1, t=t, cd=CENTROID_DECIMALS, dim=dim
+                )
+            )
+    # final assignment uses the centroids AFTER the last recenter, matching
+    # kmeans_lloyd's trailing _lloyd_assign
+    parts.append(
+        recenter_tpl.format(next=iters, t=iters - 1, cd=CENTROID_DECIMALS,
+                            dim=dim)
+    )
+    parts.append(assign_tpl.format(t=iters, dist=dist))
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT vid AS vec_id, label, CAST(cluster AS BIGINT) AS cluster "
+        f"FROM a{iters}"
+    )
+
+
 def logreg_classify(embeddings: DataFrame, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     label_col: str = "label") -> DataFrame:

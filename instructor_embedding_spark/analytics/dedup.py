@@ -286,6 +286,77 @@ def simhash64(docs: DataFrame, text_col: str = "text",
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+SIMHASH_BANDS = 4        # 4 × 15-bit bands over the 60-bit fingerprint
+SIMHASH_BAND_BITS = 15
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: dist ≤ bands-1 ⇒ ≥1 identical band
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b, hamming) — near-duplicate pairs by simhash.
+
+    Banded Hamming-neighbor join (the stage that turns the fingerprint
+    column into a dedup operator): split the 60-bit simhash into 4×15-bit
+    bands; any pair within Hamming distance ≤ 3 must agree on at least one
+    band (pigeonhole), so the self-join keys on (band, band_value) — never
+    the full n² — and the popcount verify runs only on collisions."""
+    assert max_hamming < SIMHASH_BANDS, "pigeonhole bound requires dist < bands"
+    sim = simhash64(docs, text_col, id_col)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = sim.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("simhash", bi * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for bi in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_pairs_sql(table: str, max_hamming: int = SIMHASH_MAX_HAMMING,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {bi} AS band, "
+        f"(simhash >> {bi * SIMHASH_BAND_BITS}) & {mask} AS key FROM sim"
+        for bi in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH sim AS ({simhash64_sql(table, text_col, id_col)}),
+bands AS ({unions})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 def simhash64_sql(table: str, text_col: str = "text",
                   id_col: str = "doc_id") -> str:
     bit_sum = " + ".join(

@@ -16,6 +16,8 @@ All dot products run as JVM higher-order array expressions
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -194,6 +196,20 @@ def _plane_component(p: int, d: int):
     return h / F.lit(float(2 ** 32)) * 2.0 - 1.0
 
 
+def _plane_component_py(p: int, d: int, prefix: str = "plane") -> float:
+    """Python twin of :func:`_plane_component` (parity-tested): the
+    hyperplanes are pure md5 functions, so any engine — including the
+    DuckDB oracle, which inlines these as double literals — reproduces
+    them bit-exactly."""
+    h = int(hashlib.md5(f"{prefix}{p}d{d}".encode()).hexdigest()[:8], 16)
+    return h / float(2 ** 32) * 2.0 - 1.0
+
+
+def _uniform01_py(key: str) -> float:
+    """Deterministic md5-derived uniform in [0, 1) for a string key."""
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / float(2 ** 32)
+
+
 def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int = 64, planes_per_table: int = 4,
@@ -259,3 +275,252 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
         .select("vec_id", "rank", "neighbor_id",
                 F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def _dot_terms_sql(vec: str, comps: list[float], extra: float | None = None) -> str:
+    """Explicit left-associated dot product ``vec[1]*c0 + vec[2]*c1 + …`` —
+    the SAME evaluation order as Spark's sequential ``F.aggregate`` fold,
+    so both engines produce bit-identical doubles (and therefore identical
+    LSH bucket decisions)."""
+    terms = " + ".join(f"{vec}[{d + 1}]*({c!r})" for d, c in enumerate(comps))
+    if extra is not None:
+        terms = f"{terms} + ({extra!r})"
+    return terms
+
+
+def lsh_cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        planes_per_table: int = 4,
+                        n_tables: int = 8) -> str:
+    """DuckDB oracle for :func:`lsh_cosine_topk` — the SAME approximate
+    result: hyperplane components are md5-derived constants
+    (:func:`_plane_component_py`, parity-tested against the Spark
+    expression), inlined as double literals; signature bits use the
+    explicit left-associated dot so bucket membership matches bit-exactly."""
+    sig_rows = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(planes_per_table):
+            comps = [
+                _plane_component_py(t * planes_per_table + p, d)
+                for d in range(dim)
+            ]
+            bits.append(
+                f"CASE WHEN {_dot_terms_sql('v', comps)} >= 0 "
+                "THEN '1' ELSE '0' END"
+            )
+        sig_rows.append(
+            f"SELECT vid, v, nrm, {t} AS tbl, "
+            + " || ".join(bits)
+            + " AS sig FROM n"
+        )
+    sigs = " UNION ALL ".join(sig_rows)
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+n AS (
+  SELECT vid, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+sigs AS ({sigs}),
+pairs AS (
+  SELECT DISTINCT a.vid AS vec_id, b.vid AS neighbor_id,
+         list_sum(list_transform(range(1, len(a.v) + 1),
+                                 i -> a.v[i] * b.v[i]))
+           / (a.nrm * b.nrm) AS cos_raw
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+  WHERE a.vid <> b.vid
+),
+ranked AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(cos_raw, 6) DESC, neighbor_id ASC
+         ) AS BIGINT) AS rank,
+         neighbor_id, round(cos_raw, 6) AS cosine
+  FROM pairs
+)
+SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+#: E2LSH defaults for the euclidean variant: bin width ~ the projection
+#: std-dev of the test embedding scale; 2 projections/table keeps buckets
+#: big enough for recall, 8 tables union their collisions.
+E2_W = 1.0
+E2_PROJECTIONS = 2
+E2_TABLES = 8
+
+
+def lsh_euclidean_topk(embeddings: DataFrame, k: int = 10,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int = 64,
+                       projections_per_table: int = E2_PROJECTIONS,
+                       n_tables: int = E2_TABLES,
+                       w: float = E2_W) -> DataFrame:
+    """Approximate L2 kNN: multi-table random-projection binning (E2LSH)
+    + exact re-rank — the bucketed twin of :func:`euclidean_topk` (the
+    FAISS IndexFlatL2 analog, examples/faiss/README.md:49-90).
+
+    key_p = floor((dot(v, a_p) + b_p) / w); candidates share every key of
+    one table.  Planes/offsets are md5-derived Python constants inlined as
+    literals (bit-identical in any engine).  Scale path: the n² crossJoin
+    becomes a self-join keyed on (table, sig)."""
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    table_sigs = []
+    for t in range(n_tables):
+        keys = []
+        for p in range(projections_per_table):
+            gp = t * projections_per_table + p
+            comps = F.array(
+                *[F.lit(_plane_component_py(gp, d, prefix="eplane"))
+                  for d in range(dim)]
+            )
+            off = _uniform01_py(f"eoff{gp}") * w
+            keys.append(
+                F.floor((_dot(F.col("v"), comps) + F.lit(off)) / F.lit(w))
+                .cast("long").cast("string")
+            )
+        table_sigs.append(
+            F.struct(F.lit(t).alias("tbl"),
+                     F.concat_ws("|", *keys).alias("sig"))
+        )
+    e = e.select(
+        "vid", "v", F.explode(F.array(*table_sigs)).alias("ts")
+    ).select("vid", "v", F.col("ts.tbl").alias("tbl"),
+             F.col("ts.sig").alias("sig"))
+
+    a = e.select(F.col("vid").alias("vec_id"), F.col("v").alias("va"),
+                 "tbl", "sig")
+    b = e.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vb"),
+                 "tbl", "sig")
+    scored = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id", "neighbor_id",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("va"), F.col("vb"),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("dist_raw"),
+        )
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.first("dist_raw").alias("dist_raw"))  # dedup multi-table hits
+    )
+    win = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("dist_raw"), 6).asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id",
+                F.round("dist_raw", 6).alias("dist"))
+    )
+
+
+def lsh_euclidean_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
+                           vec_col: str = "embedding", dim: int = 64,
+                           projections_per_table: int = E2_PROJECTIONS,
+                           n_tables: int = E2_TABLES,
+                           w: float = E2_W) -> str:
+    """DuckDB oracle for :func:`lsh_euclidean_topk` (same approximate
+    result; same literal planes/offsets, same left-associated fold)."""
+    sig_rows = []
+    for t in range(n_tables):
+        keys = []
+        for p in range(projections_per_table):
+            gp = t * projections_per_table + p
+            comps = [
+                _plane_component_py(gp, d, prefix="eplane")
+                for d in range(dim)
+            ]
+            off = _uniform01_py(f"eoff{gp}") * w
+            keys.append(
+                "CAST(CAST(floor(("
+                + _dot_terms_sql("v", comps, extra=off)
+                + f") / ({w!r})) AS BIGINT) AS VARCHAR)"
+            )
+        sig_rows.append(
+            f"SELECT vid, v, {t} AS tbl, "
+            + " || '|' || ".join(keys)
+            + " AS sig FROM e"
+        )
+    sigs = " UNION ALL ".join(sig_rows)
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+sigs AS ({sigs}),
+pairs AS (
+  SELECT DISTINCT a.vid AS vec_id, b.vid AS neighbor_id,
+         sqrt(list_sum(list_transform(range(1, len(a.v) + 1),
+              i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))) AS dist_raw
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+  WHERE a.vid <> b.vid
+),
+ranked AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(dist_raw, 6) ASC, neighbor_id ASC
+         ) AS BIGINT) AS rank,
+         neighbor_id, round(dist_raw, 6) AS dist
+  FROM pairs
+)
+SELECT vec_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {k}
+"""
+
+
+def mean_center_norms(embeddings: DataFrame, dim: int = 64,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, centered_norm) — subtract the global per-dimension mean and
+    emit each vector's centered L2 norm (A5: prompt_retrieval
+    utils.py:30-31 mean-centers embeddings before similarity).
+
+    Two narrow JVM passes: one global agg (64 avg columns, one row,
+    broadcast) + one projection — no shuffle beyond the scalar agg."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    means = e.agg(
+        *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
+    )
+    sq = None
+    for i in range(dim):
+        t = (F.col("v")[i] - F.col(f"m{i}")) * (F.col("v")[i] - F.col(f"m{i}"))
+        sq = t if sq is None else sq + t
+    return (
+        e.crossJoin(F.broadcast(means))
+        .select("vec_id", F.round(F.sqrt(sq), 6).alias("centered_norm"))
+    )
+
+
+def mean_center_norms_sql(table: str, dim: int = 64, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> str:
+    means = ", ".join(f"avg(v[{i + 1}]) AS m{i}" for i in range(dim))
+    sq = " + ".join(
+        f"(v[{i + 1}] - m{i}) * (v[{i + 1}] - m{i})" for i in range(dim)
+    )
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS vec_id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+m AS (SELECT {means} FROM e)
+SELECT vec_id, round(sqrt({sq}), 6) AS centered_norm FROM e, m
+"""

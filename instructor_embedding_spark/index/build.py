@@ -69,6 +69,23 @@ class IndexParams:
     corpus_fingerprint: str = ""    # caller-supplied input identity
     store_positions: bool = False   # optional positional side index (phrase)
 
+    def __post_init__(self) -> None:
+        # sub_span floor-truncates: with a non-divisible combination the
+        # trailing doc slots of every block would fall past the final
+        # sub-block bound and the WAND kernel would silently never score
+        # them.  Reject at construction (covers build, merge, and the CLI).
+        if self.doc_block_span <= 0 or self.n_sub_blocks <= 0:
+            raise ValueError(
+                "doc_block_span and n_sub_blocks must be positive "
+                f"(got {self.doc_block_span}, {self.n_sub_blocks})"
+            )
+        if self.doc_block_span % self.n_sub_blocks != 0:
+            raise ValueError(
+                f"doc_block_span ({self.doc_block_span}) must be divisible "
+                f"by n_sub_blocks ({self.n_sub_blocks}); otherwise the last "
+                "doc slots of every block are outside sub-block coverage"
+            )
+
     @property
     def sub_span(self) -> int:
         return self.doc_block_span // self.n_sub_blocks
@@ -106,6 +123,23 @@ class IndexHandle:
 
     def positions(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.index_dir, "positions"))
+
+
+def _lineage_path(index_dir: str, stage: str) -> str:
+    return os.path.join(index_dir, "lineage", stage)
+
+
+def _write_lineage(lin_df: DataFrame, index_dir: str, stage: str) -> dict:
+    """Persist per-partition lineage as parquet (never collected — at the
+    SCALING.md design point it's ~10^6 rows/stage); return the one-row
+    stage totals: n_partitions + sum of every numeric lineage column."""
+    path = _lineage_path(index_dir, stage)
+    lin_df.write.mode("overwrite").parquet(path)
+    back = lin_df.sparkSession.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_partitions")] + [
+        F.sum(c).alias(c) for c in back.columns if c != "partition"
+    ]
+    return back.agg(*aggs).collect()[0].asDict()
 
 
 def _segment_bulk_encoder(params: IndexParams, avgdl: float):
@@ -273,12 +307,12 @@ def build_index(
                 .parquet(p_docstats)
             )
         # per-block lineage: one pruned-column scan (doc_block + the
-        # null-term marker), no wide agg over posting rows — the segments
-        # stage re-derives the same posting counts from df_block as a
-        # cross-check
-        lin_rows = (
+        # null-term marker) written as a PARQUET side output — never
+        # collected to the driver (at the SCALING.md design point that
+        # would be ~10^6 rows); only the one-row stage totals come back
+        lin_df = (
             spark.read.parquet(p_raw)
-            .groupBy("doc_block")
+            .groupBy(F.col("doc_block").alias("partition"))
             .agg(
                 F.sum(
                     F.when(F.col("term").isNull(), 1).otherwise(0)
@@ -287,17 +321,13 @@ def build_index(
                     F.when(F.col("term").isNotNull(), 1).otherwise(0)
                 ).alias("postings"),
             )
-            .collect()
         )
-        lineage = [
-            {"partition": int(r["doc_block"]), "docs": int(r["docs"]),
-             "postings": int(r["postings"])}
-            for r in lin_rows
-        ]
-        n_docs_tok = sum(x["docs"] for x in lineage)
-        n_postings = sum(x["postings"] for x in lineage)
+        tot = _write_lineage(lin_df, index_dir, "postings_raw")
+        n_docs_tok, n_postings = int(tot["docs"]), int(tot["postings"])
         commit_stage("postings_raw", t, n_postings,
-                     {"docs_tokenized": n_docs_tok}, lineage)
+                     {"docs_tokenized": n_docs_tok,
+                      "lineage_path": _lineage_path(index_dir, "postings_raw"),
+                      "lineage_rows": int(tot["n_partitions"])}, [])
         commit_stage("doc_stats", t, n_docs_tok, {}, [])
 
     # ---- stage 2: globals + term_stats ----------------------------------
@@ -341,12 +371,19 @@ def build_index(
                 .parquet(p_doclens)
             )
         dl_df = spark.read.parquet(p_doclens)
-        lineage = [
-            {"partition": int(r["doc_block"]), "docs": int(r["n_docs"]),
-             "bytes": int(r["bytes"])}
-            for r in dl_df.select("doc_block", "n_docs", "bytes").collect()
-        ]
-        commit_stage("doc_lens", t, len(lineage), {}, lineage)
+        tot = _write_lineage(
+            dl_df.select(
+                F.col("doc_block").alias("partition"),
+                F.col("n_docs").alias("docs"),
+                "bytes",
+            ),
+            index_dir, "doc_lens",
+        )
+        commit_stage(
+            "doc_lens", t, int(tot["n_partitions"]),
+            {"lineage_path": _lineage_path(index_dir, "doc_lens"),
+             "bytes": int(tot["bytes"])}, [],
+        )
 
     # ---- stage 4: segments (salted shuffle + encode) ---------------------
     if not stage_done("segments"):
@@ -372,24 +409,20 @@ def build_index(
                 p_segments
             )
         seg_df = spark.read.parquet(p_segments)
-        lin_rows = (
-            seg_df.groupBy("doc_block")
-            .agg(
+        tot = _write_lineage(
+            seg_df.groupBy(F.col("doc_block").alias("partition")).agg(
                 F.count(F.lit(1)).alias("terms"),
                 F.sum("df_block").alias("postings"),
                 F.sum("bytes").alias("bytes"),
-            )
-            .collect()
+            ),
+            index_dir, "segments",
         )
-        lineage = [
-            {"partition": int(r["doc_block"]), "terms": int(r["terms"]),
-             "postings": int(r["postings"]), "bytes": int(r["bytes"])}
-            for r in lin_rows
-        ]
         commit_stage(
-            "segments", t, sum(x["terms"] for x in lineage),
-            {"bytes_compressed": sum(x["bytes"] for x in lineage),
-             "postings": sum(x["postings"] for x in lineage)}, lineage,
+            "segments", t, int(tot["terms"]),
+            {"bytes_compressed": int(tot["bytes"]),
+             "postings": int(tot["postings"]),
+             "lineage_path": _lineage_path(index_dir, "segments"),
+             "lineage_rows": int(tot["n_partitions"])}, [],
         )
 
     # ---- stage 5 (optional): positional side index for phrase search ----

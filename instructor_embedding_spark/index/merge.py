@@ -180,6 +180,19 @@ def merge_indexes(
             and s.params.n_sub_blocks == params.n_sub_blocks
         ), "merge requires identical block geometry"
 
+    # positions side index: per-(doc, term) position rows don't depend on
+    # global stats, so merging is a plain union — but only when EVERY
+    # source built the stage; otherwise the merged params must stop
+    # advertising store_positions, or handle.positions()/phrase_topk would
+    # fail on a missing path.
+    merge_positions = params.store_positions and all(
+        s.params.store_positions for s in sources
+    )
+    if params.store_positions and not merge_positions:
+        from dataclasses import replace
+
+        params = replace(params, store_positions=False)
+
     store = ManifestStore(out_dir)
     phash = params_hash(
         {**asdict(params), "sources": [s.index_dir for s in sources]}
@@ -322,26 +335,45 @@ def merge_indexes(
             os.path.join(out_dir, "doc_stats")
         )
 
+        if merge_positions:
+            pos_union = sources[0].positions(spark)
+            for s in sources[1:]:
+                pos_union = pos_union.unionByName(s.positions(spark))
+            (
+                pos_union.repartition(nparts, "term", "doc_block")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "positions"))
+            )
+
     store.write_globals(
         {"n_docs": n_docs, "avgdl": avgdl, "phash": phash,
          "params": asdict(params)}
     )
+    from instructor_embedding_spark.index.build import (
+        _lineage_path,
+        _write_lineage,
+    )
+
     seg_df = spark.read.parquet(p_segments)
-    lin = [
-        {"partition": int(r["doc_block"]), "terms": int(r["terms"]),
-         "postings": int(r["postings"]), "bytes": int(r["bytes"])}
-        for r in seg_df.groupBy("doc_block").agg(
+    tot = _write_lineage(
+        seg_df.groupBy(F.col("doc_block").alias("partition")).agg(
             F.count(F.lit(1)).alias("terms"),
             F.sum("df_block").alias("postings"),
             F.sum("bytes").alias("bytes"),
-        ).collect()
-    ]
+        ),
+        out_dir, "merge",
+    )
     store.write(
         StageManifest(
             stage="merge", phash=phash, status="complete",
-            rows=sum(x["terms"] for x in lin), wall_ms=t_all.ms,
-            metrics={"sources": len(sources), "n_docs": n_docs},
-            lineage=lin,
+            rows=int(tot["terms"]), wall_ms=t_all.ms,
+            metrics={"sources": len(sources), "n_docs": n_docs,
+                     "bytes_compressed": int(tot["bytes"]),
+                     "postings": int(tot["postings"]),
+                     "lineage_path": _lineage_path(out_dir, "merge"),
+                     "lineage_rows": int(tot["n_partitions"])},
+            lineage=[],
         )
     )
     return IndexHandle(index_dir=out_dir, n_docs=n_docs, avgdl=avgdl,

@@ -130,6 +130,110 @@ def summary_metrics(per_query: DataFrame) -> DataFrame:
     )
 
 
+def rerank_metrics(candidates: DataFrame, k: int = 10) -> DataFrame:
+    """(n_queries, mean_mrr, mean_map) over per-query candidate lists —
+    the reranking evaluator (W3/M8: RerankingEvaluator.py:281 ranks each
+    query's [positives + negatives] by score descending; :308-324 computes
+    MRR@k and MAP per query, then averages).
+
+    ``candidates``: (query_id, cand_id, score, is_pos ∈ {0,1}).  Pinned
+    semantics: queries need ≥1 positive AND ≥1 negative (reference skips
+    degenerate lists); rank order = (round(score,6) DESC, cand_id ASC);
+    MRR@k = 1/rank of first positive within top-k else 0; MAP = average
+    precision over the FULL ranked list (Σ_{pos at rank r} cum_pos(r)/r
+    ÷ n_pos)."""
+    elig = (
+        candidates.groupBy("query_id")
+        .agg(
+            F.sum("is_pos").alias("n_pos"),
+            F.sum(1 - F.col("is_pos")).alias("n_neg"),
+        )
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select("query_id", "n_pos")
+    )
+    ranked = candidates.join(elig, "query_id").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.round(F.col("score"), 6).desc(), F.col("cand_id").asc()
+            )
+        ),
+    )
+    ranked = ranked.withColumn(
+        "cum_pos",
+        F.sum("is_pos").over(
+            Window.partitionBy("query_id")
+            .orderBy("rnk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    perq = ranked.groupBy("query_id").agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("is_pos") == 1) & (F.col("rnk") <= k),
+                    1.0 / F.col("rnk"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("mrr"),
+        (
+            F.sum(
+                F.when(
+                    F.col("is_pos") == 1,
+                    F.col("cum_pos").cast("double") / F.col("rnk"),
+                )
+            )
+            / F.first("n_pos")
+        ).alias("ap"),
+    )
+    return perq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("mrr"), 6).alias("mean_mrr"),
+        F.round(F.avg("ap"), 6).alias("mean_map"),
+    )
+
+
+def rerank_metrics_sql(candidates_sql: str, k: int = 10) -> str:
+    """DuckDB oracle for :func:`rerank_metrics` over the same candidate
+    SQL (must yield query_id, cand_id, score, is_pos)."""
+    return f"""
+WITH cand AS ({candidates_sql}),
+elig AS (
+  SELECT query_id, sum(is_pos) AS n_pos
+  FROM cand GROUP BY query_id
+  HAVING sum(is_pos) > 0 AND sum(1 - is_pos) > 0
+),
+ranked AS (
+  SELECT c.query_id, c.is_pos, e.n_pos,
+         row_number() OVER (
+           PARTITION BY c.query_id
+           ORDER BY round(c.score, 6) DESC, c.cand_id ASC
+         ) AS rnk
+  FROM cand c JOIN elig e USING (query_id)
+),
+cum AS (
+  SELECT *, sum(is_pos) OVER (
+    PARTITION BY query_id ORDER BY rnk
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS cum_pos FROM ranked
+),
+perq AS (
+  SELECT query_id,
+         coalesce(max(CASE WHEN is_pos = 1 AND rnk <= {k}
+                           THEN 1.0 / rnk END), 0.0) AS mrr,
+         sum(CASE WHEN is_pos = 1
+                  THEN CAST(cum_pos AS DOUBLE) / rnk END)
+           / max(n_pos) AS ap
+  FROM cum GROUP BY query_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(mrr), 6) AS mean_mrr,
+       round(avg(ap), 6) AS mean_map
+FROM perq
+"""
+
+
 def metrics_sql(results_sql: str, qrels_sql: str, ks: tuple[int, ...]) -> str:
     """DuckDB oracle computing the same summary metrics.
 

@@ -157,6 +157,152 @@ def bm25_topk(
     )
 
 
+def bm25_topk_fielded(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fields: tuple[tuple[str, float], ...] = (("title", 2.0), ("text", 1.0)),
+    id_col: str = "doc_id",
+    use_pandas_udf: bool = False,
+) -> DataFrame:
+    """Field-boosted BM25 top-k (D4 v2 — the reference concats
+    ``title + ' ' + text`` before encoding, AbsTaskRetrieval.py:718-736;
+    here each field carries a weight instead, BM25F-style):
+
+    - wtf(doc, term)  = Σ_f w_f · tf_f(doc, term)
+    - wdl(doc)        = Σ_f w_f · dl_f(doc);  avgwdl = avg over ALL docs
+    - df(term)        = #docs where the term appears in ANY field
+    - score           = Σ_t idf(t) · wtf·(k1+1) / (wtf + k1·(1−b+b·wdl/avgwdl))
+
+    Integer-valued weights keep wdl sums exactly representable, so both
+    engines compute identical corpus stats without rounding."""
+    parts = []
+    dl_cols = []
+    for col, w in fields:
+        toks = tokenized(docs, col, id_col, use_pandas_udf)
+        parts.append(
+            toks.select("doc_id", F.explode("tokens").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg((F.count(F.lit(1)) * F.lit(float(w))).alias("wtf"))
+        )
+        tok_expr = (
+            tokens_pandas_udf(col) if use_pandas_udf else tokens_col(col)
+        )
+        dl_cols.append(F.size(tok_expr) * F.lit(float(w)))
+    wdl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        sum(dl_cols[1:], dl_cols[0]).alias("wdl"),
+    )
+    row = wdl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("wdl").alias("avgwdl")
+    ).collect()[0]
+    n_docs, avgwdl = int(row["n"]), float(row["avgwdl"] or 0.0)
+
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    wtf = union.groupBy("doc_id", "term").agg(F.sum("wtf").alias("wtf"))
+    ts = wtf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).withColumn(
+        "idf",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+    )
+    qt = query_terms(queries, use_pandas_udf)
+    contrib = F.col("idf") * (
+        F.col("wtf") * (K1 + 1.0)
+        / (F.col("wtf")
+           + K1 * (1.0 - B + B * F.col("wdl") / F.lit(avgwdl)))
+    )
+    scored = (
+        wtf.join(ts.select("term", "idf"), "term")
+        .join(wdl, "doc_id")
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score_raw"))
+    )
+    w_win = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score_raw"), SCORE_DECIMALS).desc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_win).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.round(F.col("score_raw"), SCORE_DECIMALS).alias("score"),
+        )
+    )
+
+
+def bm25_topk_fielded_sql(
+    table_sql: str,
+    queries_values: list[tuple[int, str]],
+    k: int = 10,
+    fields: tuple[tuple[str, float], ...] = (("title", 2.0), ("text", 1.0)),
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`bm25_topk_fielded`.  ``table_sql`` is a
+    SELECT yielding (id_col + every field column)."""
+    vals = ", ".join(
+        "({}, '{}')".format(qid, text.replace("'", "''"))
+        for qid, text in queries_values
+    )
+    tf_unions = " UNION ALL ".join(
+        f"SELECT doc_id, term, count(*) * {float(w)!r} AS wtf "
+        f"FROM (SELECT {id_col} AS doc_id, "
+        f"unnest({sql_tokens_expr(col)}) AS term FROM src) "
+        "GROUP BY doc_id, term"
+        for col, w in fields
+    )
+    wdl_expr = " + ".join(
+        f"len({sql_tokens_expr(col)}) * {float(w)!r}" for col, w in fields
+    )
+    return f"""
+WITH src AS ({table_sql}),
+wdl AS (SELECT {id_col} AS doc_id, {wdl_expr} AS wdl FROM src),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(wdl) AS avgwdl FROM wdl),
+wtf AS (
+  SELECT doc_id, term, sum(wtf) AS wtf
+  FROM ({tf_unions}) GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM wtf GROUP BY term),
+q(query_id, query_text) AS (VALUES {vals}),
+qtok AS (SELECT query_id, {sql_tokens_expr('query_text')} AS tokens FROM q),
+qt AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, unnest(tokens) AS term FROM qtok)
+),
+scored AS (
+  SELECT qt.query_id, wtf.doc_id,
+         sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * wtf.wtf * ({K1} + 1.0)
+           / (wtf.wtf + {K1} * (1.0 - {B} + {B} * wdl.wdl / stats.avgwdl))
+         ) AS score_raw
+  FROM qt
+  JOIN wtf USING (term)
+  JOIN df USING (term)
+  JOIN wdl ON wtf.doc_id = wdl.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.query_id, wtf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id,
+         round(score_raw, {SCORE_DECIMALS}) AS score
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
 def bm25_topk_sql(
     table: str,
     queries_values: list[tuple[int, str]],
@@ -171,7 +317,8 @@ def bm25_topk_sql(
     self-contained over the pre-registered parquet views.
     """
     vals = ", ".join(
-        f"({qid}, '{text}')" for qid, text in queries_values
+        "({}, '{}')".format(qid, text.replace("'", "''"))
+        for qid, text in queries_values
     )
     filt = (
         f"WHERE doc_id IN ({candidate_filter_sql})"

@@ -43,27 +43,72 @@ def build_positions(docs: DataFrame, span: int,
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
 
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "term": pd.Series([], dtype="object"),
+            "doc_block": pd.Series([], dtype="int64"),
+            "pos_bytes": pd.Series([], dtype="object"),
+        }
+    )
+
     def gen(batches):
+        # Batch-vectorized grouping (same amortization pattern as the tf
+        # kernel, tfcount.py): tokenize per doc (C-speed regex), then one
+        # factorize + lexsort over the WHOLE Arrow batch groups (doc, term)
+        # occurrences with positions ascending — no per-token Python dict
+        # ops, no per-doc pandas dispatch.  Only the per-group varint
+        # encode remains a Python-level loop (one blob per output row).
         for pdf in batches:
-            ids, terms, blocks, blobs = [], [], [], []
-            for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                toks = tokenize_py(txt)
-                pos: dict[str, list[int]] = {}
-                for i, t in enumerate(toks):
-                    pos.setdefault(t, []).append(i)
-                blk = int(did) // span
-                for t, ps in pos.items():
-                    arr = np.asarray(ps, dtype=np.uint64)
-                    gaps = np.empty_like(arr)
-                    gaps[0] = arr[0]
-                    np.subtract(arr[1:], arr[:-1], out=gaps[1:])
-                    ids.append(did)
-                    terms.append(t)
-                    blocks.append(blk)
-                    blobs.append(varint_encode(gaps))
+            toks_per_doc = [tokenize_py(t) for t in pdf["text"]]
+            counts = np.fromiter(
+                (len(t) for t in toks_per_doc),
+                dtype=np.int64, count=len(toks_per_doc),
+            )
+            total = int(counts.sum())
+            if total == 0:
+                yield empty
+                continue
+            dids = np.repeat(
+                pdf["doc_id"].to_numpy(dtype=np.int64), counts
+            )
+            flat_terms = np.empty(total, dtype=object)
+            i = 0
+            for toks in toks_per_doc:
+                flat_terms[i:i + len(toks)] = toks
+                i += len(toks)
+            doc_starts = np.zeros(counts.size, dtype=np.int64)
+            np.cumsum(counts[:-1], out=doc_starts[1:])
+            pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(doc_starts, counts)
+            ).astype(np.uint64)
+
+            codes, uniques = pd.factorize(flat_terms)  # C-speed hash
+            order = np.lexsort((codes, dids))  # stable → pos asc in group
+            sd, sc, sp = dids[order], codes[order], pos[order]
+            new_grp = np.empty(total, dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+            gstarts = np.flatnonzero(new_grp)
+            gends = np.empty_like(gstarts)
+            gends[:-1] = gstarts[1:]
+            gends[-1] = total
+            # batch-wide delta gaps (first of each group stays absolute)
+            gaps = sp.copy()
+            gaps[1:] -= sp[:-1]
+            gaps[gstarts] = sp[gstarts]
+            blobs = [
+                varint_encode(gaps[lo:hi])
+                for lo, hi in zip(gstarts, gends)
+            ]
             yield pd.DataFrame(
-                {"doc_id": ids, "term": terms, "doc_block": blocks,
-                 "pos_bytes": blobs}
+                {
+                    "doc_id": sd[gstarts],
+                    "term": uniques[sc[gstarts]],
+                    "doc_block": sd[gstarts] // span,
+                    "pos_bytes": blobs,
+                }
             )
 
     return src.mapInPandas(gen, schema=POSITIONS_SCHEMA)

@@ -150,10 +150,21 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
             return _EMPTY
         docs = np.concatenate(cand_docs)
         scores = np.concatenate(cand_scores)
-        # keep top-k candidates per group using the SAME ordering as the
-        # global gather window — (round(score,6) DESC, doc_id ASC) — so a
-        # rounded near-tie can never be cut differently here vs there
-        sel = np.lexsort((docs, -np.round(scores, SCORE_DECIMALS)))[:k]
+        # Per-group top-k cut with a two-quantum slack band: np.round is
+        # half-to-even while the global gather's F.round is HALF_UP, so a
+        # score on a half-quantum could rank differently here vs there.
+        # Keeping every candidate whose np-rounded score is within 2
+        # quanta of the kth guarantees any doc that could tie-or-beat the
+        # kth under Spark's rounding survives to the gather (|np.round -
+        # F.round| <= 1 quantum, so a dropped doc is >= 1 quantum below
+        # the kept top-k under F.round — strictly out of the global top-k).
+        r = np.round(scores, SCORE_DECIMALS)
+        order = np.lexsort((docs, -r))
+        if order.size > k:
+            kth = r[order[k - 1]]
+            sel = order[r[order] >= kth - 2.5 * quantum]
+        else:
+            sel = order
         return pd.DataFrame(
             {
                 "query_id": query_id,

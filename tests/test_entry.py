@@ -38,6 +38,28 @@ def _duck(sf_dir):
     return con
 
 
+def _type_key(t):
+    """Coarse arrow-type class: catches decimal-vs-int (DuckDB sum(BIGINT)
+    returns HUGEINT → decimal128) and string-vs-numeric mismatches, which
+    the driver's representation-sensitive value hash rejects, without
+    false-positives on int width / timestamp tz differences."""
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_type_key(t.value_type)}>"
+    return str(t)
+
+
 def _norm(rows):
     out = []
     for row in rows:
@@ -74,14 +96,23 @@ def test_query_vs_oracle(spark, sf_small_dir, name):
         assert len(spark_rows) >= 0  # rows-only check, like the driver
         return
     con = _duck(sf_small_dir)
-    cur = con.execute(sql)
-    duck_cols_all = [d[0] for d in cur.description]
-    duck_rows_raw = cur.fetchall()
+    duck_tbl = con.execute(sql).fetch_arrow_table()
+    duck_cols_all = list(duck_tbl.column_names)
+    duck_rows_raw = list(
+        zip(*[duck_tbl.column(i).to_pylist() for i in range(duck_tbl.num_columns)])
+    ) if duck_tbl.num_columns else []
     order = sorted(range(len(duck_cols_all)), key=lambda i: duck_cols_all[i])
     duck_cols = [duck_cols_all[i] for i in order]
     duck_rows = _norm([tuple(r[i] for i in order) for r in duck_rows_raw])
 
     assert spark_cols == duck_cols, (spark_cols, duck_cols)
+
+    # arrow-type class parity (the driver hash is representation-sensitive)
+    spark_schema = sdf.limit(0).toArrow().schema
+    for c in spark_cols:
+        sk = _type_key(spark_schema.field(c).type)
+        dk = _type_key(duck_tbl.schema.field(c).type)
+        assert sk == dk, (name, c, sk, dk)
     assert len(spark_rows) == len(duck_rows)
     for s, d in zip(spark_rows, duck_rows):
         for a, b in zip(s, d):

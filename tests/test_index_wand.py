@@ -93,7 +93,7 @@ def test_qrels_docs_rank_first(spark, built):
         assert (qid, top1[qid]) in qrels, (qid, top1.get(qid))
 
 
-def test_lineage_manifests(built):
+def test_lineage_manifests(spark, built):
     handle, _ = built
     mdir = os.path.join(handle.index_dir, "_manifest")
     stages = {"postings_raw", "doc_stats", "doc_lens", "term_stats", "segments"}
@@ -107,13 +107,20 @@ def test_lineage_manifests(built):
     assert seg["status"] == "complete"
     assert seg["rows"] > 0 and seg["wall_ms"] >= 0
     assert seg["metrics"]["bytes_compressed"] > 0
-    parts = {x["partition"] for x in seg["lineage"]}
+    # per-block lineage is a parquet side output (never driver-collected);
+    # the JSON manifest carries only stage totals + the lineage path
+    lin = spark.read.parquet(seg["metrics"]["lineage_path"]).collect()
+    parts = {r["partition"] for r in lin}
     assert parts == set(range((N_DOCS + 127) // 128))
-    for x in seg["lineage"]:
-        assert x["postings"] > 0 and x["bytes"] > 0
+    for r in lin:
+        assert r["postings"] > 0 and r["bytes"] > 0
+    assert seg["metrics"]["lineage_rows"] == len(lin)
+    assert seg["metrics"]["bytes_compressed"] == sum(r["bytes"] for r in lin)
 
     raw = json.load(open(os.path.join(mdir, "postings_raw.json")))
     assert raw["metrics"]["docs_tokenized"] == N_DOCS
+    raw_lin = spark.read.parquet(raw["metrics"]["lineage_path"])
+    assert raw_lin.count() == len(parts)
 
 
 def _segment_content(spark, idx_dir):
