@@ -109,3 +109,111 @@ def test_spearman_perfect_and_inverse(spark):
     assert spearman(df, "i", "down").collect()[0][
         "spearman"
     ] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_simhash_pairs_equals_bruteforce_hamming(spark):
+    """Pigeonhole guarantee: the banded join finds EXACTLY the pairs with
+    Hamming distance <= 3 (bands = 4 > max_hamming)."""
+    from itertools import combinations
+
+    from instructor_embedding_spark.analytics.dedup import simhash_pairs
+
+    base = " ".join(f"token{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # identical -> hamming 0
+            (3, base + " extraword"),       # near-dup
+            (4, " ".join(f"other{i}" for i in range(60))),
+            (5, "totally unrelated words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    want = {
+        (a, b, bin(h[a] ^ h[b]).count("1"))
+        for a, b in combinations(sorted(h), 2)
+        if bin(h[a] ^ h[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming) for r in simhash_pairs(docs).collect()
+    }
+    assert got == want
+    assert (1, 2, 0) in got
+
+
+def test_lsh_euclidean_recall_vs_bruteforce(spark, sf_small_dir):
+    from instructor_embedding_spark.analytics.similarity import (
+        euclidean_topk,
+        lsh_euclidean_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet")
+    exact = {
+        (r.vec_id, r.neighbor_id) for r in euclidean_topk(emb, k=5).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in lsh_euclidean_topk(emb, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.4, recall
+
+
+def test_plane_component_spark_python_parity(spark):
+    """The DuckDB LSH oracle inlines _plane_component_py values as literals;
+    they must equal the Spark md5-expression components bit-exactly."""
+    from instructor_embedding_spark.analytics.similarity import (
+        _plane_component,
+        _plane_component_py,
+    )
+
+    cases = [(p, d) for p in (0, 3, 17, 31) for d in (0, 1, 33, 63)]
+    row = spark.range(1).select(
+        *[_plane_component(p, d).alias(f"c_{p}_{d}") for p, d in cases]
+    ).collect()[0]
+    for p, d in cases:
+        assert row[f"c_{p}_{d}"] == _plane_component_py(p, d), (p, d)
+
+
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    from instructor_embedding_spark.analytics.clustering import kmeans_lloyd
+
+    # 3 tight planted clusters in 4-D
+    rows = []
+    centers = {0: [0.0, 0.0, 0.0, 0.0], 1: [5.0, 5.0, 0.0, 0.0],
+               2: [0.0, 0.0, 7.0, 7.0]}
+    vid = 0
+    for lab, c in centers.items():
+        for j in range(20):
+            rows.append(
+                (vid, [x + ((vid * 7 + i) % 5) * 0.01
+                       for i, x in enumerate(c)], lab)
+            )
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = kmeans_lloyd(df, k=3, dim=4).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label, set()).add(r.cluster)
+    # every planted cluster maps to exactly one k-means cluster
+    assert all(len(cl) == 1 for cl in by_label.values()), by_label
+    assert len({next(iter(c)) for c in by_label.values()}) == 3
+    # determinism: second run identical
+    out2 = kmeans_lloyd(df, k=3, dim=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_mean_center_norms_zero_for_constant_input(spark):
+    from instructor_embedding_spark.analytics.similarity import (
+        mean_center_norms,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.5, -2.0, 3.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    out = mean_center_norms(df, dim=3).collect()
+    assert all(r.centered_norm == 0.0 for r in out)

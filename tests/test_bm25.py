@@ -113,3 +113,52 @@ def test_bm25_micro_fixture_hand_computed(spark):
         [(300, "a of the")], "query_id long, query_text string"
     )
     assert bm25_topk(docs, q_empty, k=10).count() == 0
+
+
+def test_fielded_single_field_equals_plain(spark, sf_small_dir):
+    """bm25_topk_fielded with one weight-1.0 field degenerates exactly to
+    plain bm25_topk — wtf=tf, wdl=dl, same df/idf/avgdl."""
+    from instructor_embedding_spark.query.bm25 import bm25_topk_fielded
+
+    docs = spark.read.parquet(f"{sf_small_dir}/documents.parquet")
+    q = spark.createDataFrame(
+        DRIVER_QUERY_SET, "query_id long, query_text string"
+    )
+    plain = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_topk(docs, q, k=TOP_K, text_col="text").collect()
+    )
+    fielded = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_topk_fielded(
+            docs, q, k=TOP_K, fields=(("text", 1.0),)
+        ).collect()
+    )
+    assert [p[:3] for p in plain] == [f[:3] for f in fielded]
+    for p, f in zip(plain, fielded):
+        assert p[3] == pytest.approx(f[3], abs=1e-6)
+
+
+def test_fielded_title_boost_promotes_title_hits(spark):
+    from instructor_embedding_spark.query.bm25 import bm25_topk_fielded
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple pie recipe", "filler words here nothing else"),
+            (2, "other thing entirely", "apple filler words here extra"),
+            (3, "unrelated title", "unrelated body content words"),
+        ],
+        "doc_id long, title string, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "apple")], "query_id long, query_text string"
+    )
+    out = {
+        r.doc_id: r.rank
+        for r in bm25_topk_fielded(
+            docs, q, k=3, fields=(("title", 2.0), ("text", 1.0))
+        ).collect()
+    }
+    assert out[1] == 1  # title hit (weight 2) outranks the body hit
+    assert out[2] == 2
+    assert 3 not in out

@@ -198,3 +198,13 @@ def test_filtered_retrieval_rank_identity(spark, built):
     for g in got:
         if (g[0], g[2]) in unf:
             assert g[3] == unf[(g[0], g[2])]
+
+
+def test_index_params_validation():
+    """Non-divisible block geometry would silently exclude the trailing doc
+    slots of every block from sub-block coverage — rejected at construction."""
+    with pytest.raises(ValueError):
+        IndexParams(doc_block_span=100, n_sub_blocks=8)
+    with pytest.raises(ValueError):
+        IndexParams(doc_block_span=0, n_sub_blocks=1)
+    assert IndexParams(doc_block_span=96, n_sub_blocks=8).sub_span == 12

@@ -53,3 +53,40 @@ def test_merge_single_source_idempotent(spark, tmp_path):
     assert _rows(wand_topk(spark, m, queries, k=10)) == _rows(
         wand_topk(spark, h, queries, k=10)
     )
+
+
+def test_merge_unions_positions(spark, tmp_path):
+    """Merged indexes must either carry a real positions stage (union of
+    the sources') or stop advertising store_positions."""
+    from instructor_embedding_spark.query.phrase import phrase_topk
+
+    params = IndexParams(doc_block_span=64, n_sub_blocks=4,
+                         store_positions=True)
+    docs = datagen.corpus(spark, 200, partitions=3)
+    d1, d2 = docs.filter("doc_id < 100"), docs.filter("doc_id >= 100")
+    h1 = build_index(spark, d1, str(tmp_path / "i1"), params,
+                     text_col="content")
+    h2 = build_index(spark, d2, str(tmp_path / "i2"), params,
+                     text_col="content")
+    m = merge_indexes(spark, [h1, h2], str(tmp_path / "m"))
+    assert m.params.store_positions
+
+    full = build_index(spark, docs, str(tmp_path / "full"), params,
+                       text_col="content")
+    phrases = [(1, "shared buffer pool"), (2, "zzz missing phrase")]
+    got = sorted(
+        map(tuple, phrase_topk(spark, m.positions(spark), phrases,
+                               k=10).collect())
+    )
+    want = sorted(
+        map(tuple, phrase_topk(spark, full.positions(spark), phrases,
+                               k=10).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # a source without positions: merged params must not advertise them
+    params_np = IndexParams(doc_block_span=64, n_sub_blocks=4)
+    h3 = build_index(spark, d2, str(tmp_path / "i3"), params_np,
+                     text_col="content")
+    m2 = merge_indexes(spark, [h1, h3], str(tmp_path / "m2"), params=params)
+    assert not m2.params.store_positions

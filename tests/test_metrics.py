@@ -100,3 +100,26 @@ def test_reranking_reference_goldens(spark):
     pq2 = per_query_metrics(spark, results2, qrels2, ks=(5,))
     s2 = {r["k"]: r.asDict() for r in summary_metrics(pq2).collect()}
     assert s2[5]["map"] == pytest.approx(0.86666, abs=TOL)
+
+
+def test_rerank_metrics_goldens(spark):
+    """rerank_metrics on the reference AP fixture (score tie pinned via
+    cand_id so (score DESC, cand_id ASC) reproduces sklearn's order):
+    AP([1,1,0,0,1]-ranked) = 0.86666; plus a second query with first
+    positive at rank 2 (mrr 0.5, ap 0.5) and a degenerate all-positive
+    query that must be excluded."""
+    from instructor_embedding_spark.metrics.ranking import rerank_metrics
+
+    rows = [
+        (0, 1, 0.93, 1), (0, 2, 0.85, 1), (0, 3, 0.76, 0),
+        (0, 4, 0.75, 0), (0, 5, 0.75, 1),
+        (1, 1, 0.9, 0), (1, 2, 0.8, 1), (1, 3, 0.7, 0),
+        (2, 1, 0.9, 1), (2, 2, 0.8, 1),  # no negatives -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, cand_id long, score double, is_pos int"
+    )
+    out = rerank_metrics(df, k=10).collect()[0]
+    assert out.n_queries == 2
+    assert out.mean_mrr == pytest.approx((1.0 + 0.5) / 2, abs=TOL)
+    assert out.mean_map == pytest.approx((0.8666667 + 0.5) / 2, abs=TOL)
