@@ -27,6 +27,7 @@ from instructor_embedding_spark.analytics import (
     text_stats,
 )
 from instructor_embedding_spark.functions.tokenize import tokens_col
+from instructor_embedding_spark.metrics import generation
 from instructor_embedding_spark.metrics.ranking import (
     metrics_sql,
     per_query_metrics,
@@ -485,6 +486,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_fingerprints": lambda s, d: text_stats.doc_fingerprints(
             _docs(s, d)
         ),
+        # M14: deterministic sentence split over a derived punctuated text
+        # (the raw corpus has no terminators; the derivation is identical
+        # in both engines)
+        "text_sentences": lambda s, d: text_stats.sentences(
+            _docs(s, d).select(
+                "doc_id",
+                F.concat(
+                    F.col("text"), F.lit(". "), F.col("lang"),
+                    F.lit("! "), F.col("source"), F.lit("?"),
+                ).alias("ptext"),
+            ),
+            text_col="ptext",
+        ),
+        # M15: rows-only (quadratic LCS DP has no SQL twin; goldens +
+        # naive-DP parity in tests/test_generation.py)
+        "rouge_l_scores": lambda s, d: generation.rouge_l(
+            _docs(s, d)
+            .filter(F.col("doc_id") < 50)
+            .select(
+                F.col("doc_id").alias("pair_id"),
+                F.substring("text", 1, 120).alias("candidate"),
+                F.col("text").alias("reference"),
+            )
+        ),
         # pairwise / statistical (reference evaluators)
         "pair_threshold_sweep": lambda s, d: pairs.threshold_sweep(
             _pairs_df(s, d)
@@ -614,6 +639,11 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": text_stats.token_counts_sql("documents"),
         "text_lang_profile": text_stats.lang_profile_sql("documents"),
         "text_doc_fingerprints": text_stats.doc_fingerprints_sql("documents"),
+        "text_sentences": text_stats.sentences_sql(
+            "SELECT doc_id, text || '. ' || lang || '! ' || source || '?' "
+            "AS ptext FROM documents",
+            text_col="ptext",
+        ),
         "pair_threshold_sweep": pairs.threshold_sweep_sql(_PAIRS_SQL),
         "stat_spearman_chars_tokens": pairs.spearman_sql(
             "SELECT n_chars AS x, len("

@@ -215,3 +215,54 @@ SELECT doc_id,
        END AS fingerprint
 FROM d
 """
+
+
+#: pinned sentence-boundary regex: a sentence is a maximal run of
+#: non-terminators plus its trailing terminators (no lookbehind, so the
+#: same pattern runs under Java regex AND RE2/DuckDB)
+SENTENCE_RE = r"[^.!?]+[.!?]*"
+
+
+def sentences(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sent_idx, sentence) — deterministic regex sentence split.
+
+    M14: the reference sentence-tokenizes with nltk.sent_tokenize
+    (prompt_retrieval main.py:43-44); per the north rule the model-based
+    tokenizer is replaced by a pinned regex (the same T1-style lexical
+    substitution as the subword tokenizer).  Narrow JVM-only pass."""
+    arr = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_RE), 0),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), arr.alias("s")
+    ).select(
+        "doc_id",
+        F.posexplode("s").alias("sent_idx", "sentence"),
+    ).select(
+        "doc_id", F.col("sent_idx").cast("long").alias("sent_idx"),
+        "sentence",
+    )
+
+
+def sentences_sql(table_sql: str, text_col: str = "text",
+                  id_col: str = "doc_id") -> str:
+    return f"""
+WITH src AS ({table_sql}),
+t AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(
+           list_transform(regexp_extract_all({text_col}, '{SENTENCE_RE}'),
+                          x -> trim(x)),
+           x -> x <> '') AS s
+  FROM src
+)
+SELECT doc_id,
+       CAST(generate_subscripts(s, 1) - 1 AS BIGINT) AS sent_idx,
+       unnest(s) AS sentence
+FROM t
+"""

@@ -1,0 +1,78 @@
+"""ROUGE-L (M15) + sentence split (M14): goldens and naive-DP parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from instructor_embedding_spark.analytics.text_stats import sentences
+from instructor_embedding_spark.functions.tokenize import tokenize_py
+from instructor_embedding_spark.metrics.generation import lcs_len, rouge_l
+
+
+def _naive_lcs(a, b):
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[-1][-1]
+
+
+def test_lcs_hand_goldens():
+    assert lcs_len(list("abcbdab"), list("bdcaba")) == 4
+    assert lcs_len([], list("ab")) == 0
+    assert lcs_len(list("xyz"), list("xyz")) == 3
+    assert lcs_len(list("abc"), list("def")) == 0
+
+
+def test_lcs_matches_naive_dp_on_corpus(spark, sf_small_dir):
+    docs = spark.read.parquet(f"{sf_small_dir}/documents.parquet")
+    texts = [r.text for r in docs.limit(12).collect()]
+    toks = [tokenize_py(t)[:60] for t in texts]
+    for i in range(len(toks) - 1):
+        assert lcs_len(toks[i], toks[i + 1]) == _naive_lcs(
+            toks[i], toks[i + 1]
+        )
+
+
+def test_rouge_l_pinned_semantics(spark):
+    # candidate is a strict token-prefix of the reference -> P = 1.0
+    pairs = spark.createDataFrame(
+        [
+            (1, "merge sort table", "merge sort table scan window"),
+            (2, "nothing shared here", "completely different tokens"),
+            (3, "", "some reference text"),
+        ],
+        "pair_id long, candidate string, reference string",
+    )
+    out = {r.pair_id: r for r in rouge_l(pairs).collect()}
+    ct = tokenize_py("merge sort table")
+    rt = tokenize_py("merge sort table scan window")
+    assert out[1].lcs == len(ct)
+    assert out[1].rouge_p == pytest.approx(1.0)
+    assert out[1].rouge_r == pytest.approx(len(ct) / len(rt), abs=1e-6)
+    p, r = 1.0, len(ct) / len(rt)
+    assert out[1].rouge_f == pytest.approx(2 * p * r / (p + r), abs=1e-6)
+    assert out[2].rouge_f == 0.0 and out[2].lcs == 0
+    assert out[3].rouge_f == 0.0 and out[3].rouge_p == 0.0
+
+
+def test_sentences_split_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello world. How are you? Fine! trailing bit"),
+         (2, "no terminators at all"),
+         (3, "...")],
+        "doc_id long, text string",
+    )
+    rows = sentences(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence))
+    assert [s for _, s in sorted(by_doc[1])] == [
+        "Hello world.", "How are you?", "Fine!", "trailing bit",
+    ]
+    assert [s for _, s in sorted(by_doc[2])] == ["no terminators at all"]
+    assert 3 not in by_doc  # only terminators -> no non-empty sentence
