@@ -35,6 +35,7 @@ from instructor_embedding_spark.metrics.ranking import (
     rerank_metrics_sql,
     summary_metrics,
 )
+from instructor_embedding_spark.multimodal import binary_ops
 from instructor_embedding_spark.query import bm25, phrase, wand
 from instructor_embedding_spark.shipping import ensure_shipped
 
@@ -522,6 +523,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "x", "y",
         ),
         "knn_classify": lambda s, d: pairs.knn_classify(_emb(s, d), k=5),
+        # the bucketed twin: votes only among LSH-colliding train points
+        "knn_classify_lsh": lambda s, d: pairs.knn_classify_lsh(
+            _emb(s, d), k=5
+        ),
+        # multimodal binary pipeline (decode stubbed by the deterministic
+        # sha256 fake — the Spark plumbing is the thing under test; f0 is
+        # the first decoded feature, reconstructable in SQL)
+        "multimodal_features": lambda s, d: binary_ops.extract_features(
+            binary_ops.synth_media(_docs(s, d))
+        ).select(
+            "media_id", "kind", "n_bytes", "sha256",
+            F.round(F.col("features")[0].cast("double"), 6).alias("f0"),
+        ),
+        "multimodal_frame_plan": lambda s, d: binary_ops.frame_sample_plan(
+            binary_ops.synth_media(_docs(s, d)), every_ms=1000
+        ),
         "stat_pearson_chars_tokens": lambda s, d: _docs(s, d).select(
             F.col("n_chars").alias("x"),
             F.size(tokens_col("text")).alias("y"),
@@ -652,6 +669,49 @@ def oracle_sql() -> dict[str, str]:
             "x", "y",
         ),
         "knn_classify": pairs.knn_classify_sql("embeddings", k=5),
+        "knn_classify_lsh": pairs.knn_classify_lsh_sql("embeddings", k=5),
+        "multimodal_features": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         text
+  FROM documents
+),
+h AS (
+  SELECT media_id, kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS sha256
+  FROM m
+)
+SELECT media_id, kind, n_bytes, sha256,
+       round(CAST(CAST(
+         ('0x' || substr(sha256, 7, 2) || substr(sha256, 5, 2)
+                || substr(sha256, 3, 2) || substr(sha256, 1, 2))::UBIGINT
+         / 4294967296.0 AS REAL) AS DOUBLE), 6) AS f0
+FROM h
+""",
+        "multimodal_frame_plan": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(length(text) * 10 AS INT) AS duration_ms
+  FROM documents
+),
+v AS (
+  SELECT media_id,
+         list_transform(
+           range(0, greatest(CAST(floor(duration_ms / 1000.0) AS INT) - 1,
+                             0) + 1),
+           i -> CAST(i * 1000 AS BIGINT)) AS fr
+  FROM m WHERE kind = 'video'
+)
+SELECT media_id,
+       CAST(generate_subscripts(fr, 1) - 1 AS BIGINT) AS frame_idx,
+       unnest(fr) AS t_ms
+FROM v
+""",
         "stat_pearson_chars_tokens": (
             "SELECT round(corr(x, y), 6) AS pearson FROM ("
             "SELECT n_chars AS x, len("

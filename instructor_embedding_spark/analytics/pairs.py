@@ -200,6 +200,131 @@ def knn_classify(embeddings: DataFrame, k: int = 5,
     )
 
 
+def knn_classify_lsh(embeddings: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     label_col: str = "label", dim: int = 64,
+                     planes_per_table: int = 4,
+                     n_tables: int = 8) -> DataFrame:
+    """(accuracy, n_test) — LSH-bucketed kNN majority vote: the 100-TB
+    twin of :func:`knn_classify` (same split/vote/tie semantics), with the
+    test×train crossJoin replaced by a self-join on multi-table
+    random-hyperplane signatures.  A test point votes only among train
+    points it collides with; uncovered test points drop out (n_test counts
+    the covered ones)."""
+    from instructor_embedding_spark.analytics.similarity import (
+        cosine_sig_structs,
+    )
+
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.col(label_col).alias("label"),
+    ).withColumn("n", _norm(F.col("v")))
+    e = e.select(
+        "vid", "v", "n", "label",
+        F.explode(
+            F.array(*cosine_sig_structs(dim, planes_per_table, n_tables))
+        ).alias("ts"),
+    ).select("vid", "v", "n", "label", F.col("ts.tbl").alias("tbl"),
+             F.col("ts.sig").alias("sig"))
+    train = e.filter(F.col("vid") % 2 == 0).select(
+        F.col("vid").alias("tid"), F.col("v").alias("tv"),
+        F.col("n").alias("tn"), F.col("label").alias("tlabel"),
+        "tbl", "sig",
+    )
+    test = e.filter(F.col("vid") % 2 == 1).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"),
+        F.col("n").alias("qn"), F.col("label").alias("qlabel"),
+        "tbl", "sig",
+    )
+    scored = (
+        test.join(train, ["tbl", "sig"])
+        .select(
+            "qid", "qlabel", "tid", "tlabel",
+            (_dot(F.col("qv"), F.col("tv"))
+             / (F.col("qn") * F.col("tn"))).alias("cos_raw"),
+        )
+        .groupBy("qid", "qlabel", "tid", "tlabel")
+        .agg(F.first("cos_raw").alias("cos_raw"))  # dedup multi-table hits
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("tid").asc()
+    )
+    topk = scored.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    )
+    votes = topk.groupBy("qid", "qlabel", "tlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("tlabel").asc()
+    )
+    pred = votes.withColumn("rv", F.row_number().over(wv)).filter(
+        F.col("rv") == 1
+    )
+    return pred.agg(
+        F.round(
+            F.avg((F.col("tlabel") == F.col("qlabel")).cast("double")), 6
+        ).alias("accuracy"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+    )
+
+
+def knn_classify_lsh_sql(table: str, k: int = 5, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label", dim: int = 64,
+                         planes_per_table: int = 4,
+                         n_tables: int = 8) -> str:
+    from instructor_embedding_spark.analytics.similarity import (
+        cosine_sig_rows_sql,
+    )
+
+    sigs = cosine_sig_rows_sql(
+        "vid, v, nrm, label", "n", dim, planes_per_table, n_tables
+    )
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
+         {label_col} AS label
+  FROM {table}
+),
+n AS (
+  SELECT vid, v, label,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+sigs AS ({sigs}),
+scored AS (
+  SELECT DISTINCT q.vid AS qid, q.label AS qlabel,
+         t.vid AS tid, t.label AS tlabel,
+         list_sum(list_transform(range(1, len(q.v) + 1),
+                                 i -> q.v[i] * t.v[i]))
+           / (q.nrm * t.nrm) AS cos_raw
+  FROM sigs q JOIN sigs t ON q.tbl = t.tbl AND q.sig = t.sig
+  WHERE q.vid % 2 = 1 AND t.vid % 2 = 0
+),
+topk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY round(cos_raw, 6) DESC, tid ASC) AS r
+  FROM scored
+),
+votes AS (
+  SELECT qid, qlabel, tlabel, count(*) AS votes
+  FROM topk WHERE r <= {k} GROUP BY qid, qlabel, tlabel
+),
+pred AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY votes DESC, tlabel ASC) AS rv
+  FROM votes
+)
+SELECT round(avg(CASE WHEN tlabel = qlabel THEN 1.0 ELSE 0.0 END), 6)
+         AS accuracy,
+       CAST(count(*) AS BIGINT) AS n_test
+FROM pred WHERE rv = 1
+"""
+
+
 def knn_classify_sql(table: str, k: int = 5, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      label_col: str = "label") -> str:

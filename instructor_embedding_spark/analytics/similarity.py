@@ -288,15 +288,35 @@ def _dot_terms_sql(vec: str, comps: list[float], extra: float | None = None) -> 
     return terms
 
 
-def lsh_cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
-                        vec_col: str = "embedding", dim: int = 64,
+def cosine_sig_structs(dim: int = 64, planes_per_table: int = 4,
+                       n_tables: int = 8) -> list:
+    """Spark struct(tbl, sig) columns over a ``v`` double-array column —
+    literal-plane twin of the signature block in :func:`lsh_cosine_topk`
+    (identical values; _plane_component_py parity is tested)."""
+    out = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(planes_per_table):
+            comps = F.array(
+                *[F.lit(_plane_component_py(t * planes_per_table + p, d))
+                  for d in range(dim)]
+            )
+            bits.append(
+                F.when(_dot(F.col("v"), comps) >= 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+            )
+        out.append(
+            F.struct(F.lit(t).alias("tbl"),
+                     F.concat_ws("", *bits).alias("sig"))
+        )
+    return out
+
+
+def cosine_sig_rows_sql(select_cols: str, src: str, dim: int = 64,
                         planes_per_table: int = 4,
                         n_tables: int = 8) -> str:
-    """DuckDB oracle for :func:`lsh_cosine_topk` — the SAME approximate
-    result: hyperplane components are md5-derived constants
-    (:func:`_plane_component_py`, parity-tested against the Spark
-    expression), inlined as double literals; signature bits use the
-    explicit left-associated dot so bucket membership matches bit-exactly."""
+    """UNION ALL of per-table signature rows over ``src`` (which must
+    expose a double-list column ``v`` plus ``select_cols``)."""
     sig_rows = []
     for t in range(n_tables):
         bits = []
@@ -310,11 +330,25 @@ def lsh_cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
                 "THEN '1' ELSE '0' END"
             )
         sig_rows.append(
-            f"SELECT vid, v, nrm, {t} AS tbl, "
+            f"SELECT {select_cols}, {t} AS tbl, "
             + " || ".join(bits)
-            + " AS sig FROM n"
+            + f" AS sig FROM {src}"
         )
-    sigs = " UNION ALL ".join(sig_rows)
+    return " UNION ALL ".join(sig_rows)
+
+
+def lsh_cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        planes_per_table: int = 4,
+                        n_tables: int = 8) -> str:
+    """DuckDB oracle for :func:`lsh_cosine_topk` — the SAME approximate
+    result: hyperplane components are md5-derived constants
+    (:func:`_plane_component_py`, parity-tested against the Spark
+    expression), inlined as double literals; signature bits use the
+    explicit left-associated dot so bucket membership matches bit-exactly."""
+    sigs = cosine_sig_rows_sql(
+        "vid, v, nrm", "n", dim, planes_per_table, n_tables
+    )
     return f"""
 WITH e AS (
   SELECT {id_col} AS vid,

@@ -42,6 +42,39 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_encode_segmented(values: np.ndarray,
+                            group_starts: np.ndarray) -> list[bytes]:
+    """LEB128-encode ``values`` ONCE and return one bytes blob per group
+    (groups are contiguous runs delimited by ``group_starts``).
+
+    Equivalent to ``[varint_encode(values[s:e]) for s, e in ...]`` but with
+    a single vectorized pass over the whole array + cheap byte slices —
+    the per-group-call overhead is what dominates kernels that emit
+    millions of small posting/position lists per Arrow batch."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    gs = np.ascontiguousarray(group_starts, dtype=np.int64)
+    if v.size == 0:
+        return [b""] * gs.size
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= (_U64_1 << np.uint64(7 * k))).astype(np.int64)
+    offsets = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=offsets[1:])
+    total = int(offsets[-1] + nbytes[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    for p in range(int(nbytes.max())):
+        mask = nbytes > p
+        byte = (v[mask] >> np.uint64(7 * p)) & _MASK7
+        cont = (nbytes[mask] - 1 > p).astype(np.uint8) << 7
+        out[offsets[mask] + p] = byte.astype(np.uint8) | cont
+    buf = out.tobytes()
+    starts = offsets[gs]
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:]
+    ends[-1] = total
+    return [buf[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
+
+
 def varint_decode(buf: bytes) -> np.ndarray:
     """Decode LEB128 bytes back to a uint64 array (vectorized)."""
     b = np.frombuffer(buf, dtype=np.uint8)

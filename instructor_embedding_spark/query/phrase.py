@@ -25,7 +25,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from instructor_embedding_spark.functions.codec import varint_decode, varint_encode
+from instructor_embedding_spark.functions.codec import (
+    varint_decode,
+    varint_encode_segmented,
+)
 from instructor_embedding_spark.functions.tokenize import (
     sql_tokens_expr,
     tokenize_py,
@@ -91,17 +94,12 @@ def build_positions(docs: DataFrame, span: int,
             new_grp[0] = True
             new_grp[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
             gstarts = np.flatnonzero(new_grp)
-            gends = np.empty_like(gstarts)
-            gends[:-1] = gstarts[1:]
-            gends[-1] = total
-            # batch-wide delta gaps (first of each group stays absolute)
+            # batch-wide delta gaps (first of each group stays absolute),
+            # then ONE segmented varint pass — no per-group encode calls
             gaps = sp.copy()
             gaps[1:] -= sp[:-1]
             gaps[gstarts] = sp[gstarts]
-            blobs = [
-                varint_encode(gaps[lo:hi])
-                for lo, hi in zip(gstarts, gends)
-            ]
+            blobs = varint_encode_segmented(gaps, gstarts)
             yield pd.DataFrame(
                 {
                     "doc_id": sd[gstarts],

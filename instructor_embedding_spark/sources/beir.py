@@ -70,13 +70,17 @@ def write_beir(docs: DataFrame, queries: DataFrame, qrels: DataFrame,
     )
 
 
-def read_beir(spark: SparkSession, data_dir: str) -> tuple[
+def read_beir(spark: SparkSession, data_dir: str,
+              concat_title: bool = True) -> tuple[
     DataFrame, DataFrame, DataFrame
 ]:
     """BeIR layout → engine tables (documents, queries, qrels).
 
-    Title+text concatenation follows the reference's corpus encoding
-    (AbsTaskRetrieval.py:718-736: ``(title + ' ' + text).strip()``)."""
+    With ``concat_title`` (default) title+text concatenate per the
+    reference's corpus encoding (AbsTaskRetrieval.py:718-736:
+    ``(title + ' ' + text).strip()``); with ``concat_title=False`` the
+    fields stay separate — (doc_id, title, text) — for field-boosted
+    retrieval (``bm25_topk_fielded``, D4 v2)."""
     corpus = spark.read.schema(CORPUS_SCHEMA).json(f"{data_dir}/corpus.jsonl")
     queries = spark.read.schema(QUERIES_SCHEMA).json(
         f"{data_dir}/queries.jsonl"
@@ -87,13 +91,20 @@ def read_beir(spark: SparkSession, data_dir: str) -> tuple[
         .option("sep", "\t")
         .csv(f"{data_dir}/qrels.tsv")
     )
-    docs = corpus.select(
-        F.col("_id").cast("long").alias("doc_id"),
-        F.trim(
-            F.concat_ws(" ", F.coalesce(F.col("title"), F.lit("")),
-                        F.coalesce(F.col("text"), F.lit("")))
-        ).alias("content"),
-    )
+    if concat_title:
+        docs = corpus.select(
+            F.col("_id").cast("long").alias("doc_id"),
+            F.trim(
+                F.concat_ws(" ", F.coalesce(F.col("title"), F.lit("")),
+                            F.coalesce(F.col("text"), F.lit("")))
+            ).alias("content"),
+        )
+    else:
+        docs = corpus.select(
+            F.col("_id").cast("long").alias("doc_id"),
+            F.coalesce(F.col("title"), F.lit("")).alias("title"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        )
     q = queries.select(
         F.col("_id").cast("long").alias("query_id"),
         F.col("text").alias("query_text"),

@@ -217,3 +217,19 @@ def test_mean_center_norms_zero_for_constant_input(spark):
     )
     out = mean_center_norms(df, dim=3).collect()
     assert all(r.centered_norm == 0.0 for r in out)
+
+
+def test_knn_classify_lsh_covers_and_agrees(spark, sf_small_dir):
+    """The bucketed kNN must cover nearly all test points at the default
+    multi-table setting and classify with accuracy comparable to the
+    exact crossJoin version (votes come from bucket collisions only)."""
+    from instructor_embedding_spark.analytics.pairs import (
+        knn_classify,
+        knn_classify_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet")
+    exact = knn_classify(emb, k=5).collect()[0]
+    lsh = knn_classify_lsh(emb, k=5).collect()[0]
+    assert lsh.n_test >= 0.9 * exact.n_test
+    assert lsh.accuracy >= exact.accuracy - 0.15

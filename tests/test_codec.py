@@ -96,3 +96,25 @@ def test_block_metadata_golden_blocksize_4():
     assert first.tolist() == [0, 8, 16]
     assert last.tolist() == [6, 14, 18]
     assert bmax.tolist() == [5.0, 9.0, 4.0]
+
+
+def test_varint_encode_segmented_equivalence():
+    import numpy as np
+
+    from instructor_embedding_spark.functions.codec import (
+        varint_encode,
+        varint_encode_segmented,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 2 ** 40, size=5000, dtype=np.uint64)
+    vals[::97] = 0
+    vals[::131] = 2 ** 63  # multi-byte extremes
+    starts = np.unique(rng.integers(0, vals.size, size=200))
+    starts[0] = 0
+    got = varint_encode_segmented(vals, starts)
+    ends = list(starts[1:]) + [vals.size]
+    want = [varint_encode(vals[s:e]) for s, e in zip(starts, ends)]
+    assert got == want
+    assert varint_encode_segmented(np.empty(0, dtype=np.uint64),
+                                   np.empty(0, dtype=np.int64)) == []

@@ -122,3 +122,40 @@ def test_logreg_classify_runs(spark, sf_small_dir):
     r = logreg_classify(emb).collect()[0]
     assert 0.0 <= r.accuracy <= 1.0
     assert r.n_test == emb.filter("vec_id % 2 = 1").count()
+
+
+def test_beir_fielded_bm25(spark, tmp_path):
+    """D4 v2 end-to-end over a BeIR-shaped corpus: load title/text as
+    separate fields via read_beir(concat_title=False) and run the
+    field-boosted BM25; a title-only hit must outrank a body-only hit."""
+    import json as _json
+    import os as _os
+
+    from instructor_embedding_spark.query.bm25 import bm25_topk_fielded
+
+    out = str(tmp_path / "beir_fielded")
+    _os.makedirs(f"{out}/corpus.jsonl", exist_ok=True)
+    corpus = [
+        {"_id": "1", "title": "flink watermark guide",
+         "text": "state backend details and checkpoints"},
+        {"_id": "2", "title": "other systems",
+         "text": "the watermark concept appears once here"},
+        {"_id": "3", "title": "unrelated", "text": "nothing relevant"},
+    ]
+    with open(f"{out}/corpus.jsonl/part-0.json", "w") as f:
+        f.write("\n".join(_json.dumps(c) for c in corpus))
+    _os.makedirs(f"{out}/queries.jsonl", exist_ok=True)
+    with open(f"{out}/queries.jsonl/part-0.json", "w") as f:
+        f.write(_json.dumps({"_id": "7", "text": "watermark"}))
+    with open(f"{out}/qrels.tsv", "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n7\t1\t1\n")
+
+    docs, queries, qrels = read_beir(spark, out, concat_title=False)
+    assert set(docs.columns) == {"doc_id", "title", "text"}
+    ranks = {
+        r.doc_id: r.rank
+        for r in bm25_topk_fielded(
+            docs, queries, k=3, fields=(("title", 2.0), ("text", 1.0))
+        ).collect()
+    }
+    assert ranks[1] == 1 and ranks[2] == 2 and 3 not in ranks
