@@ -47,7 +47,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from instructor_embedding_spark.functions.codec import encode_postings, varint_encode
+from instructor_embedding_spark.functions.codec import (
+    varint_encode,
+    varint_encode_segmented,
+)
 from instructor_embedding_spark.functions.tfcount import tf_pairs_map_side
 from instructor_embedding_spark.index.manifest import (
     ManifestStore,
@@ -198,18 +201,26 @@ def _segment_bulk_encoder(params: IndexParams, avgdl: float):
         ends[:-1] = starts[1:]
         ends[-1] = len(pdf)
 
+        # codec runs ONCE over the whole partition (segmented varint):
+        # per-group encode calls would dominate at millions of
+        # (term, doc_block) posting lists per task
+        gaps = doc_ids.copy()
+        gaps[1:] -= doc_ids[:-1]
+        gaps[starts] = doc_ids[starts]
+        doc_blobs = varint_encode_segmented(gaps, starts)
+        tf_blobs = varint_encode_segmented(tfs, starts)
+
         out: dict[str, list] = {
             "term": [], "doc_block": [], "idf": [], "df_block": [],
             "doc_bytes": [], "tf_bytes": [], "sub_offsets": [],
             "sub_max": [], "bytes": [],
         }
         sub_idx = np.arange(1, n_sub + 1, dtype=np.int64)
-        for lo, hi in zip(starts, ends):
+        for g, (lo, hi) in enumerate(zip(starts, ends)):
             d = doc_ids[lo:hi]
-            t = tfs[lo:hi]
             imp = impacts[lo:hi]
             block = int(blocks[lo])
-            doc_bytes, tf_bytes = encode_postings(d, t)
+            doc_bytes, tf_bytes = doc_blobs[g], tf_blobs[g]
             base = block * span
             bounds = (base + sub_idx * sub_span).astype(np.uint64)
             offsets = np.zeros(n_sub + 1, dtype=np.int64)
