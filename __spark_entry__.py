@@ -298,6 +298,38 @@ def _q_bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jdbc_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 (JDBC column scan, bridge_content_encoder.py:215-250 reads
+    SQLite picklists): documents (doc_id, lang) seeded into an embedded
+    Derby table — the JDBC driver Spark ships — then read back via a
+    PARTITIONED spark.read.jdbc scan and aggregated.  Seeding collects the
+    picklist-sized fixture driver-side (fixture setup, not the operator);
+    the scan itself is the executor-parallel range-query shape."""
+    from instructor_embedding_spark.sources import jdbc
+
+    rows = [
+        (int(r["doc_id"]), r["lang"])
+        for r in _docs(spark, sf_dir).select("doc_id", "lang").collect()
+    ]
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    db = os.path.join(RUNTIME_DIR, f"derby_{tag}")
+    jdbc.seed_derby(
+        spark, db, "docs", "doc_id BIGINT, lang VARCHAR(16)", rows,
+        "INSERT INTO docs VALUES (?, ?)",
+    )
+    df = jdbc.read_jdbc_table(
+        spark, jdbc.DERBY_URL.format(path=db), "docs",
+        partition_col="doc_id",
+        lower=min(r[0] for r in rows), upper=max(r[0] for r in rows) + 1,
+        num_partitions=8,
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.sum("doc_id").cast("long").alias("sum_doc"),
+    )
+
+
 def _q_kmeans_vmeasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     n_labels = int(emb.select("label").distinct().count())
@@ -578,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("doc_id").alias("sum_doc"),
         ),
     }
+    out["jdbc_scan_agg"] = _q_jdbc_scan_agg
     out["budgeted_context_selection"] = _q_budgeted_context
     out["proj_filter_chain"] = _q_proj_filter_chain
     out["ann_euclidean_topk"] = lambda s, d: similarity.euclidean_topk(
@@ -730,6 +763,11 @@ WITH ranked AS (
 SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
        min(doc_id) AS min_doc, CAST(sum(doc_id) AS BIGINT) AS sum_doc
 FROM ranked WHERE rn <= 30 GROUP BY lang
+""",
+        "jdbc_scan_agg": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc
+FROM documents GROUP BY lang
 """,
         "budgeted_context_selection": _budgeted_context_sql(),
         "proj_filter_chain": f"""

@@ -56,3 +56,46 @@ def test_bruteforce_plan_broadcasts_query_terms(spark, built):
     )
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_lsh_ann_plan_is_bucketed_not_cartesian(spark, sf_small_dir):
+    """The LSH paths must plan as equi-joins on (tbl, sig) — never a
+    cartesian/nested-loop product (that would be the O(n²) plan the
+    bucketing exists to avoid)."""
+    from instructor_embedding_spark.analytics.pairs import knn_classify_lsh
+    from instructor_embedding_spark.analytics.similarity import (
+        lsh_cosine_topk,
+        lsh_euclidean_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet")
+    for df in (
+        lsh_cosine_topk(emb, k=5),
+        lsh_euclidean_topk(emb, k=5),
+        knn_classify_lsh(emb, k=5),
+    ):
+        plan = _formatted(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_plan_is_banded(spark, sf_small_dir):
+    from instructor_embedding_spark.analytics.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_small_dir}/documents.parquet")
+    plan = _formatted(simhash_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fielded_bm25_plan_broadcasts_query_terms(spark, built):
+    from instructor_embedding_spark.query.bm25 import bm25_topk_fielded
+
+    _, docs = built
+    d = docs.withColumn("title", docs.content.substr(1, 32)) \
+        .withColumnRenamed("content", "text")
+    plan = _formatted(
+        bm25_topk_fielded(d, datagen.queries_df(spark), k=10)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
