@@ -496,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_mean_center": lambda s, d: similarity.mean_center_norms(
             _emb(s, d)
         ),
+        # A1/A2/A3 pooling modes as grouped per-dim aggregations
+        "pooling_modes": lambda s, d: similarity.pooled_by_label(_emb(s, d)),
         "rerank_mrr_map": lambda s, d: rerank_metrics(
             _rerank_candidates(s, d), k=10
         ),
@@ -676,6 +678,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_mean_center": similarity.mean_center_norms_sql(
             "embeddings"
         ),
+        "pooling_modes": similarity.pooled_by_label_sql("embeddings"),
         "rerank_mrr_map": rerank_metrics_sql(_RERANK_CAND_SQL, k=10),
         "bm25_topk_fielded": bm25.bm25_topk_fielded_sql(
             f"SELECT doc_id, substr(text, 1, {FIELDED_TITLE_LEN}) AS title, "

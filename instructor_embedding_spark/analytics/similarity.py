@@ -517,6 +517,72 @@ SELECT vec_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {k}
 """
 
 
+def pooled_by_label(embeddings: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """(label, mode, pooled_norm) — per-group vector pooling in all three
+    reference modes (instructor.py pooling: A1 mean, A2 max, A3
+    sqrt-length-scaled sum — sum/√n, the 'sqrt' sentence-transformers
+    pooling mode).  Per-dim cells are rounded to 9dp before the norm so
+    both engines agree despite float-sum order.
+
+    Shape: posexplode → ONE grouped agg over (label, dim) cells (k·dim
+    groups, map-side combinable) → tiny per-label norm — no crossJoin, no
+    driver loop; scales with rows, state bounded by labels×dim."""
+    e = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("i", "val"),
+    )
+    cells = e.groupBy("label", "i").agg(
+        F.round(F.avg("val"), 9).alias("p_mean"),
+        F.round(F.max("val"), 9).alias("p_max"),
+        F.round(
+            F.sum("val") / F.sqrt(F.count(F.lit(1))), 9
+        ).alias("p_sqrt_len"),
+    )
+    modes = None
+    for mode in ("mean", "max", "sqrt_len"):
+        m = cells.select(
+            "label", F.lit(mode).alias("mode"),
+            F.col(f"p_{mode}").alias("p"),
+        )
+        modes = m if modes is None else modes.unionByName(m)
+    return modes.groupBy("label", "mode").agg(
+        F.round(F.sqrt(F.sum(F.col("p") * F.col("p"))), 6).alias(
+            "pooled_norm"
+        )
+    )
+
+
+def pooled_by_label_sql(table: str, dim: int = 64, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        label_col: str = "label") -> str:
+    return f"""
+WITH e AS (
+  SELECT {label_col} AS label,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+cells AS (
+  SELECT label, i,
+         round(avg(v[i]), 9) AS p_mean,
+         round(max(v[i]), 9) AS p_max,
+         round(sum(v[i]) / sqrt(count(*)), 9) AS p_sqrt_len
+  FROM e CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i)
+  GROUP BY label, i
+),
+modes AS (
+  SELECT label, 'mean' AS mode, p_mean AS p FROM cells
+  UNION ALL SELECT label, 'max', p_max FROM cells
+  UNION ALL SELECT label, 'sqrt_len', p_sqrt_len FROM cells
+)
+SELECT label, mode, round(sqrt(sum(p * p)), 6) AS pooled_norm
+FROM modes GROUP BY label, mode
+"""
+
+
 def mean_center_norms(embeddings: DataFrame, dim: int = 64,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:

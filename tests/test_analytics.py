@@ -233,3 +233,27 @@ def test_knn_classify_lsh_covers_and_agrees(spark, sf_small_dir):
     lsh = knn_classify_lsh(emb, k=5).collect()[0]
     assert lsh.n_test >= 0.9 * exact.n_test
     assert lsh.accuracy >= exact.accuracy - 0.15
+
+
+def test_pooled_by_label_hand_case(spark):
+    import math
+
+    from instructor_embedding_spark.analytics.similarity import (
+        pooled_by_label,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 0.0], 7), (2, [1.0, 2.0], 7), (3, [0.0, 4.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r.label, r.mode): r.pooled_norm for r in pooled_by_label(df).collect()
+    }
+    # label 7: mean=(2,1) |.|=sqrt(5); max=(3,2) |.|=sqrt(13);
+    # sqrt_len=(4/√2, 2/√2) |.|=sqrt(8+2)=sqrt(10)
+    assert got[(7, "mean")] == pytest.approx(math.sqrt(5), abs=1e-6)
+    assert got[(7, "max")] == pytest.approx(math.sqrt(13), abs=1e-6)
+    assert got[(7, "sqrt_len")] == pytest.approx(math.sqrt(10), abs=1e-6)
+    # singleton group: all three modes equal the vector norm
+    for mode in ("mean", "max", "sqrt_len"):
+        assert got[(8, mode)] == pytest.approx(4.0, abs=1e-6)

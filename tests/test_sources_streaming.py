@@ -159,3 +159,23 @@ def test_beir_fielded_bm25(spark, tmp_path):
         ).collect()
     }
     assert ranks[1] == 1 and ranks[2] == 2 and 3 not in ranks
+
+
+def test_pickle_scan_roundtrip(spark, tmp_path):
+    """S5: directory of pickle artifacts -> parallel whole-file scan."""
+    import os as _os
+
+    from instructor_embedding_spark.sources.pickled import (
+        read_pickle_rows,
+        write_pickle_rows,
+    )
+
+    d = str(tmp_path / "artifacts")
+    _os.makedirs(d)
+    write_pickle_rows([(1, "alpha", 0.5), (2, "beta", 1.5)],
+                      f"{d}/part0.pkl")
+    write_pickle_rows([(3, "gamma", 2.5)], f"{d}/part1.pkl")
+    df = read_pickle_rows(spark, d, "id long, name string, score double")
+    got = sorted((r.id, r.name, r.score) for r in df.collect())
+    assert got == [(1, "alpha", 0.5), (2, "beta", 1.5), (3, "gamma", 2.5)]
+    assert df.rdd.getNumPartitions() >= 1
