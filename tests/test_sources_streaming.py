@@ -179,3 +179,60 @@ def test_pickle_scan_roundtrip(spark, tmp_path):
     got = sorted((r.id, r.name, r.score) for r in df.collect())
     assert got == [(1, "alpha", 0.5), (2, "beta", 1.5), (3, "gamma", 2.5)]
     assert df.rdd.getNumPartitions() >= 1
+
+
+def test_stateful_stream_dedup_equals_batch(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: duplicates planted across
+    micro-batches are dropped; with doc_id-ordered ingest the survivor set
+    equals the batch rule keep = min(doc_id)."""
+    import time as _time
+
+    from instructor_embedding_spark.streaming.stateful import (
+        stream_dedup_first_seen,
+    )
+
+    rows = [
+        (0, "aaa bbb"), (1, "ccc ddd"), (2, "aaa bbb"),      # batch 0
+        (3, "eee fff"), (4, "aaa bbb"), (5, "ggg hhh"),      # batch 1
+        (6, "ccc ddd"), (7, "iii jjj"), (8, "eee fff"),      # batch 2
+    ]
+    in_dir = str(tmp_path / "in")
+    for b in range(3):
+        spark.createDataFrame(
+            rows[b * 3:(b + 1) * 3], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = stream_dedup_first_seen(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) n FROM dedup_out").collect()[0].n
+            if n >= 5:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    got = {
+        (r.content_md5, r.doc_id)
+        for r in spark.sql("SELECT * FROM dedup_out").collect()
+    }
+    # batch twin: first-seen == min(doc_id) per content under ordered ingest
+    import hashlib as _h
+
+    want = {}
+    for did, txt in rows:
+        h = _h.md5(txt.encode()).hexdigest()
+        want.setdefault(h, did)
+    assert got == {(h, d) for h, d in want.items()}
+    assert len(got) == 5
