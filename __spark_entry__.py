@@ -534,6 +534,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             text_col="ptext",
         ),
+        # M7: global min-max normalization over n_chars
+        "stat_minmax_chars": lambda s, d: text_stats.minmax_normalize(
+            _docs(s, d), "n_chars"
+        ),
+        # M13: whole-word alias expansion chain
+        "text_alias_expand": lambda s, d: text_stats.expand_aliases(
+            _docs(s, d), "text"
+        ).select(
+            "doc_id", F.substring("expanded", 1, 60).alias("head60")
+        ),
         # M15: rows-only (quadratic LCS DP has no SQL twin; goldens +
         # naive-DP parity in tests/test_generation.py)
         "rouge_l_scores": lambda s, d: generation.rouge_l(
@@ -692,6 +702,14 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": text_stats.token_counts_sql("documents"),
         "text_lang_profile": text_stats.lang_profile_sql("documents"),
         "text_doc_fingerprints": text_stats.doc_fingerprints_sql("documents"),
+        "stat_minmax_chars": text_stats.minmax_normalize_sql(
+            "documents", "n_chars"
+        ),
+        "text_alias_expand": (
+            "SELECT doc_id, substr(expanded, 1, 60) AS head60 FROM ("
+            + text_stats.expand_aliases_sql("documents", "text")
+            + ")"
+        ),
         "text_sentences": text_stats.sentences_sql(
             "SELECT doc_id, text || '. ' || lang || '! ' || source || '?' "
             "AS ptext FROM documents",
