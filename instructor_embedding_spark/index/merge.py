@@ -33,9 +33,9 @@ from pyspark.sql import functions as F
 
 from instructor_embedding_spark.functions.codec import (
     decode_postings,
-    encode_postings,
     varint_decode,
     varint_encode,
+    varint_encode_segmented,
 )
 from instructor_embedding_spark.index.build import (
     DOC_LENS_SCHEMA,
@@ -85,15 +85,25 @@ def _merge_kernel(params: IndexParams, avgdl: float):
         ends[-1] = len(pdf)
 
         sub_idx = np.arange(1, n_sub + 1, dtype=np.int64)
+        doc_col = pdf["doc_bytes"].to_numpy()
+        tf_col = pdf["tf_bytes"].to_numpy()
+        dls_col = pdf["dls_run"].to_numpy()
+        idf_col = pdf["idf_new"].to_numpy()
+
+        # pass 1: decode + merge per group, accumulate merged arrays; the
+        # (re-)encode happens ONCE over the whole partition afterwards
+        # (segmented varint — same rationale as the build encoder)
+        merged_d: list[np.ndarray] = []
+        merged_t: list[np.ndarray] = []
         for lo, hi in zip(starts, ends):
             runs = [
-                decode_postings(pdf["doc_bytes"].iloc[r], pdf["tf_bytes"].iloc[r])
+                decode_postings(doc_col[r], tf_col[r])
                 for r in range(lo, hi)
             ]
             d = np.concatenate([r[0] for r in runs])
             t = np.concatenate([r[1] for r in runs])
             dls = np.concatenate(
-                [varint_decode(pdf["dls_run"].iloc[r]) for r in range(lo, hi)]
+                [varint_decode(dls_col[r]) for r in range(lo, hi)]
             ).astype(np.float64)
             if hi - lo > 1:
                 order = np.argsort(d, kind="stable")
@@ -104,13 +114,12 @@ def _merge_kernel(params: IndexParams, avgdl: float):
                         f"{terms[lo]!r} block {int(blocks[lo])} — sources "
                         "must have disjoint doc_id ranges"
                     )
-            idf = float(pdf["idf_new"].iloc[lo])
+            idf = float(idf_col[lo])
             tff = t.astype(np.float64)
             impacts = idf * (
                 tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dls / avgdl))
             )
             block = int(blocks[lo])
-            doc_bytes, tf_bytes = encode_postings(d, t)
             bounds = (block * span + sub_idx * sub_span).astype(np.uint64)
             offsets = np.zeros(n_sub + 1, dtype=np.int64)
             offsets[1:] = np.searchsorted(d, bounds, "left")
@@ -120,15 +129,35 @@ def _merge_kernel(params: IndexParams, avgdl: float):
                 sub_max[nonempty] = np.maximum.reduceat(
                     impacts, offsets[nonempty]
                 )
+            merged_d.append(d)
+            merged_t.append(t)
             out["term"].append(terms[lo])
             out["doc_block"].append(block)
             out["idf"].append(idf)
             out["df_block"].append(int(d.size))
-            out["doc_bytes"].append(doc_bytes)
-            out["tf_bytes"].append(tf_bytes)
             out["sub_offsets"].append(offsets.astype(np.int32).tolist())
             out["sub_max"].append(sub_max.tolist())
-            out["bytes"].append(len(doc_bytes) + len(tf_bytes))
+
+        # pass 2: one segmented encode over all merged postings
+        sizes = np.fromiter((a.size for a in merged_d), dtype=np.int64,
+                            count=len(merged_d))
+        gstarts = np.zeros(sizes.size, dtype=np.int64)
+        np.cumsum(sizes[:-1], out=gstarts[1:])
+        all_d = np.concatenate(merged_d) if merged_d else np.empty(
+            0, dtype=np.uint64
+        )
+        all_t = np.concatenate(merged_t) if merged_t else np.empty(
+            0, dtype=np.uint64
+        )
+        gaps = all_d.copy()
+        if gaps.size:
+            gaps[1:] -= all_d[:-1]
+            gaps[gstarts] = all_d[gstarts]
+        out["doc_bytes"] = varint_encode_segmented(gaps, gstarts)
+        out["tf_bytes"] = varint_encode_segmented(all_t, gstarts)
+        out["bytes"] = [
+            len(a) + len(b) for a, b in zip(out["doc_bytes"], out["tf_bytes"])
+        ]
         return pd.DataFrame(out)
 
     return kernel
@@ -268,22 +297,28 @@ def merge_indexes(
         )
 
         def attach_dls(pdf: pd.DataFrame) -> pd.DataFrame:
+            # column-array iteration (no pandas iterrows — per-row Series
+            # construction is the slow path at millions of runs/partition)
             ids_cache: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
             rows: dict[str, list] = {
                 "term": [], "doc_block": [], "idf_new": [],
                 "doc_bytes": [], "tf_bytes": [], "dls_run": [],
             }
-            for _, r in pdf.iterrows():
-                key = bytes(r["src_ids_bin"])
+            cols = [
+                pdf[c].to_numpy()
+                for c in ("term", "doc_block", "idf_new", "doc_bytes",
+                          "tf_bytes", "src_ids_bin", "src_dls_bin")
+            ]
+            for term, doc_block, idf_new, doc_b, tf_b, src_ids_b, \
+                    src_dls_b in zip(*cols):
+                key = bytes(src_ids_b)
                 if key not in ids_cache:
                     ids_cache[key] = (
                         np.cumsum(varint_decode(key), dtype=np.uint64),
-                        varint_decode(bytes(r["src_dls_bin"])),
+                        varint_decode(bytes(src_dls_b)),
                     )
                 src_ids, src_dls = ids_cache[key]
-                d, _t = decode_postings(
-                    bytes(r["doc_bytes"]), bytes(r["tf_bytes"])
-                )
+                d, _t = decode_postings(bytes(doc_b), bytes(tf_b))
                 pos = np.searchsorted(src_ids, d)
                 # runs from a DIFFERENT source won't align — detect by
                 # membership and skip (each run matches exactly one source)
@@ -291,11 +326,11 @@ def merge_indexes(
                     np.array_equal(src_ids[pos], d)
                 ):
                     continue
-                rows["term"].append(r["term"])
-                rows["doc_block"].append(int(r["doc_block"]))
-                rows["idf_new"].append(float(r["idf_new"]))
-                rows["doc_bytes"].append(bytes(r["doc_bytes"]))
-                rows["tf_bytes"].append(bytes(r["tf_bytes"]))
+                rows["term"].append(term)
+                rows["doc_block"].append(int(doc_block))
+                rows["idf_new"].append(float(idf_new))
+                rows["doc_bytes"].append(bytes(doc_b))
+                rows["tf_bytes"].append(bytes(tf_b))
                 rows["dls_run"].append(varint_encode(src_dls[pos]))
             return pd.DataFrame(rows) if rows["term"] else pd.DataFrame(
                 {k: pd.Series(
