@@ -49,6 +49,7 @@ def cmd_build(args) -> dict:
             doc_block_span=args.block_span,
             n_sub_blocks=args.sub_blocks,
             corpus_fingerprint=args.input,
+            store_positions=args.positions,
         ),
         text_col=args.text_col,
     )
@@ -62,24 +63,75 @@ def cmd_build(args) -> dict:
 
 def cmd_query(args) -> dict:
     from instructor_embedding_spark.index.build import load_index
+    from instructor_embedding_spark.query.phrase import phrase_topk
     from instructor_embedding_spark.query.wand import wand_topk
 
     spark = _spark(args)
     h = load_index(spark, args.index)
-    queries = spark.createDataFrame(
-        [(i + 1, q) for i, q in enumerate(args.query)],
-        "query_id long, query_text string",
-    )
     t0 = time.monotonic()
-    rows = wand_topk(spark, h, queries, k=args.k).collect()
-    dt = time.monotonic() - t0
-    return {
-        "cmd": "query", "k": args.k, "seconds": round(dt, 3),
-        "results": [
+    if args.phrase:
+        if not h.params.store_positions:
+            raise SystemExit(
+                "index was built without --positions; phrase search "
+                "needs the positional side index"
+            )
+        phrases = [(i + 1, q) for i, q in enumerate(args.query)]
+        rows = phrase_topk(
+            spark, h.positions(spark), phrases, k=args.k
+        ).collect()
+        results = [
+            {"query_id": r.phrase_id, "rank": r.rank,
+             "doc_id": r.doc_id, "matches": r.matches}
+            for r in rows
+        ]
+    else:
+        queries = spark.createDataFrame(
+            [(i + 1, q) for i, q in enumerate(args.query)],
+            "query_id long, query_text string",
+        )
+        doc_filter = None
+        if args.filter_where:
+            if not args.filter_parquet:
+                raise SystemExit("--filter-where needs --filter-parquet")
+            doc_filter = (
+                spark.read.parquet(args.filter_parquet)
+                .filter(args.filter_where)
+                .select("doc_id")
+            )
+        rows = wand_topk(
+            spark, h, queries, k=args.k, doc_filter=doc_filter
+        ).collect()
+        results = [
             {"query_id": r.query_id, "rank": r.rank,
              "doc_id": r.doc_id, "score": r.score}
             for r in rows
-        ],
+        ]
+    dt = time.monotonic() - t0
+    return {
+        "cmd": "query", "k": args.k, "phrase": bool(args.phrase),
+        "seconds": round(dt, 3), "results": results,
+    }
+
+
+def cmd_dedup(args) -> dict:
+    from instructor_embedding_spark.analytics import dedup
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    t0 = time.monotonic()
+    if args.method == "exact":
+        out = dedup.exact_duplicates(docs, text_col=args.text_col)
+    elif args.method == "minhash":
+        out = dedup.ngram_jaccard_pairs(
+            docs, threshold=args.threshold, text_col=args.text_col
+        )
+    else:  # simhash
+        out = dedup.simhash_pairs(docs, text_col=args.text_col)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    return {
+        "cmd": "dedup", "method": args.method, "out": args.out,
+        "rows": int(n), "seconds": round(time.monotonic() - t0, 2),
     }
 
 
@@ -110,20 +162,36 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--text-col", default="content")
     b.add_argument("--block-span", type=int, default=8192)
     b.add_argument("--sub-blocks", type=int, default=16)
+    b.add_argument("--positions", action="store_true",
+                   help="also build the positional side index (phrase)")
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
     q.add_argument("--query", action="append", required=True)
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--phrase", action="store_true",
+                   help="exact-adjacency phrase search (needs --positions)")
+    q.add_argument("--filter-parquet", default=None,
+                   help="metadata parquet carrying doc_id for --filter-where")
+    q.add_argument("--filter-where", default=None,
+                   help="SQL predicate selecting the candidate whitelist")
 
     m = sub.add_parser("merge")
     m.add_argument("--sources", nargs="+", required=True)
     m.add_argument("--out", required=True)
 
+    dd = sub.add_parser("dedup")
+    dd.add_argument("--input", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--method", choices=("exact", "minhash", "simhash"),
+                    default="exact")
+    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument("--text-col", default="content")
+
     args = p.parse_args(argv)
     out = {
         "datagen": cmd_datagen, "build": cmd_build,
-        "query": cmd_query, "merge": cmd_merge,
+        "query": cmd_query, "merge": cmd_merge, "dedup": cmd_dedup,
     }[args.cmd](args)
     print(json.dumps(out))
     return 0

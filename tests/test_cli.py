@@ -30,3 +30,28 @@ def test_cli_end_to_end(tmp_path):
     assert out["results"][0]["rank"] == 1
     # planted-identifier doc must top-rank (placement rule 97/3)
     assert out["results"][0]["doc_id"] % 97 == 3
+
+
+def test_cli_phrase_filter_dedup(tmp_path):
+    docs = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    _run(["datagen", "--docs", "200", "--out", docs])
+    out = _run(["build", "--input", docs, "--index", idx,
+                "--block-span", "64", "--sub-blocks", "4", "--positions"])
+    assert out["n_docs"] == 200
+
+    out = _run(["query", "--index", idx, "--phrase",
+                "--query", "shared buffer pool", "-k", "3"])
+    assert out["phrase"] is True
+    assert all("matches" in r for r in out["results"])
+
+    out = _run(["query", "--index", idx,
+                "--query", "shared buffer pool", "-k", "5",
+                "--filter-parquet", docs,
+                "--filter-where", "lang = 'python'"])
+    assert len(out["results"]) > 0
+
+    pairs = str(tmp_path / "pairs")
+    out = _run(["dedup", "--input", docs, "--out", pairs,
+                "--method", "simhash"])
+    assert out["rows"] >= 0 and out["method"] == "simhash"
