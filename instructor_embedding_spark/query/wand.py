@@ -231,11 +231,15 @@ def wand_topk(
     # it, `.explain` shows PushedFilters: [In(term, [...])] and row groups
     # that contain none of the query terms are skipped via column stats
     # (segments are written term-sorted within files for exactly this).
-    term_list = [r["term"] for r in qt.select("term").distinct().collect()]
+    # One collect serves both the pushdown list AND the broadcast side
+    # (LocalRelation — no second tokenize job per query batch).
+    qt_rows = [(r["query_id"], r["term"]) for r in qt.collect()]
+    term_list = sorted({t for _, t in qt_rows})
     if not term_list:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"
         )
+    qt = spark.createDataFrame(qt_rows, "query_id long, term string")
     hits = (
         segments.select(
             "term", "doc_block", "idf", "doc_bytes", "tf_bytes",
