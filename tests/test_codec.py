@@ -118,3 +118,31 @@ def test_varint_encode_segmented_equivalence():
     assert got == want
     assert varint_encode_segmented(np.empty(0, dtype=np.uint64),
                                    np.empty(0, dtype=np.int64)) == []
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2 ** 64 - 1), min_size=0,
+             max_size=400),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_varint_encode_segmented_property(vals, data):
+    import numpy as np
+
+    from instructor_embedding_spark.functions.codec import (
+        varint_encode,
+        varint_encode_segmented,
+    )
+
+    v = np.asarray(vals, dtype=np.uint64)
+    if v.size == 0:
+        starts = np.empty(0, dtype=np.int64)
+    else:
+        cuts = data.draw(
+            st.lists(st.integers(0, v.size - 1), min_size=0, max_size=20)
+        )
+        starts = np.unique(np.asarray([0] + cuts, dtype=np.int64))
+    got = varint_encode_segmented(v, starts)
+    ends = list(starts[1:]) + [v.size]
+    want = [varint_encode(v[s:e]) for s, e in zip(starts, ends)]
+    assert got == want

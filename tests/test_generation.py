@@ -76,3 +76,18 @@ def test_sentences_split_and_order(spark):
     ]
     assert [s for _, s in sorted(by_doc[2])] == ["no terminators at all"]
     assert 3 not in by_doc  # only terminators -> no non-empty sentence
+
+
+def test_rouge_l_summary(spark):
+    from instructor_embedding_spark.metrics.generation import (
+        rouge_l,
+        rouge_l_summary,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, "merge sort", "merge sort"), (2, "alpha beta", "gamma delta")],
+        "pair_id long, candidate string, reference string",
+    )
+    row = rouge_l_summary(rouge_l(pairs)).collect()[0]
+    assert row.n_pairs == 2
+    assert row.mean_f == pytest.approx(0.5, abs=1e-6)  # (1.0 + 0.0) / 2
