@@ -493,6 +493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_euclidean_topk": lambda s, d: similarity.lsh_euclidean_topk(
             _emb(s, d), k=10
         ),
+        "ann_ivf_cosine_topk": lambda s, d: similarity.ivf_cosine_topk(
+            _emb(s, d), k=10
+        ),
         "embedding_mean_center": lambda s, d: similarity.mean_center_norms(
             _emb(s, d)
         ),
@@ -683,6 +686,9 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", k=10
         ),
         "ann_lsh_euclidean_topk": similarity.lsh_euclidean_topk_sql(
+            "embeddings", k=10
+        ),
+        "ann_ivf_cosine_topk": similarity.ivf_cosine_topk_sql(
             "embeddings", k=10
         ),
         "embedding_mean_center": similarity.mean_center_norms_sql(

@@ -45,12 +45,10 @@ DIST_DECIMALS = 6
 CENTROID_DECIMALS = 9
 
 
-def _lloyd_assign(pts: DataFrame, cents: list[tuple[int, list[float]]],
-                  dist_decimals: int = DIST_DECIMALS) -> DataFrame:
-    """Add ``cluster`` = argmin_j round(||v - c_j||², d) with ties broken by
-    cluster id — centroids are driver-side constants broadcast as literal
-    arrays, so assignment is a pure narrow column expression (the
-    scale-correct shape: k is small, points are not)."""
+def lloyd_choice_array(cents: list[tuple[int, list[float]]],
+                       dist_decimals: int = DIST_DECIMALS):
+    """Array column of (rounded squared L2 dist, cluster id) structs over a
+    ``v`` double-array column — lexicographic order = (dist, id)."""
     choices = []
     for cid, c in cents:
         arr = F.array(*[F.lit(float(x)) for x in c])
@@ -63,10 +61,20 @@ def _lloyd_assign(pts: DataFrame, cents: list[tuple[int, list[float]]],
             dist_decimals,
         )
         choices.append(F.struct(dist.alias("d"), F.lit(cid).alias("c")))
+    return F.array(*choices)
+
+
+def _lloyd_assign(pts: DataFrame, cents: list[tuple[int, list[float]]],
+                  dist_decimals: int = DIST_DECIMALS) -> DataFrame:
+    """Add ``cluster`` = argmin_j round(||v - c_j||², d) with ties broken by
+    cluster id — centroids are driver-side constants broadcast as literal
+    arrays, so assignment is a pure narrow column expression (the
+    scale-correct shape: k is small, points are not)."""
     # array_min over (dist, cluster) structs = lexicographic argmin
     return pts.withColumn(
         "cluster",
-        F.array_min(F.array(*choices)).getField("c").cast("long"),
+        F.array_min(lloyd_choice_array(cents, dist_decimals))
+        .getField("c").cast("long"),
     )
 
 
@@ -96,6 +104,15 @@ def kmeans_lloyd(embeddings: DataFrame, k: int, iters: int = LLOYD_ITERS,
         F.col(label_col).alias("label"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    cents = lloyd_centroids(pts, k=k, iters=iters, dim=dim)
+    return _lloyd_assign(pts, cents).select("vec_id", "label", "cluster")
+
+
+def lloyd_centroids(pts: DataFrame, k: int, iters: int = LLOYD_ITERS,
+                    dim: int = 64) -> list[tuple[int, list[float]]]:
+    """Run the deterministic Lloyd iterations over a (vec_id, v) frame and
+    return the final [(cluster_id, centroid)] list — also the coarse
+    quantizer trainer for the IVF ANN index."""
     # global sort + limit → TakeOrderedAndProject (per-partition top-k then
     # driver merge — no full shuffle even at 10^9 rows)
     seed_rows = (
@@ -124,7 +141,7 @@ def kmeans_lloyd(embeddings: DataFrame, k: int, iters: int = LLOYD_ITERS,
             (cid, [cells[i] for i in range(dim)])
             for cid, cells in sorted(by_cluster.items())
         ]
-    return _lloyd_assign(pts, cents).select("vec_id", "label", "cluster")
+    return cents
 
 
 def kmeans_lloyd_sql(table: str, k: int, iters: int = LLOYD_ITERS,
@@ -134,6 +151,24 @@ def kmeans_lloyd_sql(table: str, k: int, iters: int = LLOYD_ITERS,
     """DuckDB twin of :func:`kmeans_lloyd`: the fixed iteration count is
     unrolled as CTE pairs (assign_t, cent_{t+1}); yields
     (vec_id, label, cluster)."""
+    parts, _ = lloyd_ctes_sql(table, k, iters, dim, id_col, vec_col,
+                              label_col)
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT vid AS vec_id, label, CAST(cluster AS BIGINT) AS cluster "
+        f"FROM a{iters}"
+    )
+
+
+def lloyd_ctes_sql(table: str, k: int, iters: int = LLOYD_ITERS,
+                   dim: int = 64, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> tuple[list[str], str]:
+    """The unrolled Lloyd CTE chain, reusable by downstream oracles (the
+    IVF ANN twin probes c{iters} / a{iters}).  Returns (cte_parts,
+    dist_expr) where dist_expr references aliases p (points) and c
+    (centroids)."""
     dist = (
         "round(list_sum(list_transform(range(1, {dim} + 1), "
         "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))), {dd})"
@@ -184,12 +219,7 @@ c{next} AS (
                             dim=dim)
     )
     parts.append(assign_tpl.format(t=iters, dist=dist))
-    ctes = ",\n".join(parts)
-    return (
-        f"WITH {ctes}\n"
-        f"SELECT vid AS vec_id, label, CAST(cluster AS BIGINT) AS cluster "
-        f"FROM a{iters}"
-    )
+    return parts, dist
 
 
 def logreg_classify(embeddings: DataFrame, seed: int = 42,

