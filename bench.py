@@ -210,7 +210,9 @@ def main() -> None:
     )
     entry_mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry_mod)
-    for name in ("bm25_topk_bruteforce", "bm25_topk_wand", "retrieval_metrics"):
+    for name in ("bm25_topk_bruteforce", "bm25_topk_wand",
+                 "retrieval_metrics", "phrase_topk", "dedup_lsh_pairs",
+                 "ann_lsh_cosine_topk"):
         fn = entry_mod.queries()[name]
         fn(spark, SF_DIR).collect()  # warm (includes one-off index build)
         t0 = time.monotonic()

@@ -51,15 +51,16 @@ def lloyd_choice_array(cents: list[tuple[int, list[float]]],
     ``v`` double-array column — lexicographic order = (dist, id)."""
     choices = []
     for cid, c in cents:
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        dist = F.round(
-            F.aggregate(
-                F.zip_with(F.col("v"), arr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ),
-            dist_decimals,
-        )
+        # explicit left-assoc sum of (v[d]-c_d)^2 — bit-identical to the
+        # zip_with/aggregate fold but inside whole-stage codegen (Spark
+        # interprets higher-order functions per element)
+        dist_expr = None
+        for d, x in enumerate(c):
+            t = (F.col("v")[d] - F.lit(float(x))) * (
+                F.col("v")[d] - F.lit(float(x))
+            )
+            dist_expr = t if dist_expr is None else dist_expr + t
+        dist = F.round(dist_expr, dist_decimals)
         choices.append(F.struct(dist.alias("d"), F.lit(cid).alias("c")))
     return F.array(*choices)
 

@@ -64,15 +64,29 @@ FROM {table} GROUP BY 1 HAVING count(*) > 1
 # --------------------------------------------------------------- shingles
 
 def _shingles_col(text_col: str):
-    """Distinct token 3-shingles as an array column (JVM expressions)."""
+    """Distinct token 3-shingles as an array column (JVM expressions).
+
+    Built from ZIPPED SLICES of the token array, never by indexing the
+    tokenizer expression inside a lambda: ``toks[i]`` inside a transform
+    re-evaluates the whole regex tokenizer per element (measured
+    quadratic — ~0.6 s/doc on long docs); slices evaluate it a constant
+    number of times per row."""
     toks = tokens_col(text_col)
+    n = F.size(toks)
+    ln = F.greatest(n - (SHINGLE - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[
+            F.slice(toks, j + 1, ln).alias(f"w{j}")
+            for j in range(SHINGLE)
+        ]
+    )
     return F.array_distinct(
         F.when(
-            F.size(toks) >= SHINGLE,
+            n >= SHINGLE,
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - SHINGLE),
-                lambda i: F.concat_ws(
-                    " ", toks[i], toks[i + 1], toks[i + 2]
+                z,
+                lambda s: F.concat_ws(
+                    " ", *[s[f"w{j}"] for j in range(SHINGLE)]
                 ),
             ),
         ).otherwise(F.array())
@@ -95,16 +109,34 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """(doc_id, h0..h{K-1}) — min of md5(shingle || '#i') per hash i.
 
-    Documents with no shingles are dropped (nothing to compare)."""
-    sh = docs.select(
+    Documents with no shingles are dropped (nothing to compare).
+
+    Map-side: the min is a PER-DOC aggregate over the doc's own shingles,
+    so it's an ``array_min(transform(...))`` column expression — no
+    explode, no shuffle (the explode+groupBy formulation pushes
+    docs × shingles × K rows through a wide agg).  Fixed-width lowercase
+    hex compares lexicographically == numerically, so array_min IS the
+    minhash.  Inputs with fewer splits than cores are repartitioned first
+    (the md5 work is CPU-bound and per-row deterministic, so partitioning
+    cannot change results; at real scale splits >> cores and the branch
+    never fires)."""
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_shingles_col(text_col)).alias("shingle"),
+        _shingles_col(text_col).alias("sh"),
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+    cols = [
+        F.array_min(
+            F.transform(
+                "sh", lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))
+            )
+        ).alias(f"h{i}")
         for i in range(MINHASH_K)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return base.filter(F.size("sh") > 0).select("doc_id", *cols)
 
 
 def minhash_signatures_sql(table: str, text_col: str = "text",

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from instructor_embedding_spark.analytics.similarity import _dot, _norm
+from instructor_embedding_spark.analytics.similarity import (
+    _dot,
+    _norm,
+    _pair_dot_udf,
+)
 
 
 def threshold_sweep(pairs: DataFrame, score_col: str = "score",
@@ -174,7 +178,7 @@ def knn_classify(embeddings: DataFrame, k: int = 5,
     )
     scored = test.crossJoin(train).select(
         "qid", "qlabel", "tid", "tlabel",
-        (_dot(F.col("qv"), F.col("tv"))
+        (_pair_dot_udf(F.col("qv"), F.col("tv"))
          / (F.col("qn") * F.col("tn"))).alias("cos_raw"),
     )
     w = Window.partitionBy("qid").orderBy(
@@ -212,7 +216,7 @@ def knn_classify_lsh(embeddings: DataFrame, k: int = 5,
     points it collides with; uncovered test points drop out (n_test counts
     the covered ones)."""
     from instructor_embedding_spark.analytics.similarity import (
-        cosine_sig_structs,
+        _cosine_sigs_udf,
     )
 
     e = embeddings.select(
@@ -220,13 +224,11 @@ def knn_classify_lsh(embeddings: DataFrame, k: int = 5,
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         F.col(label_col).alias("label"),
     ).withColumn("n", _norm(F.col("v")))
-    e = e.select(
+    sig_udf = _cosine_sigs_udf(dim, planes_per_table, n_tables)
+    e = e.withColumn("sigs", sig_udf(F.col("v"))).select(
         "vid", "v", "n", "label",
-        F.explode(
-            F.array(*cosine_sig_structs(dim, planes_per_table, n_tables))
-        ).alias("ts"),
-    ).select("vid", "v", "n", "label", F.col("ts.tbl").alias("tbl"),
-             F.col("ts.sig").alias("sig"))
+        F.posexplode("sigs").alias("tbl", "sig"),
+    )
     train = e.filter(F.col("vid") % 2 == 0).select(
         F.col("vid").alias("tid"), F.col("v").alias("tv"),
         F.col("n").alias("tn"), F.col("label").alias("tlabel"),
@@ -241,7 +243,7 @@ def knn_classify_lsh(embeddings: DataFrame, k: int = 5,
         test.join(train, ["tbl", "sig"])
         .select(
             "qid", "qlabel", "tid", "tlabel",
-            (_dot(F.col("qv"), F.col("tv"))
+            (_pair_dot_udf(F.col("qv"), F.col("tv"))
              / (F.col("qn") * F.col("tn"))).alias("cos_raw"),
         )
         .groupBy("qid", "qlabel", "tid", "tlabel")
@@ -279,6 +281,8 @@ def knn_classify_lsh_sql(table: str, k: int = 5, id_col: str = "vec_id",
         cosine_sig_rows_sql,
     )
 
+    from instructor_embedding_spark.analytics.similarity import _vq_sql
+
     sigs = cosine_sig_rows_sql(
         "vid, v, nrm, label", "n", dim, planes_per_table, n_tables
     )
@@ -291,7 +295,8 @@ WITH e AS (
 ),
 n AS (
   SELECT vid, v, label,
-         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         {_vq_sql('v')} AS vq
   FROM e
 ),
 sigs AS ({sigs}),

@@ -10,14 +10,20 @@ The reference's core scoring ops re-expressed at scale:
   candidates share a bucket; exact re-rank inside buckets.  Recall vs the
   brute-force oracle is property-tested (not rank-identical by design).
 
-All dot products run as JVM higher-order array expressions
-(``aggregate(zip_with(...))``) — no Python in the scoring path.
+Scoring kernels: LSH/IVF signatures are quantized-integer numpy matmuls
+(exact in any engine — see SIG_SCALE); pairwise reranks are Arrow-batched
+numpy einsum UDFs (millions of candidate pairs — the interpreted
+higher-order fold measured ~100× slower); single-row norms stay as JVM
+``aggregate`` expressions.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -30,6 +36,43 @@ def _dot(a, b):
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+_PAIR_UDF_CACHE: dict = {}
+
+
+def _pair_dot_udf(va, vb):
+    """Vectorized pairwise dot (numpy einsum) — the candidate-rerank hot
+    path runs over millions of pairs, where the interpreted higher-order
+    fold costs ~100× (float-sum order differs at ~1e-16; every consumer
+    rounds to 6dp, which the DuckDB-gated entries prove is sufficient).
+    The udf object is built lazily: registering a pandas_udf parses its
+    DDL type, which needs an active session."""
+    if "dot" not in _PAIR_UDF_CACHE:
+
+        @F.pandas_udf("double")
+        def dot(a: pd.Series, b: pd.Series) -> pd.Series:
+            A = np.stack(a.to_numpy())
+            B = np.stack(b.to_numpy())
+            return pd.Series(np.einsum("ij,ij->i", A, B))
+
+        _PAIR_UDF_CACHE["dot"] = dot
+    return _PAIR_UDF_CACHE["dot"](va, vb)
+
+
+def _pair_l2_udf(va, vb):
+    """Vectorized pairwise euclidean distance (see _pair_dot_udf)."""
+    if "l2" not in _PAIR_UDF_CACHE:
+
+        @F.pandas_udf("double")
+        def l2(a: pd.Series, b: pd.Series) -> pd.Series:
+            A = np.stack(a.to_numpy())
+            B = np.stack(b.to_numpy())
+            d = A - B
+            return pd.Series(np.sqrt(np.einsum("ij,ij->i", d, d)))
+
+        _PAIR_UDF_CACHE["l2"] = l2
+    return _PAIR_UDF_CACHE["l2"](va, vb)
 
 
 def _norm(a):
@@ -66,7 +109,7 @@ def cosine_topk(embeddings: DataFrame, k: int = 10,
             "vec_id",
             "neighbor_id",
             (
-                _dot(F.col("va"), F.col("vb"))
+                _pair_dot_udf(F.col("va"), F.col("vb"))
                 / (F.col("na") * F.col("nb"))
             ).alias("cos_raw"),
         )
@@ -136,16 +179,7 @@ def euclidean_topk(embeddings: DataFrame, k: int = 10,
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select(
             "vec_id", "neighbor_id",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("va"), F.col("vb"),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-            ).alias("dist_raw"),
+            _pair_l2_udf(F.col("va"), F.col("vb")).alias("dist_raw"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(
@@ -184,6 +218,67 @@ ranked AS (
 )
 SELECT vec_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {k}
 """
+
+
+#: LSH signatures use QUANTIZED integer arithmetic: vectors and plane
+#: components are mapped to ints via floor(x*SIG_SCALE + 0.5), so every
+#: signature dot is an EXACT integer sum — identical in any engine
+#: regardless of summation order — and the whole signature block computes
+#: as ONE numpy int64 matmul per Arrow batch (the float formulation needed
+#: either interpreted higher-order folds or a codegen-breaking 2048-node
+#: expression tree; both measured ~10-30× slower).
+SIG_SCALE = 1 << 20
+
+
+def _quantize_py(x: float) -> int:
+    return int(math.floor(x * float(SIG_SCALE) + 0.5))
+
+
+def _vq_sql(vec: str) -> str:
+    """DuckDB expression quantizing a double list exactly like numpy's
+    floor(V * SIG_SCALE + 0.5)."""
+    return (
+        f"list_transform({vec}, "
+        f"x -> CAST(floor(x * {float(SIG_SCALE)!r} + 0.5) AS BIGINT))"
+    )
+
+
+def _plane_matrix(n_planes: int, dim: int, prefix: str = "plane"):
+    """Quantized int64 plane matrix [n_planes][dim] (md5-derived)."""
+    return np.array(
+        [
+            [_quantize_py(_plane_component_py(p, d, prefix))
+             for d in range(dim)]
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
+    )
+
+
+def _cosine_sigs_udf(dim: int, planes_per_table: int, n_tables: int):
+    """pandas_udf: double-array column → array of per-table sign
+    signatures.  V@P.T over quantized int64 is exact, so the DuckDB twin
+    (integer list_sum) reproduces every bit decision."""
+    P = _plane_matrix(n_tables * planes_per_table, dim)
+
+    @F.pandas_udf("array<string>")
+    def sigs(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy())
+        VQ = np.floor(V * float(SIG_SCALE) + 0.5).astype(np.int64)
+        B = (VQ @ P.T) >= 0
+        ppt = planes_per_table
+        return pd.Series(
+            [
+                [
+                    "".join("1" if row[t * ppt + p] else "0"
+                            for p in range(ppt))
+                    for t in range(n_tables)
+                ]
+                for row in B
+            ]
+        )
+
+    return sigs
 
 
 def _plane_component(p: int, d: int):
@@ -229,27 +324,11 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("n", _norm(F.col("v")))
 
-    table_sigs = []
-    for t in range(n_tables):
-        bits = []
-        for p in range(planes_per_table):
-            comps = F.array(
-                *[_plane_component(t * planes_per_table + p, d)
-                  for d in range(dim)]
-            )
-            bits.append(
-                F.when(_dot(F.col("v"), comps) >= 0, F.lit("1"))
-                .otherwise(F.lit("0"))
-            )
-        table_sigs.append(
-            F.struct(F.lit(t).alias("tbl"),
-                     F.concat_ws("", *bits).alias("sig"))
-        )
-    e = e.select(
+    sig_udf = _cosine_sigs_udf(dim, planes_per_table, n_tables)
+    e = e.withColumn("sigs", sig_udf(F.col("v"))).select(
         "vid", "v", "n",
-        F.explode(F.array(*table_sigs)).alias("ts"),
-    ).select("vid", "v", "n", F.col("ts.tbl").alias("tbl"),
-             F.col("ts.sig").alias("sig"))
+        F.posexplode("sigs").alias("tbl", "sig"),
+    )
 
     a = e.select(F.col("vid").alias("vec_id"), F.col("v").alias("va"),
                  F.col("n").alias("na"), "tbl", "sig")
@@ -260,7 +339,7 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select(
             "vec_id", "neighbor_id",
-            (_dot(F.col("va"), F.col("vb"))
+            (_pair_dot_udf(F.col("va"), F.col("vb"))
              / (F.col("na") * F.col("nb"))).alias("cos_raw"),
         )
         .groupBy("vec_id", "neighbor_id")
@@ -277,57 +356,26 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
     )
 
 
-def _dot_terms_sql(vec: str, comps: list[float], extra: float | None = None) -> str:
-    """Explicit left-associated dot product ``vec[1]*c0 + vec[2]*c1 + …`` —
-    the SAME evaluation order as Spark's sequential ``F.aggregate`` fold,
-    so both engines produce bit-identical doubles (and therefore identical
-    LSH bucket decisions)."""
-    terms = " + ".join(f"{vec}[{d + 1}]*({c!r})" for d, c in enumerate(comps))
-    if extra is not None:
-        terms = f"{terms} + ({extra!r})"
-    return terms
-
-
-def cosine_sig_structs(dim: int = 64, planes_per_table: int = 4,
-                       n_tables: int = 8) -> list:
-    """Spark struct(tbl, sig) columns over a ``v`` double-array column —
-    literal-plane twin of the signature block in :func:`lsh_cosine_topk`
-    (identical values; _plane_component_py parity is tested)."""
-    out = []
-    for t in range(n_tables):
-        bits = []
-        for p in range(planes_per_table):
-            comps = F.array(
-                *[F.lit(_plane_component_py(t * planes_per_table + p, d))
-                  for d in range(dim)]
-            )
-            bits.append(
-                F.when(_dot(F.col("v"), comps) >= 0, F.lit("1"))
-                .otherwise(F.lit("0"))
-            )
-        out.append(
-            F.struct(F.lit(t).alias("tbl"),
-                     F.concat_ws("", *bits).alias("sig"))
-        )
-    return out
+def _int_list_sql(vals) -> str:
+    return "[" + ", ".join(str(int(x)) for x in vals) + "]"
 
 
 def cosine_sig_rows_sql(select_cols: str, src: str, dim: int = 64,
                         planes_per_table: int = 4,
                         n_tables: int = 8) -> str:
     """UNION ALL of per-table signature rows over ``src`` (which must
-    expose a double-list column ``v`` plus ``select_cols``)."""
+    expose a quantized int-list column ``vq`` plus ``select_cols``) —
+    integer sums are order-free, so the bit decisions match the numpy
+    matmul in :func:`_cosine_sigs_udf` exactly."""
+    P = _plane_matrix(n_tables * planes_per_table, dim)
     sig_rows = []
     for t in range(n_tables):
         bits = []
         for p in range(planes_per_table):
-            comps = [
-                _plane_component_py(t * planes_per_table + p, d)
-                for d in range(dim)
-            ]
+            lit = _int_list_sql(P[t * planes_per_table + p])
             bits.append(
-                f"CASE WHEN {_dot_terms_sql('v', comps)} >= 0 "
-                "THEN '1' ELSE '0' END"
+                f"CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
+                f"i -> vq[i] * ({lit})[i])) >= 0 THEN '1' ELSE '0' END"
             )
         sig_rows.append(
             f"SELECT {select_cols}, {t} AS tbl, "
@@ -342,10 +390,8 @@ def lsh_cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
                         planes_per_table: int = 4,
                         n_tables: int = 8) -> str:
     """DuckDB oracle for :func:`lsh_cosine_topk` — the SAME approximate
-    result: hyperplane components are md5-derived constants
-    (:func:`_plane_component_py`, parity-tested against the Spark
-    expression), inlined as double literals; signature bits use the
-    explicit left-associated dot so bucket membership matches bit-exactly."""
+    result: md5-derived quantized planes inlined as int literals; exact
+    integer signature sums make bucket membership engine-independent."""
     sigs = cosine_sig_rows_sql(
         "vid, v, nrm", "n", dim, planes_per_table, n_tables
     )
@@ -356,7 +402,8 @@ WITH e AS (
   FROM {table}
 ),
 n AS (
-  SELECT vid, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  SELECT vid, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         {_vq_sql('v')} AS vq
   FROM e
 ),
 sigs AS ({sigs}),
@@ -400,35 +447,43 @@ def lsh_euclidean_topk(embeddings: DataFrame, k: int = 10,
     FAISS IndexFlatL2 analog, examples/faiss/README.md:49-90).
 
     key_p = floor((dot(v, a_p) + b_p) / w); candidates share every key of
-    one table.  Planes/offsets are md5-derived Python constants inlined as
-    literals (bit-identical in any engine).  Scale path: the n² crossJoin
-    becomes a self-join keyed on (table, sig)."""
+    one table.  Planes/offsets are md5-derived constants; the dot runs
+    over QUANTIZED int64 (exact, order-free — see SIG_SCALE) as one numpy
+    matmul per Arrow batch, then descales for the float binning, so both
+    engines bin identically.  Scale path: the n² crossJoin becomes a
+    self-join keyed on (table, sig)."""
+    n_proj = n_tables * projections_per_table
+    P = _plane_matrix(n_proj, dim, prefix="eplane")
+    offs = np.array(
+        [_uniform01_py(f"eoff{gp}") * w for gp in range(n_proj)],
+        dtype=np.float64,
+    )
+    s2 = float(SIG_SCALE) * float(SIG_SCALE)
+    ppt = projections_per_table
+
+    @F.pandas_udf("array<string>")
+    def keys_udf(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy())
+        VQ = np.floor(V * float(SIG_SCALE) + 0.5).astype(np.int64)
+        D = VQ @ P.T  # exact integer dots (|D| << 2^53)
+        KQ = np.floor((D / s2 + offs) / w).astype(np.int64)
+        return pd.Series(
+            [
+                [
+                    "|".join(str(row[t * ppt + p]) for p in range(ppt))
+                    for t in range(n_tables)
+                ]
+                for row in KQ
+            ]
+        )
+
     e = embeddings.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    table_sigs = []
-    for t in range(n_tables):
-        keys = []
-        for p in range(projections_per_table):
-            gp = t * projections_per_table + p
-            comps = F.array(
-                *[F.lit(_plane_component_py(gp, d, prefix="eplane"))
-                  for d in range(dim)]
-            )
-            off = _uniform01_py(f"eoff{gp}") * w
-            keys.append(
-                F.floor((_dot(F.col("v"), comps) + F.lit(off)) / F.lit(w))
-                .cast("long").cast("string")
-            )
-        table_sigs.append(
-            F.struct(F.lit(t).alias("tbl"),
-                     F.concat_ws("|", *keys).alias("sig"))
-        )
-    e = e.select(
-        "vid", "v", F.explode(F.array(*table_sigs)).alias("ts")
-    ).select("vid", "v", F.col("ts.tbl").alias("tbl"),
-             F.col("ts.sig").alias("sig"))
+    e = e.withColumn("sigs", keys_udf(F.col("v"))).select(
+        "vid", "v", F.posexplode("sigs").alias("tbl", "sig")
+    )
 
     a = e.select(F.col("vid").alias("vec_id"), F.col("v").alias("va"),
                  "tbl", "sig")
@@ -439,14 +494,7 @@ def lsh_euclidean_topk(embeddings: DataFrame, k: int = 10,
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select(
             "vec_id", "neighbor_id",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(F.col("va"), F.col("vb"),
-                               lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-            ).alias("dist_raw"),
+            _pair_l2_udf(F.col("va"), F.col("vb")).alias("dist_raw"),
         )
         .groupBy("vec_id", "neighbor_id")
         .agg(F.first("dist_raw").alias("dist_raw"))  # dedup multi-table hits
@@ -468,21 +516,22 @@ def lsh_euclidean_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
                            n_tables: int = E2_TABLES,
                            w: float = E2_W) -> str:
     """DuckDB oracle for :func:`lsh_euclidean_topk` (same approximate
-    result; same literal planes/offsets, same left-associated fold)."""
+    result: identical quantized-integer dots, identical float binning)."""
+    n_proj = n_tables * projections_per_table
+    P = _plane_matrix(n_proj, dim, prefix="eplane")
+    s2 = float(SIG_SCALE) * float(SIG_SCALE)
     sig_rows = []
     for t in range(n_tables):
         keys = []
         for p in range(projections_per_table):
             gp = t * projections_per_table + p
-            comps = [
-                _plane_component_py(gp, d, prefix="eplane")
-                for d in range(dim)
-            ]
             off = _uniform01_py(f"eoff{gp}") * w
+            lit = _int_list_sql(P[gp])
             keys.append(
                 "CAST(CAST(floor(("
-                + _dot_terms_sql("v", comps, extra=off)
-                + f") / ({w!r})) AS BIGINT) AS VARCHAR)"
+                f"list_sum(list_transform(range(1, {dim} + 1), "
+                f"i -> vq[i] * ({lit})[i])) / {s2!r} + ({off!r})"
+                f") / ({w!r})) AS BIGINT) AS VARCHAR)"
             )
         sig_rows.append(
             f"SELECT vid, v, {t} AS tbl, "
@@ -493,7 +542,8 @@ def lsh_euclidean_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
     return f"""
 WITH e AS (
   SELECT {id_col} AS vid,
-         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
+         {_vq_sql(f'list_transform({vec_col}, x -> CAST(x AS DOUBLE))')} AS vq
   FROM {table}
 ),
 sigs AS ({sigs}),
@@ -570,7 +620,7 @@ def ivf_cosine_topk(embeddings: DataFrame, k: int = 10,
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select(
             "vec_id", "neighbor_id",
-            (_dot(F.col("va"), F.col("vb"))
+            (_pair_dot_udf(F.col("va"), F.col("vb"))
              / (F.col("na") * F.col("nb"))).alias("cos_raw"),
         )
     )

@@ -186,12 +186,19 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text",
     """(doc_id, fingerprint) — min-hash over w-gram windows (winnowing's
     global-min special case): robust to local edits, engine-agnostic."""
     toks = tokens_col(text_col)
+    n = F.size(toks)
+    ln = F.greatest(n - (w - 1), F.lit(0))
+    # zipped slices, not toks[i+j] inside the lambda — indexing an
+    # expression re-runs the tokenizer per element (quadratic per doc)
+    z = F.arrays_zip(
+        *[F.slice(toks, j + 1, ln).alias(f"w{j}") for j in range(w)]
+    )
     grams = F.when(
-        F.size(toks) >= w,
+        n >= w,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - w),
-            lambda i: F.md5(
-                F.concat_ws(" ", *[toks[i + j] for j in range(w)])
+            z,
+            lambda s: F.md5(
+                F.concat_ws(" ", *[s[f"w{j}"] for j in range(w)])
             ),
         ),
     ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
