@@ -38,6 +38,13 @@ SCALING_CACHE = os.path.join(RUNTIME, "scaling.json")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+#: Same-session A/B baseline: a git ref of the PREVIOUS round's code.  The
+#: index build is re-run from a snapshot of that ref in an identical
+#: subprocess, so the bench JSON carries an old-vs-new ratio measured
+#: under the SAME host load — separating code deltas from the shared
+#: host's ±30% noise without trusting prose.  Empty ref disables.
+AB_REF = os.environ.get("SPARK_GRAFT_AB_REF", "round2-bench-baseline")
+AB_DOCS = int(os.environ.get("SPARK_GRAFT_AB_DOCS", "25000"))
 
 
 def _spark(master: str):
@@ -168,6 +175,62 @@ def run_scaling(n_docs: int, reps: int = 2) -> dict:
     return result
 
 
+def _build_only_subprocess(bench_py: str, cwd: str, n_docs: int) -> float:
+    """Run ``bench.py --build-only`` from a given snapshot dir; returns
+    build seconds (both A/B sides run through this same path, so JVM
+    startup and process overhead cancel)."""
+    master = f"local[{CPUS}]"
+    cmd = [
+        sys.executable, bench_py, "--build-only", master, str(n_docs),
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=1800,
+                       cwd=cwd)
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"build-only in {cwd} failed (rc={r.returncode}): "
+            + r.stderr[-1000:]
+        )
+    return float(json.loads(lines[-1])["build_s"])
+
+
+def _ab_compare() -> dict:
+    """Same-session old-code vs new-code index build at AB_DOCS."""
+    snap = os.path.join(RUNTIME, f"ab_snapshot_{AB_REF}")
+    if not os.path.exists(os.path.join(snap, "bench.py")):
+        os.makedirs(snap, exist_ok=True)
+        tar = subprocess.run(
+            ["git", "-C", REPO, "archive", "--format=tar", AB_REF],
+            capture_output=True, timeout=120,
+        )
+        if tar.returncode != 0:
+            raise RuntimeError(
+                f"git archive {AB_REF}: " + tar.stderr.decode()[-500:]
+            )
+        subprocess.run(["tar", "-x", "-C", snap], input=tar.stdout,
+                       check=True, timeout=120)
+    # interleave old, new, old, new and take min per side (shared host)
+    old_s, new_s = [], []
+    for _ in range(2):
+        old_s.append(
+            _build_only_subprocess(os.path.join(snap, "bench.py"), snap,
+                                   AB_DOCS)
+        )
+        new_s.append(
+            _build_only_subprocess(os.path.join(REPO, "bench.py"), REPO,
+                                   AB_DOCS)
+        )
+    return {
+        "ref": AB_REF,
+        "docs": AB_DOCS,
+        "old_build_s": round(min(old_s), 2),
+        "new_build_s": round(min(new_s), 2),
+        "new_over_old": round(min(new_s) / min(old_s), 3),
+        "all_runs_s": {"old": [round(x, 2) for x in old_s],
+                       "new": [round(x, 2) for x in new_s]},
+    }
+
+
 def main() -> None:
     from instructor_embedding_spark import datagen
     from instructor_embedding_spark.query.wand import wand_topk
@@ -175,6 +238,7 @@ def main() -> None:
     spark = _spark(f"local[{CPUS}]")
     queries: dict[str, float] = {}
     extra: dict[str, object] = {}
+    extra["loadavg_start"] = [round(x, 2) for x in os.getloadavg()]
 
     # 1. indexing throughput on the datagen corpus
     docs = _bench_corpus(spark, BENCH_DOCS)
@@ -227,6 +291,14 @@ def main() -> None:
     if os.path.exists(scaling_src):
         with open(scaling_src) as f:
             extra["scaling"] = json.load(f)
+
+    if AB_REF:
+        try:
+            extra["ab_index_build"] = _ab_compare()
+        except Exception as e:  # A/B is evidence, not a gate
+            extra["ab_index_build"] = {"error": f"{type(e).__name__}: {e}"}
+
+    extra["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 
     total = sum(queries.values())
     print(

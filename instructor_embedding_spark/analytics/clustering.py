@@ -43,6 +43,12 @@ LLOYD_ITERS = 3
 #: between engines can never flip an assignment.
 DIST_DECIMALS = 6
 CENTROID_DECIMALS = 9
+#: Recentering quantum: per-dimension values are quantized to integers
+#: (round(v * QUANT)) before the grouped sum, so the reduction is an EXACT
+#: integer sum — order-free, hence identical regardless of partition count
+#: or combiner order on either engine.  The mean is then one double
+#: division + one round, both single ops with no order dependence.
+CENTROID_QUANT = 10 ** 6
 
 
 def lloyd_choice_array(cents: list[tuple[int, list[float]]],
@@ -127,10 +133,23 @@ def lloyd_centroids(pts: DataFrame, k: int, iters: int = LLOYD_ITERS,
     ]
     for _ in range(iters):
         assign = _lloyd_assign(pts, cents)
+        # quantize → exact integer sum → one division + one round: the
+        # reduction is order-free, so a different partition count (or a
+        # different engine's combiner order) can never flip a centroid
+        # digit — the mean itself, not just the rounded mean, is pinned
         cell_rows = (
             assign.select("cluster", F.posexplode("v").alias("i", "val"))
             .groupBy("cluster", "i")
-            .agg(F.round(F.avg("val"), CENTROID_DECIMALS).alias("m"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("val") * CENTROID_QUANT, 0)
+                        .cast("long")
+                    ).cast("double")
+                    / (F.count(F.lit(1)) * float(CENTROID_QUANT)),
+                    CENTROID_DECIMALS,
+                ).alias("m")
+            )
             .collect()  # k*dim cells — bounded by k, not by data size
         )
         by_cluster: dict[int, dict[int, float]] = {}
@@ -187,7 +206,9 @@ a{t} AS (
     recenter_tpl = """
 c{next} AS (
   SELECT cluster, list(m ORDER BY i) AS c FROM (
-    SELECT cluster, i, round(avg(v[i]), {cd}) AS m
+    SELECT cluster, i,
+           round(CAST(sum(CAST(round(v[i] * {q}) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * {q}.0), {cd}) AS m
     FROM a{t} CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i)
     GROUP BY cluster, i
   ) GROUP BY cluster
@@ -210,25 +231,30 @@ c{next} AS (
         if t < iters - 1:
             parts.append(
                 recenter_tpl.format(
-                    next=t + 1, t=t, cd=CENTROID_DECIMALS, dim=dim
+                    next=t + 1, t=t, cd=CENTROID_DECIMALS, dim=dim,
+                    q=CENTROID_QUANT,
                 )
             )
     # final assignment uses the centroids AFTER the last recenter, matching
     # kmeans_lloyd's trailing _lloyd_assign
     parts.append(
         recenter_tpl.format(next=iters, t=iters - 1, cd=CENTROID_DECIMALS,
-                            dim=dim)
+                            dim=dim, q=CENTROID_QUANT)
     )
     parts.append(assign_tpl.format(t=iters, dist=dist))
     return parts, dist
 
 
-def logreg_classify(embeddings: DataFrame, seed: int = 42,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    label_col: str = "label") -> DataFrame:
+def logreg_ml_classify(embeddings: DataFrame, seed: int = 42,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
     """(accuracy, n_test) — seeded pyspark.ml LogisticRegression (M11:
     ClassificationEvaluator.py:304-336 sklearn LogisticRegression).
-    Train = even ids, test = odd ids (same split as knn_classify)."""
+    Train = even ids, test = odd ids (same split as knn_classify).
+
+    The L-BFGS fit's float reduction order is engine-internal, so this
+    variant has no SQL twin; :func:`logreg_classify` is the
+    deterministic gradient-descent formulation that does."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
@@ -251,38 +277,226 @@ def logreg_classify(embeddings: DataFrame, seed: int = 42,
     )
 
 
+#: Deterministic logistic-regression GD hyperparameters (pinned; the
+#: DuckDB twin unrolls exactly LOGREG_ITERS weight-update CTE pairs).
+LOGREG_ITERS = 4
+LOGREG_LR = 50.0
+#: Probability / feature quantum: sigmoid outputs are quantized to
+#: round(p * QUANT) integers and features to round(v * QUANT) integers, so
+#: every per-dimension gradient reduction is an EXACT integer sum —
+#: order-free across partitions and engines (same discipline as
+#: CENTROID_QUANT above).
+LOGREG_QUANT = 10 ** 6
+
+
+def _logreg_z(w: list[float]):
+    """Left-assoc fold Σ_d w_d * ve[d] over the bias-extended feature
+    array — the same sequential order DuckDB's list_sum uses, so per-row
+    logits agree to the ulp (then pq rounding absorbs the ulp)."""
+    z = None
+    for d, wd in enumerate(w):
+        t = F.lit(float(wd)) * F.col("ve")[d]
+        z = t if z is None else z + t
+    return z
+
+
+def logreg_classify(embeddings: DataFrame, iters: int = LOGREG_ITERS,
+                    lr: float = LOGREG_LR, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """(accuracy, n_test) — DETERMINISTIC full-batch gradient-descent
+    logistic regression, expressible identically in any engine (M11
+    inside the oracle gate; reference ClassificationEvaluator.py:304-336
+    fits sklearn LogisticRegression — the iterative fit is made
+    engine-reproducible the same way :func:`kmeans_lloyd` pins Lloyd's):
+
+    - binary target y = label % 2; train = even ids, test = odd ids
+    - features = embedding doubles with a constant-1.0 bias slot appended
+      (``ve``); gradient features are the quantized integers
+      ``vqe = round(ve * QUANT)``
+    - w init = zeros; exactly ``iters`` rounds of
+      ``w -= lr * avg((p - y) * x)`` with p quantized to
+      ``pq = round(sigmoid(z) * QUANT)`` so the per-dim gradient numerator
+      ``sum((pq - y*QUANT) * vqe[d])`` is an exact integer sum
+      (order-free), and weights rounded to 9dp each round
+    - accuracy = share of test rows where (pq >= QUANT/2) == (y == 1)
+
+    Note: the sandbox's synthetic embedding labels carry no linear signal
+    (nearest-centroid multiclass ≈ chance), so accuracy ≈ 0.5 here by
+    construction — the driver gate checks Spark↔DuckDB parity of the full
+    GD trajectory; that the optimizer genuinely descends is unit-tested
+    on a planted linearly-separable fixture (tests/test_analytics.py).
+
+    Distributed shape: each round is ONE narrow map (logit fold over
+    broadcast literal weights) + one groupBy over dim+1 cells — the
+    gradient state is O(dim), never O(n), exactly the shape a
+    1000-executor full-batch GD would use."""
+    Q = LOGREG_QUANT
+    spark = embeddings.sparkSession
+    pts = embeddings.select(
+        F.col(id_col).alias("vid"),
+        (F.col(label_col) % 2).cast("long").alias("y"),
+        F.concat(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.array(F.lit(1.0)),
+        ).alias("ve"),
+    ).withColumn(
+        "vqe",
+        F.transform(F.col("ve"),
+                    lambda x: F.round(x * Q, 0).cast("long")),
+    )
+    train = pts.filter(F.col("vid") % 2 == 0).cache()
+    n_train = train.count()
+    nn = float(n_train) * Q * Q  # exact: n ≤ 2^53 / 10^12
+
+    w = [0.0] * (dim + 1)
+    for _ in range(iters):
+        scored = train.withColumn(
+            "pq",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w))) * Q,
+                    0).cast("long"),
+        ).withColumn("resid", F.col("pq") - F.col("y") * Q)
+        cells = (
+            scored.select("resid", F.posexplode("vqe").alias("i", "vq"))
+            .groupBy("i")
+            .agg(F.sum(F.col("resid") * F.col("vq")).alias("s"))
+            .collect()  # dim+1 cells — bounded by dim, not data size
+        )
+        s = {int(r["i"]): int(r["s"]) for r in cells}
+        # the update arithmetic + 9dp rounding runs INSIDE the engine
+        # (one-row job) so both engines use their own native round on the
+        # same exact inputs — mirrors the recenter discipline above
+        row = spark.range(1).select(*[
+            F.round(
+                F.lit(float(w[d])) - F.lit(float(lr)) * F.lit(s[d]) / nn, 9
+            ).alias(f"w{d}")
+            for d in range(dim + 1)
+        ]).collect()[0]
+        w = [float(row[f"w{d}"]) for d in range(dim + 1)]
+
+    test = pts.filter(F.col("vid") % 2 == 1).withColumn(
+        "pq",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w))) * Q,
+                0).cast("long"),
+    )
+    out = test.agg(
+        F.round(
+            F.avg(((F.col("pq") >= Q // 2) == (F.col("y") == 1))
+                  .cast("double")), 6
+        ).alias("accuracy"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+    )
+    train.unpersist()
+    return out
+
+
+def logreg_classify_sql(table: str, iters: int = LOGREG_ITERS,
+                        lr: float = LOGREG_LR, dim: int = 64,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        label_col: str = "label") -> str:
+    """DuckDB twin of :func:`logreg_classify`: the fixed iteration count
+    is unrolled as (p_t, g_t, w_{t+1}) CTE triples; yields
+    (accuracy, n_test)."""
+    Q = LOGREG_QUANT
+    d1 = dim + 1
+    z = (
+        "list_sum(list_transform(range(1, {d1} + 1), "
+        "i -> w.w[i] * p.ve[i]))"
+    ).format(d1=d1)
+    pq = f"CAST(round(1.0 / (1.0 + exp(-({z}))) * {Q}) AS BIGINT)"
+    parts = [
+        f"""pts AS (
+  SELECT {id_col} AS vid, CAST({label_col} % 2 AS BIGINT) AS y,
+         list_append(list_transform({vec_col}, x -> CAST(x AS DOUBLE)),
+                     1.0) AS ve
+  FROM {table}
+)""",
+        """q AS (
+  SELECT vid, y, ve,
+         list_transform(ve, x -> CAST(round(x * {Q}) AS BIGINT)) AS vqe
+  FROM pts
+)""".format(Q=Q),
+        "train AS (SELECT * FROM q WHERE vid % 2 = 0)",
+        f"nn AS (SELECT count(*) * {float(Q) * Q} AS nn FROM train)",
+        f"""w0 AS (
+  SELECT list_transform(range(1, {d1} + 1), i -> 0.0) AS w
+)""",
+    ]
+    for t in range(iters):
+        parts.append(f"""
+p{t} AS (
+  SELECT p.y, p.vqe, {pq} AS pq
+  FROM train p CROSS JOIN w{t} w
+)""")
+        parts.append(f"""
+g{t} AS (
+  SELECT i, sum((pq - y * {Q}) * vqe[i]) AS s
+  FROM p{t} CROSS JOIN (SELECT unnest(range(1, {d1} + 1)) AS i)
+  GROUP BY i
+)""")
+        parts.append(f"""
+w{t + 1} AS (
+  SELECT list(round(w_el - {float(lr)} * s / nn, 9) ORDER BY i) AS w
+  FROM (
+    SELECT g.i, w.w[g.i] AS w_el, CAST(g.s AS DOUBLE) AS s, t.nn AS nn
+    FROM g{t} g CROSS JOIN w{t} w CROSS JOIN nn t
+  )
+)""")
+    parts.append(f"""
+ptest AS (
+  SELECT p.y, {pq} AS pq
+  FROM (SELECT * FROM q WHERE vid % 2 = 1) p CROSS JOIN w{iters} w
+)""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT round(avg(CASE WHEN (pq >= {Q // 2}) = (y = 1)
+                      THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+       CAST(count(*) AS BIGINT) AS n_test
+FROM ptest"""
+
+
 def v_measure(assignments: DataFrame, label_col: str = "label",
               cluster_col: str = "cluster") -> DataFrame:
     """(homogeneity, completeness, v_measure) from (label, cluster) rows —
-    entropy aggregations over the contingency table (A11)."""
-    a = assignments.select(
-        F.col(label_col).alias("c"), F.col(cluster_col).alias("k")
+    entropy over the contingency table (A11).
+
+    ONE Spark action: the distributed part is the groupBy that builds the
+    (c, k, n_ck) contingency table — |labels|×|clusters| cells, bounded by
+    cardinalities, not data size — which is collected once; the four
+    entropies are O(cells) driver-side arithmetic over those exact integer
+    counts (deterministic: cells iterated in sorted order).  Under an
+    expensive assignment lineage (e.g. the Lloyd chain) this runs the
+    lineage once instead of five times."""
+    import math
+
+    cells = (
+        assignments.select(
+            F.col(label_col).alias("c"), F.col(cluster_col).alias("k")
+        )
+        .groupBy("c", "k")
+        .agg(F.count(F.lit(1)).alias("n_ck"))
+        .collect()
     )
-    n = a.count()
+    n = sum(int(r["n_ck"]) for r in cells)
     if n == 0:
         raise ValueError("empty assignment table")
     ln = float(n)
 
-    joint = a.groupBy("c", "k").agg(F.count(F.lit(1)).alias("n_ck"))
-    by_c = joint.groupBy("c").agg(F.sum("n_ck").alias("n_c"))
-    by_k = joint.groupBy("k").agg(F.sum("n_ck").alias("n_k"))
+    joint = sorted((r["c"], r["k"], int(r["n_ck"])) for r in cells)
+    by_c: dict = {}
+    by_k: dict = {}
+    for c, k, n_ck in joint:
+        by_c[c] = by_c.get(c, 0) + n_ck
+        by_k[k] = by_k.get(k, 0) + n_ck
 
-    h_c = by_c.agg(
-        (-F.sum((F.col("n_c") / ln) * F.log(F.col("n_c") / ln))).alias("h")
-    ).collect()[0]["h"]
-    h_k = by_k.agg(
-        (-F.sum((F.col("n_k") / ln) * F.log(F.col("n_k") / ln))).alias("h")
-    ).collect()[0]["h"]
-    h_c_given_k = joint.join(by_k, "k").agg(
-        (-F.sum(
-            (F.col("n_ck") / ln) * F.log(F.col("n_ck") / F.col("n_k"))
-        )).alias("h")
-    ).collect()[0]["h"]
-    h_k_given_c = joint.join(by_c, "c").agg(
-        (-F.sum(
-            (F.col("n_ck") / ln) * F.log(F.col("n_ck") / F.col("n_c"))
-        )).alias("h")
-    ).collect()[0]["h"]
+    h_c = -sum((v / ln) * math.log(v / ln) for _, v in sorted(by_c.items()))
+    h_k = -sum((v / ln) * math.log(v / ln) for _, v in sorted(by_k.items()))
+    h_c_given_k = -sum(
+        (n_ck / ln) * math.log(n_ck / by_k[k]) for c, k, n_ck in joint
+    )
+    h_k_given_c = -sum(
+        (n_ck / ln) * math.log(n_ck / by_c[c]) for c, k, n_ck in joint
+    )
 
     hom = 1.0 if h_c == 0 else 1.0 - h_c_given_k / h_c
     com = 1.0 if h_k == 0 else 1.0 - h_k_given_c / h_k

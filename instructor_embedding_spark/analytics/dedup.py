@@ -28,6 +28,12 @@ from instructor_embedding_spark.functions.tokenize import sql_tokens_expr, token
 MINHASH_K = 8       # number of minhash functions
 LSH_BANDS = 4       # bands (r = K / BANDS rows per band)
 SHINGLE = 3         # tokens per shingle
+#: Hot-band-bucket guard: a band key shared by more than this many docs
+#: (boilerplate-dominated shingles — license headers, templated pages)
+#: would go quadratic in the pair join; such buckets are dropped in BOTH
+#: engines.  K/BANDS controls the Jaccard S-curve, not scale, so those
+#: stay fixed; the cap is what bounds worst-case work at 100 TB.
+LSH_BAND_BUCKET_CAP = 1024
 
 
 # ----------------------------------------------------------------- exact
@@ -155,11 +161,13 @@ GROUP BY doc_id
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        bucket_cap: int = LSH_BAND_BUCKET_CAP) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) — pairs sharing ≥1 LSH band.
 
     Scale path: the band-bucket self-join only compares docs that collide,
-    never the full n² (the shuffle keys on the band value)."""
+    never the full n² (the shuffle keys on the band value); band buckets
+    larger than ``bucket_cap`` are dropped (see LSH_BAND_BUCKET_CAP)."""
     sig = minhash_signatures(docs, text_col, id_col)
     r = MINHASH_K // LSH_BANDS
     bands = sig.select(
@@ -180,6 +188,11 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
         ).alias("bk"),
     ).select("doc_id", *[f"h{i}" for i in range(MINHASH_K)],
              F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # hot-bucket guard — window shuffles on the same (band, key) the pair
+    # join hashes on, so the partitioning is reused
+    bands = bands.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    ).filter(F.col("bsz") <= bucket_cap).drop("bsz")
 
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -225,7 +238,11 @@ def lsh_candidate_pairs_sql(table: str, text_col: str = "text",
     )
     return f"""
 WITH sig AS ({minhash_signatures_sql(table, text_col, id_col)}),
-bands AS ({unions})
+bands_all AS ({unions}),
+bands AS (
+  SELECT * FROM bands_all
+  QUALIFY count(*) OVER (PARTITION BY band, key) <= {LSH_BAND_BUCKET_CAP}
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(({eqs}) * 1.0 / {MINHASH_K}, 6) AS est_jaccard
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key

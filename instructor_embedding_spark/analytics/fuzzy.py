@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 
 OUT_SCHEMA = "query_id long, rank long, value string, score double"
 
+#: Hard cap on the collected picklist: the operator's contract is a
+#: column-value dictionary (bridge_content_encoder picklists are a few
+#: hundred values), not a corpus — failing fast beats OOMing the driver.
+MAX_PICKLIST = 100_000
+
 
 def fuzzy_match_topk(
     queries: DataFrame,
@@ -33,11 +38,24 @@ def fuzzy_match_topk(
     threshold: float = 0.3,
     q_col: str = "query_text",
     c_col: str = "value",
+    max_picklist: int = MAX_PICKLIST,
 ) -> DataFrame:
     """(query_id, rank, value, score) — best fuzzy picklist matches.
 
     ``queries``: (query_id, q_col); ``candidates``: any DataFrame with a
-    string c_col (distinct-ed and collected — must be picklist-sized)."""
+    string c_col (distinct-ed and collected — must be picklist-sized;
+    > ``max_picklist`` distinct values raises rather than collecting).
+    Null query_ids / query texts are skipped, not errors."""
+    # cheap guard BEFORE the collect: limit(max+1) bounds the probe
+    n_probe = candidates.select(c_col).distinct().limit(
+        max_picklist + 1
+    ).count()
+    if n_probe > max_picklist:
+        raise ValueError(
+            f"picklist exceeds max_picklist={max_picklist} distinct "
+            f"values — fuzzy_match_topk is for column-value dictionaries; "
+            f"use the LSH/ngram dedup family for corpus-scale matching"
+        )
     values = sorted(
         r[c_col]
         for r in candidates.select(c_col).distinct().collect()
@@ -49,6 +67,8 @@ def fuzzy_match_topk(
         for pdf in batches:
             out = {"query_id": [], "rank": [], "value": [], "score": []}
             for qid, q in zip(pdf["query_id"], pdf["q"]):
+                if pd.isna(qid):
+                    continue  # unkeyed row: skip, don't fail the stage
                 ql = (q or "").lower()
                 scored = []
                 for v in values:

@@ -157,6 +157,44 @@ SELECT round(corr(rx, ry), 6) AS spearman FROM r
 """
 
 
+def corr_both(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """(pearson, spearman) in ONE aggregation pass — M5 + M6 together
+    (reference STSEvaluator reports both on the same score pairs)."""
+    def avg_rank(c: str, out: str):
+        w = Window.orderBy(F.col(c))
+        return (
+            F.rank().over(w)
+            + (F.count(F.lit(1)).over(Window.partitionBy(F.col(c))) - 1) / 2.0
+        ).alias(out)
+
+    ranked = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        avg_rank(x_col, "rx"), avg_rank(y_col, "ry"),
+    )
+    return ranked.agg(
+        F.round(F.corr("x", "y"), 6).alias("pearson"),
+        F.round(F.corr("rx", "ry"), 6).alias("spearman"),
+    )
+
+
+def corr_both_sql(inner_sql: str, x_col: str, y_col: str) -> str:
+    return f"""
+WITH d AS ({inner_sql}),
+r AS (
+  SELECT CAST({x_col} AS DOUBLE) AS x, CAST({y_col} AS DOUBLE) AS y,
+    rank() OVER (ORDER BY {x_col})
+      + (count(*) OVER (PARTITION BY {x_col}) - 1) / 2.0 AS rx,
+    rank() OVER (ORDER BY {y_col})
+      + (count(*) OVER (PARTITION BY {y_col}) - 1) / 2.0 AS ry
+  FROM d
+)
+SELECT round(corr(x, y), 6) AS pearson,
+       round(corr(rx, ry), 6) AS spearman
+FROM r
+"""
+
+
 def knn_classify(embeddings: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  label_col: str = "label") -> DataFrame:

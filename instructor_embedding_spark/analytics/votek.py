@@ -1,0 +1,125 @@
+"""fast_votek diverse-example selection (reference two_steps.py:99-134).
+
+The reference builds a kNN vote graph (each point votes for its k nearest
+neighbors by cosine), then greedily selects ``select_num`` points: each
+round a candidate's score is the sum of ``10**-times(s)`` over its
+not-yet-selected supporters ``s``, where ``times(s)`` counts how many
+already-selected points ``s`` supported — so supporters whose votes were
+already "spent" are exponentially discounted, pushing selection toward
+diverse regions of the embedding space.
+
+Determinism pinned for the DuckDB twin (the reference breaks score ties by
+dict insertion order — here: round(score, 6) DESC, id ASC; the kNN edges
+themselves use the round(cosine, 6) DESC, neighbor ASC order the
+``cosine_topk`` oracle already gates):
+
+Distributed shape: the vote graph is n*k edges, built by the ANN family
+(bucketed LSH/IVF at scale, exact top-k here — the same swap every other
+similarity consumer uses); each selection round is one broadcast-hash
+semi-join against the ≤select_num selected ids plus one groupBy(cand)
+aggregation — per-round state shipped to executors is O(select_num), never
+O(n), and the argmax is a 1-row TakeOrdered.  The driver loop is inherent
+to the algorithm (each pick depends on the previous), matching the
+reference's sequential semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from instructor_embedding_spark.analytics.similarity import (
+    cosine_topk,
+    cosine_topk_sql,
+)
+
+VOTEK_K = 5
+VOTEK_SELECT = 5
+
+
+def fast_votek(embeddings: DataFrame, select_num: int = VOTEK_SELECT,
+               k: int = VOTEK_K, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(rank, vec_id, score) — the ``select_num`` picks in selection
+    order, with each round's winning (rounded) discounted-vote score."""
+    spark = embeddings.sparkSession
+    votes = (
+        cosine_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col("neighbor_id").alias("cand"),
+            F.col("vec_id").alias("voter"),
+        )
+        .cache()
+    )
+    selected: list[int] = []
+    out_rows: list[tuple[int, int, float]] = []
+    for r in range(1, select_num + 1):
+        if selected:
+            times = (
+                votes.filter(F.col("cand").isin(selected))
+                .groupBy("voter")
+                .agg(F.count(F.lit(1)).alias("t"))
+            )
+            live = votes.filter(
+                ~F.col("cand").isin(selected)
+                & ~F.col("voter").isin(selected)
+            ).join(times, "voter", "left")
+        else:
+            live = votes.withColumn("t", F.lit(None).cast("long"))
+        pick = (
+            live.withColumn(
+                "wt", F.pow(F.lit(10.0), -F.coalesce(F.col("t"), F.lit(0)))
+            )
+            .groupBy("cand")
+            .agg(F.round(F.sum("wt"), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("cand").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(int(pick["cand"]))
+        out_rows.append((r, int(pick["cand"]), float(pick["score"])))
+    votes.unpersist()
+    return spark.createDataFrame(
+        out_rows, "rank long, vec_id long, score double"
+    )
+
+
+def fast_votek_sql(table: str, select_num: int = VOTEK_SELECT,
+                   k: int = VOTEK_K, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    """DuckDB twin: the sequential selection is unrolled as
+    (t_r, sc_r, p_r, s_r) CTE quads — one per round."""
+    knn = cosine_topk_sql(table, k=k, id_col=id_col, vec_col=vec_col)
+    parts = [
+        f"knn AS ({knn})",
+        "votes AS (SELECT neighbor_id AS cand, vec_id AS voter FROM knn)",
+        "s0 AS (SELECT CAST(NULL AS BIGINT) AS id LIMIT 0)",
+    ]
+    for r in range(1, select_num + 1):
+        prev = f"s{r - 1}"
+        parts.append(f"""
+t{r} AS (
+  SELECT voter, count(*) AS t
+  FROM votes JOIN {prev} ON votes.cand = {prev}.id
+  GROUP BY voter
+)""")
+        parts.append(f"""
+sc{r} AS (
+  SELECT v.cand, round(sum(power(10.0, -coalesce(t.t, 0))), 6) AS score
+  FROM votes v LEFT JOIN t{r} t ON v.voter = t.voter
+  WHERE v.cand NOT IN (SELECT id FROM {prev})
+    AND v.voter NOT IN (SELECT id FROM {prev})
+  GROUP BY v.cand
+)""")
+        parts.append(
+            f"p{r} AS (SELECT {r} AS rank, cand AS id, score FROM sc{r} "
+            f"ORDER BY score DESC, cand ASC LIMIT 1)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT id FROM {prev} UNION ALL SELECT id FROM p{r})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id, score FROM p{r}"
+        for r in range(1, select_num + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union

@@ -9,11 +9,13 @@ the M14 op, ``analytics.text_stats.sentences``).  Pinned semantics here:
 - LCS over the token sequences (classic DP)
 - P = LCS/|cand|, R = LCS/|ref|, F = 2PR/(P+R); 0 for degenerate inputs
 
-The quadratic LCS DP is not SQL-expressible, so the driver entry is
-rows-only; correctness is pinned by tests/test_generation.py goldens and a
-naive-DP parity property.  The DP runs as a numpy rolling-row kernel inside
-an Arrow-batched ``mapInPandas`` (one prefix-max pass per candidate token —
-no per-cell Python).
+The DP runs as a numpy rolling-row kernel inside an Arrow-batched
+``mapInPandas`` (one prefix-max pass per candidate token — no per-cell
+Python).  The SAME prefix-max recurrence is expressible in DuckDB as a
+recursive CTE whose state is the DP row carried as an integer list
+(:func:`rouge_l_sql`) — integer-only state, so the twin is exact, not a
+float-tolerance match; correctness is additionally pinned by
+tests/test_generation.py goldens and a naive-DP parity property.
 """
 
 from __future__ import annotations
@@ -28,6 +30,16 @@ from instructor_embedding_spark.functions.tokenize import tokenize_py
 OUT_SCHEMA = (
     "pair_id long, lcs long, rouge_p double, rouge_r double, rouge_f double"
 )
+
+
+def _r6(x: float) -> float:
+    """Half-away-from-zero 6dp rounding (non-negative inputs) — matches
+    DuckDB's round(), unlike Python's banker's round(): P/R are exact
+    rationals lcs/n, and n a power of two makes .5-ties REAL (e.g.
+    lcs/128), where banker's would diverge from the SQL twin."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
 
 
 def lcs_len(a: list[str], b: list[str]) -> int:
@@ -80,12 +92,71 @@ def rouge_l(pairs: DataFrame, cand_col: str = "candidate",
                 f = 2 * p * rr / (p + rr) if (p + rr) > 0 else 0.0
                 out["pair_id"].append(int(pid))
                 out["lcs"].append(l)
-                out["rouge_p"].append(round(p, 6))
-                out["rouge_r"].append(round(rr, 6))
-                out["rouge_f"].append(round(f, 6))
+                out["rouge_p"].append(_r6(p))
+                out["rouge_r"].append(_r6(rr))
+                out["rouge_f"].append(_r6(f))
             yield pd.DataFrame(out)
 
     return src.mapInPandas(gen, schema=OUT_SCHEMA)
+
+
+def rouge_l_sql(pairs_sql: str, cand_col: str = "candidate",
+                ref_col: str = "reference",
+                id_col: str = "pair_id") -> str:
+    """DuckDB twin of :func:`rouge_l` over a subquery yielding
+    (pair_id, candidate, reference).
+
+    The rolling-row DP becomes a recursive CTE: iteration i consumes
+    candidate token i, carrying the previous DP row as an INTEGER list;
+    cur[j] = prefix-max of max(prev[j], prev[j-1]+1 if token match) —
+    exactly the formulation :func:`lcs_len` vectorizes.  All state is
+    integer, so the twin reproduces lcs bit-exactly; P/R/F are single
+    divisions of those integers (identical in both engines)."""
+    from instructor_embedding_spark.functions.tokenize import (
+        sql_tokens_expr,
+    )
+
+    return f"""
+WITH RECURSIVE
+base AS (
+  SELECT {id_col} AS pair_id, {cand_col} AS cand, {ref_col} AS ref
+  FROM ({pairs_sql})
+),
+tok AS (
+  SELECT pair_id, {sql_tokens_expr('cand')} AS ct,
+         {sql_tokens_expr('ref')} AS rt
+  FROM base
+),
+dp(pair_id, i, prev) AS (
+  SELECT pair_id, 0, list_transform(range(0, len(rt) + 1), x -> 0)
+  FROM tok
+  UNION ALL
+  SELECT d.pair_id, d.i + 1,
+    list_prepend(0, list_transform(range(1, len(s.rt) + 1),
+      j -> list_max(list_transform(range(1, j + 1),
+        j2 -> greatest(d.prev[j2 + 1],
+                       CASE WHEN s.rt[j2] = s.ct[d.i + 1]
+                            THEN d.prev[j2] + 1 ELSE 0 END)))))
+  FROM dp d JOIN tok s USING (pair_id)
+  WHERE d.i < len(s.ct)
+),
+fin AS (
+  SELECT d.pair_id, CAST(d.prev[len(s.rt) + 1] AS BIGINT) AS lcs,
+         len(s.ct) AS nc, len(s.rt) AS nr
+  FROM dp d JOIN tok s USING (pair_id)
+  WHERE d.i = len(s.ct)
+),
+pr AS (
+  SELECT pair_id, lcs,
+         CASE WHEN nc > 0 THEN lcs * 1.0 / nc ELSE 0.0 END AS p,
+         CASE WHEN nr > 0 THEN lcs * 1.0 / nr ELSE 0.0 END AS r
+  FROM fin
+)
+SELECT pair_id, lcs, round(p, 6) AS rouge_p, round(r, 6) AS rouge_r,
+       round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+             ELSE 0.0 END, 6) AS rouge_f
+FROM pr
+"""
 
 
 def rouge_l_summary(per_pair: DataFrame) -> DataFrame:

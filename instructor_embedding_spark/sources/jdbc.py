@@ -7,9 +7,15 @@ dependency), which exercises the identical Spark surface:
 ``spark.read.format("jdbc")`` with partitioned reads via
 (partitionColumn, lowerBound, upperBound, numPartitions).
 
-At cluster scale the partitioned read is the point: N executors each issue
-a range-bounded query instead of one driver-side scan.  ``seed_derby``
-exists for tests/fixtures only — it pushes rows through a JDBC batch insert
+What this exercises is the partitioned-read API SHAPE — N tasks each
+issuing a range-bounded query instead of one driver-side scan.  Embedded
+Derby itself is local-mode-only: the EmbeddedDriver boots the database
+in-process under a single-JVM directory lock, so executor JVMs on a real
+cluster could not open the same path.  On a multi-JVM cluster the same
+``read_jdbc_table`` call points at a network-served backend (Derby
+network server, Postgres, MySQL, ...) and the partitioned scan then runs
+executor-parallel for real.  ``seed_derby`` exists for tests/fixtures
+only — it pushes fixture-sized row lists through a JDBC batch insert
 using the session JVM's DriverManager (no extra Python driver needed).
 """
 
