@@ -231,6 +231,104 @@ def _ab_compare() -> dict:
     }
 
 
+def _stage_totals(spark) -> dict:
+    """Completed-stage totals from the Spark REST API (UI must be on)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    return {
+        "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "shuffle_read": sum(s.get("shuffleReadBytes", 0) for s in stages),
+        "input": sum(s.get("inputBytes", 0) for s in stages),
+    }
+
+
+def _synth_vectors(spark, n: int, dim: int = 64, n_clusters: int = 50,
+                   seed: int = 42):
+    """Deterministic clustered float32 vectors, generated executor-side."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        cents = np.random.default_rng(seed).standard_normal(
+            (n_clusters, dim)
+        )
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(seed * 1000003 + int(ids[0]))
+            V = cents[ids % n_clusters] + rng.standard_normal(
+                (len(ids), dim)
+            ) * 0.1
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "embedding": list(V.astype("float32")),
+                "label": (ids % n_clusters).astype("int32"),
+            })
+
+    return spark.range(n).repartition(CPUS).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>, label int"
+    )
+
+
+def run_smoke10x(n_docs: int = 50_000, n_vecs: int = 20_000) -> dict:
+    """10× smokes for the two heaviest r2 rewrites (judge item #6):
+    dedup_lsh_pairs at 10× the sf0.1 documents count and
+    ann_lsh_cosine_topk at 10× the sf0.1 embeddings count, recording wall
+    seconds and shuffle volume — evidence the rewrites scale past the
+    correctness-gate sizes."""
+    from instructor_embedding_spark.analytics import dedup, similarity
+    from instructor_embedding_spark.session import get_spark
+    from instructor_embedding_spark.shipping import ensure_shipped
+
+    spark = get_spark(
+        app_name="ies-smoke10x", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.enabled": "true"},  # REST metrics source
+    )
+    ensure_shipped(spark, RUNTIME)
+    out: dict = {"loadavg": [round(x, 2) for x in os.getloadavg()]}
+
+    docs = _bench_corpus(spark, n_docs)
+    docs.count()  # warm the scan
+    before = _stage_totals(spark)
+    t0 = time.monotonic()
+    n_pairs = dedup.lsh_candidate_pairs(docs, text_col="content").count()
+    wall = time.monotonic() - t0
+    after = _stage_totals(spark)
+    out["dedup_lsh_pairs_10x"] = {
+        "docs": n_docs, "pairs": n_pairs, "wall_s": round(wall, 2),
+        "shuffle_write_mb": round(
+            (after["shuffle_write"] - before["shuffle_write"]) / 2**20, 1),
+        "shuffle_read_mb": round(
+            (after["shuffle_read"] - before["shuffle_read"]) / 2**20, 1),
+    }
+
+    vecs = _synth_vectors(spark, n_vecs).cache()
+    vecs.count()
+    before = _stage_totals(spark)
+    t0 = time.monotonic()
+    n_rows = similarity.lsh_cosine_topk(vecs, k=10).count()
+    wall = time.monotonic() - t0
+    after = _stage_totals(spark)
+    out["ann_lsh_cosine_topk_10x"] = {
+        "vectors": n_vecs,
+        "planes_per_table": similarity.derive_planes_per_table(n_vecs),
+        "rows": n_rows, "wall_s": round(wall, 2),
+        "shuffle_write_mb": round(
+            (after["shuffle_write"] - before["shuffle_write"]) / 2**20, 1),
+        "shuffle_read_mb": round(
+            (after["shuffle_read"] - before["shuffle_read"]) / 2**20, 1),
+    }
+    with open(os.path.join(REPO, "SMOKE10X_RESULTS.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def main() -> None:
     from instructor_embedding_spark import datagen
     from instructor_embedding_spark.query.wand import wand_topk
@@ -318,6 +416,8 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--build-only":
         build_only(sys.argv[2], int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--smoke10x":
+        print(json.dumps({"smoke10x": run_smoke10x()}))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else BENCH_DOCS
         print(json.dumps({"scaling": run_scaling(n)}))

@@ -69,7 +69,7 @@ def fuzzy_match_topk(
             for qid, q in zip(pdf["query_id"], pdf["q"]):
                 if pd.isna(qid):
                     continue  # unkeyed row: skip, don't fail the stage
-                ql = (q or "").lower()
+                ql = q.lower() if isinstance(q, str) else ""
                 scored = []
                 for v in values:
                     s = round(

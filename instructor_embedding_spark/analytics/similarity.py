@@ -355,7 +355,8 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int = 64, planes_per_table: int | None = None,
                     n_tables: int = 8,
-                    bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+                    bucket_cap: int = LSH_BUCKET_CAP,
+                    carry_vectors: bool = True) -> DataFrame:
     """Approximate kNN: MULTI-TABLE random-hyperplane LSH + exact re-rank.
 
     High-dim near-orthogonal vectors defeat a single signature (recall
@@ -372,17 +373,23 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
     property-tested at two corpus sizes in tests/test_analytics.py.
 
     Scale path: the n² crossJoin becomes a self-join keyed on
-    (table, sig) — candidates only within a bucket."""
+    (table, sig) — candidates only within a bucket.  With
+    ``carry_vectors=False`` the T-way exploded signature rows carry IDS
+    ONLY and the (distinct) candidate pairs re-join their vectors before
+    the rerank — T× less shuffle volume on the wide vector payload at the
+    cost of two extra hash joins; the right trade once vectors × T stops
+    fitting comfortably through the bucket shuffle (~10^8+ rows).  Both
+    paths produce identical results (parity-tested)."""
     if planes_per_table is None:
         planes_per_table = derive_planes_per_table(embeddings.count())
-    e = embeddings.select(
+    base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("n", _norm(F.col("v")))
 
     sig_udf = _cosine_sigs_udf(dim, planes_per_table, n_tables)
-    e = e.withColumn("sigs", sig_udf(F.col("v"))).select(
-        "vid", "v", "n",
+    e = base.withColumn("sigs", sig_udf(F.col("v"))).select(
+        "vid", *(("v", "n") if carry_vectors else ()),
         F.posexplode("sigs").alias("tbl", "sig"),
     )
     # hot-bucket guard: the window shuffles on the same (tbl, sig) keys
@@ -391,21 +398,51 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
         "bsz", F.count(F.lit(1)).over(Window.partitionBy("tbl", "sig"))
     ).filter(F.col("bsz") <= bucket_cap).drop("bsz")
 
-    a = e.select(F.col("vid").alias("vec_id"), F.col("v").alias("va"),
-                 F.col("n").alias("na"), "tbl", "sig")
-    b = e.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vb"),
-                 F.col("n").alias("nb"), "tbl", "sig")
-    scored = (
-        a.join(b, ["tbl", "sig"])
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id", "neighbor_id",
-            (_pair_dot_udf(F.col("va"), F.col("vb"))
-             / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+    if carry_vectors:
+        a = e.select(F.col("vid").alias("vec_id"), F.col("v").alias("va"),
+                     F.col("n").alias("na"), "tbl", "sig")
+        b = e.select(F.col("vid").alias("neighbor_id"),
+                     F.col("v").alias("vb"), F.col("n").alias("nb"),
+                     "tbl", "sig")
+        scored = (
+            a.join(b, ["tbl", "sig"])
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select(
+                "vec_id", "neighbor_id",
+                (_pair_dot_udf(F.col("va"), F.col("vb"))
+                 / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+            )
+            .groupBy("vec_id", "neighbor_id")
+            .agg(F.first("cos_raw").alias("cos_raw"))  # dedup table hits
         )
-        .groupBy("vec_id", "neighbor_id")
-        .agg(F.first("cos_raw").alias("cos_raw"))  # dedup multi-table hits
-    )
+    else:
+        cand = (
+            e.select(F.col("vid").alias("vec_id"), "tbl", "sig")
+            .join(e.select(F.col("vid").alias("neighbor_id"), "tbl", "sig"),
+                  ["tbl", "sig"])
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id")
+            .distinct()  # dedup BEFORE scoring: each pair reranked once
+        )
+        scored = (
+            cand.join(
+                base.select(F.col("vid").alias("vec_id"),
+                            F.col("v").alias("va"),
+                            F.col("n").alias("na")),
+                "vec_id",
+            )
+            .join(
+                base.select(F.col("vid").alias("neighbor_id"),
+                            F.col("v").alias("vb"),
+                            F.col("n").alias("nb")),
+                "neighbor_id",
+            )
+            .select(
+                "vec_id", "neighbor_id",
+                (_pair_dot_udf(F.col("va"), F.col("vb"))
+                 / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+            )
+        )
     w = Window.partitionBy("vec_id").orderBy(
         F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id").asc()
     )

@@ -39,13 +39,20 @@ VOTEK_SELECT = 5
 
 def fast_votek(embeddings: DataFrame, select_num: int = VOTEK_SELECT,
                k: int = VOTEK_K, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               knn: DataFrame | None = None) -> DataFrame:
     """(rank, vec_id, score) — the ``select_num`` picks in selection
-    order, with each round's winning (rounded) discounted-vote score."""
+    order, with each round's winning (rounded) discounted-vote score.
+
+    ``knn`` overrides the vote-graph source with any precomputed
+    (vec_id, neighbor_id) top-k table — pass ``lsh_cosine_topk`` /
+    ``ivf_cosine_topk`` output to run the selection over an approximate
+    graph at corpus sizes where the exact O(n²) graph is off the table."""
     spark = embeddings.sparkSession
+    if knn is None:
+        knn = cosine_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
     votes = (
-        cosine_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
-        .select(
+        knn.select(
             F.col("neighbor_id").alias("cand"),
             F.col("vec_id").alias("voter"),
         )

@@ -451,3 +451,19 @@ def test_lsh_hot_bucket_cap_drops_degenerate_buckets(spark):
     )
     assert lsh_candidate_pairs(docs, bucket_cap=30).collect() == []
     assert len(lsh_candidate_pairs(docs, bucket_cap=1000).collect()) > 0
+
+
+def test_lsh_id_only_join_variant_identical(spark, sf_small_dir):
+    """carry_vectors=False (ids through the bucket shuffle, vectors
+    re-joined for the rerank) must produce byte-identical results to the
+    inline-vector path — it is the same operator, different shuffle
+    payload."""
+    from instructor_embedding_spark.analytics.similarity import (
+        lsh_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet")
+    inline = sorted(map(tuple, lsh_cosine_topk(emb, k=10).collect()))
+    idonly = sorted(map(tuple, lsh_cosine_topk(
+        emb, k=10, carry_vectors=False).collect()))
+    assert inline == idonly

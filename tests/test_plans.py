@@ -99,3 +99,56 @@ def test_fielded_bm25_plan_broadcasts_query_terms(spark, built):
     )
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_lsh_id_only_plan_is_bucketed_not_cartesian(spark, sf_small_dir):
+    """The carry_vectors=False variant adds two hash joins (vector
+    re-join) but must stay free of cartesian products, like the inline
+    path."""
+    from instructor_embedding_spark.analytics.similarity import (
+        lsh_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet")
+    plan = _formatted(lsh_cosine_topk(emb, k=5, carry_vectors=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_logreg_gd_round_plan_is_narrow(spark, sf_small_dir):
+    """Each GD round's gradient job must be a narrow map + one
+    aggregation over dim+1 cells — no join, no cartesian (the weights are
+    broadcast literals inside the logit fold)."""
+    from pyspark.sql import functions as F
+    from instructor_embedding_spark.analytics.clustering import (
+        LOGREG_QUANT,
+        _logreg_z,
+    )
+
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet")
+    pts = emb.select(
+        (F.col("label") % 2).cast("long").alias("y"),
+        F.concat(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.array(F.lit(1.0)),
+        ).alias("ve"),
+    ).withColumn(
+        "vqe",
+        F.transform("ve", lambda x: F.round(x * LOGREG_QUANT, 0)
+                    .cast("long")),
+    )
+    w = [0.01] * 65
+    grad = (
+        pts.withColumn(
+            "pq",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
+                    * LOGREG_QUANT, 0).cast("long"),
+        )
+        .withColumn("resid", F.col("pq") - F.col("y") * LOGREG_QUANT)
+        .select("resid", F.posexplode("vqe").alias("i", "vq"))
+        .groupBy("i")
+        .agg(F.sum(F.col("resid") * F.col("vq")).alias("s"))
+    )
+    plan = _formatted(grad)
+    assert "Join" not in plan, plan[:1200]
+    assert "HashAggregate" in plan  # partial+final over dim+1 cells
