@@ -296,6 +296,41 @@ def derive_planes_sql(count_expr: str, target: int = LSH_TARGET_BUCKET,
     return f"CASE {branches} ELSE {hi} END"
 
 
+def lsh_bucket_stats(embeddings: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", dim: int = 64,
+                     planes_per_table: int | None = None,
+                     n_tables: int = 8,
+                     bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """(tbl, n_buckets, max_bucket, p99_bucket, n_dropped_buckets,
+    n_dropped_rows) per LSH table — the observability surface for the
+    hot-bucket cap: run this before committing an expensive pair join to
+    see what a corpus would drop (and whether the derived P actually
+    holds occupancy near LSH_TARGET_BUCKET)."""
+    if planes_per_table is None:
+        planes_per_table = derive_planes_per_table(embeddings.count())
+    sig_udf = _cosine_sigs_udf(dim, planes_per_table, n_tables)
+    sizes = (
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("sigs", sig_udf(F.col("v")))
+        .select("vid", F.posexplode("sigs").alias("tbl", "sig"))
+        .groupBy("tbl", "sig")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+    )
+    return sizes.groupBy("tbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("bsz").cast("long").alias("max_bucket"),
+        F.percentile_approx("bsz", 0.99).cast("long").alias("p99_bucket"),
+        F.sum((F.col("bsz") > bucket_cap).cast("long"))
+        .cast("long").alias("n_dropped_buckets"),
+        F.sum(F.when(F.col("bsz") > bucket_cap, F.col("bsz"))
+              .otherwise(F.lit(0))).cast("long").alias("n_dropped_rows"),
+    ).orderBy("tbl")
+
+
 def _cosine_sigs_udf(dim: int, planes_per_table: int, n_tables: int):
     """pandas_udf: double-array column → array of per-table sign
     signatures.  V@P.T over quantized int64 is exact, so the DuckDB twin

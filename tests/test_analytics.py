@@ -467,3 +467,25 @@ def test_lsh_id_only_join_variant_identical(spark, sf_small_dir):
     idonly = sorted(map(tuple, lsh_cosine_topk(
         emb, k=10, carry_vectors=False).collect()))
     assert inline == idonly
+
+
+def test_lsh_bucket_stats_counts_drops(spark):
+    """The observability surface must agree with the cap behavior: a
+    degenerate one-bucket corpus reports its drop; a healthy corpus
+    reports none."""
+    from instructor_embedding_spark.analytics.similarity import (
+        lsh_bucket_stats,
+    )
+
+    degenerate = spark.createDataFrame(
+        [(vid, [1.0] * 8 + [0.0001 * vid] * 8, 0) for vid in range(60)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    stats = lsh_bucket_stats(degenerate, dim=16, bucket_cap=50).collect()
+    assert len(stats) == 8  # one row per table
+    assert all(r.n_dropped_buckets >= 1 and r.n_dropped_rows >= 51
+               for r in stats), stats
+
+    healthy = _clustered_embeddings(spark, 400)
+    stats = lsh_bucket_stats(healthy, dim=16).collect()
+    assert all(r.n_dropped_buckets == 0 for r in stats), stats
