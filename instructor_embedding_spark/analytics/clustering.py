@@ -184,11 +184,14 @@ def kmeans_lloyd_sql(table: str, k: int, iters: int = LLOYD_ITERS,
 def lloyd_ctes_sql(table: str, k: int, iters: int = LLOYD_ITERS,
                    dim: int = 64, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   label_col: str = "label") -> tuple[list[str], str]:
+                   label_col: str = "label",
+                   k_expr: str | None = None) -> tuple[list[str], str]:
     """The unrolled Lloyd CTE chain, reusable by downstream oracles (the
     IVF ANN twin probes c{iters} / a{iters}).  Returns (cte_parts,
     dist_expr) where dist_expr references aliases p (points) and c
-    (centroids)."""
+    (centroids).  ``k_expr`` (a scalar SQL expression) overrides the
+    literal seed limit — how the IVF twin derives its cell count from
+    count(*) inside the static SQL."""
     dist = (
         "round(list_sum(list_transform(range(1, {dim} + 1), "
         "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))), {dd})"
@@ -224,7 +227,8 @@ c{next} AS (
     ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS rn
   FROM pts
 )""",
-        f"c0 AS (SELECT rn - 1 AS cluster, v AS c FROM seed WHERE rn <= {k})",
+        f"c0 AS (SELECT rn - 1 AS cluster, v AS c FROM seed "
+        f"WHERE rn <= {k_expr if k_expr is not None else k})",
     ]
     for t in range(iters):
         parts.append(assign_tpl.format(t=t, dist=dist))

@@ -736,15 +736,45 @@ SELECT vec_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {k}
 """
 
 
-#: IVF defaults: 8 coarse cells, probe the 2 nearest — at sandbox corpus
-#: sizes that scans ~25% of the lists per query; at 100 TB, n_cells grows
-#: to √n-ish and nprobe tunes the recall/cost point.
-IVF_CELLS = 8
-IVF_NPROBE = 2
+#: IVF auto-sizing (same story as the LSH planes): the coarse cell count
+#: is DERIVED from n as the smallest power of two with
+#: cells × IVF_TARGET_LIST >= n, so inverted-list length stays ~constant
+#: as the corpus grows (the FAISS √n-ish rule, exact-integer version);
+#: nprobe = max(2, cells // 4) keeps the probed fraction ~25%.  Both
+#: derivations are pure integer arithmetic, reproduced in the static SQL
+#: twin via a CASE chain over count(*).
+IVF_TARGET_LIST = 64
+IVF_MIN_CELLS = 4
+IVF_MAX_CELLS = 4096
+
+
+def derive_ivf_cells(n: int, target: int = IVF_TARGET_LIST,
+                     lo: int = IVF_MIN_CELLS,
+                     hi: int = IVF_MAX_CELLS) -> int:
+    """Smallest power-of-2 c in [lo, hi] with c * target >= n."""
+    c = lo
+    while c < hi and c * target < n:
+        c *= 2
+    return c
+
+
+def derive_ivf_cells_sql(count_expr: str, target: int = IVF_TARGET_LIST,
+                         lo: int = IVF_MIN_CELLS,
+                         hi: int = IVF_MAX_CELLS) -> str:
+    branches = []
+    c = lo
+    while c < hi:
+        branches.append(f"WHEN {count_expr} <= {c * target} THEN {c}")
+        c *= 2
+    return "CASE " + " ".join(branches) + f" ELSE {hi} END"
+
+
+def derive_ivf_nprobe(cells: int) -> int:
+    return max(2, cells // 4)
 
 
 def ivf_cosine_topk(embeddings: DataFrame, k: int = 10,
-                    n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+                    n_cells: int | None = None, nprobe: int | None = None,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int = 64) -> DataFrame:
     """FAISS-IVF analog (examples/faiss/README.md:49-90 trains an index
@@ -755,13 +785,19 @@ def ivf_cosine_topk(embeddings: DataFrame, k: int = 10,
 
     Scale shape: cells are literal broadcast constants, storage assignment
     is a narrow expression, and the candidate join keys on the cell id —
-    per-query work is bounded by the probed lists, never the corpus."""
+    per-query work is bounded by the probed lists, never the corpus.
+    ``n_cells``/``nprobe`` default to the count-derived values (see
+    derive_ivf_cells), so list length stays ~IVF_TARGET_LIST at any n."""
     from instructor_embedding_spark.analytics.clustering import (
         _lloyd_assign,
         lloyd_centroids,
         lloyd_choice_array,
     )
 
+    if n_cells is None:
+        n_cells = derive_ivf_cells(embeddings.count())
+    if nprobe is None:
+        nprobe = derive_ivf_nprobe(n_cells)
     pts = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -804,19 +840,42 @@ def ivf_cosine_topk(embeddings: DataFrame, k: int = 10,
     )
 
 
-def ivf_cosine_topk_sql(table: str, k: int = 10, n_cells: int = IVF_CELLS,
-                        nprobe: int = IVF_NPROBE, id_col: str = "vec_id",
+def ivf_cosine_topk_sql(table: str, k: int = 10,
+                        n_cells: int | None = None,
+                        nprobe: int | None = None,
+                        id_col: str = "vec_id",
                         vec_col: str = "embedding", dim: int = 64) -> str:
     """DuckDB twin of :func:`ivf_cosine_topk` — reuses the unrolled Lloyd
     CTE chain; probe ranking uses the same rounded distances, so cell
-    membership and probe sets match the Spark side exactly."""
+    membership and probe sets match the Spark side exactly.  With the
+    default derived params, cells/nprobe come from count(*) via the same
+    integer CASE chain the Spark side evaluates in Python."""
     from instructor_embedding_spark.analytics.clustering import (
         LLOYD_ITERS,
         lloyd_ctes_sql,
     )
 
-    parts, dist = lloyd_ctes_sql(table, n_cells, dim=dim, id_col=id_col,
-                                 vec_col=vec_col)
+    if n_cells is None:
+        cells_expr = "(SELECT cells FROM ivf_der)"
+        nprobe_expr = "(SELECT np FROM ivf_der)"
+        der_cte = (
+            "ivf_der AS (SELECT "
+            + derive_ivf_cells_sql("count(*)")
+            + " AS cells, greatest(2, ("
+            + derive_ivf_cells_sql("count(*)")
+            + ") // 4) AS np FROM pts)"
+        )
+    else:
+        cells_expr = str(n_cells)
+        nprobe_expr = str(nprobe if nprobe is not None
+                          else derive_ivf_nprobe(n_cells))
+        der_cte = None
+    parts, dist = lloyd_ctes_sql(table, n_cells or 0, dim=dim,
+                                 id_col=id_col, vec_col=vec_col,
+                                 k_expr=cells_expr if n_cells is None
+                                 else None)
+    if der_cte is not None:
+        parts.insert(1, der_cte)  # after pts, before the seed/c0 chain
     ctes = ",\n".join(parts)
     it = LLOYD_ITERS
     return f"""
@@ -833,7 +892,7 @@ probes AS (
              PARTITION BY p.vid ORDER BY {dist} ASC, c.cluster ASC
            ) AS rn
     FROM pts p CROSS JOIN c{it} c
-  ) WHERE rn <= {nprobe}
+  ) WHERE rn <= {nprobe_expr}
 ),
 scored AS (
   SELECT q.vid AS vec_id, t.vid AS neighbor_id,

@@ -489,3 +489,19 @@ def test_lsh_bucket_stats_counts_drops(spark):
     healthy = _clustered_embeddings(spark, 400)
     stats = lsh_bucket_stats(healthy, dim=16).collect()
     assert all(r.n_dropped_buckets == 0 for r in stats), stats
+
+
+def test_ivf_derivation_adapts():
+    """Pure-integer param derivations (no Spark needed): cell count tracks
+    n at ~constant list length; probed fraction stays ~25%."""
+    from instructor_embedding_spark.analytics.similarity import (
+        derive_ivf_cells,
+        derive_ivf_nprobe,
+    )
+
+    assert derive_ivf_cells(500) == 8        # 8 * 64 >= 500
+    assert derive_ivf_cells(20_000) == 512   # 512 * 64 >= 20_000
+    assert derive_ivf_cells(10) == 4         # floor
+    assert derive_ivf_cells(10**9) == 4096   # cap
+    assert derive_ivf_nprobe(8) == 2
+    assert derive_ivf_nprobe(512) == 128
