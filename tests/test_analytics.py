@@ -505,3 +505,58 @@ def test_ivf_derivation_adapts():
     assert derive_ivf_cells(10**9) == 4096   # cap
     assert derive_ivf_nprobe(8) == 2
     assert derive_ivf_nprobe(512) == 128
+
+
+def test_fast_votek_matches_pure_python_reference(spark):
+    """Semantic fidelity beyond engine parity: the operator must equal a
+    direct numpy transcription of the reference algorithm
+    (two_steps.py:99-134) under the pinned tie-breaks."""
+    import numpy as np
+    from instructor_embedding_spark.analytics.votek import fast_votek
+
+    rows = []
+    for vid in range(40):
+        v = [((vid * 17 + d * 5) % 13 - 6) / 6.0 + (0.5 if d == vid % 4
+             else 0.0) for d in range(4)]
+        rows.append((vid, v, 0))
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    k, select_num = 4, 4
+
+    # reference transcription with the operator's pinned determinism:
+    # kNN by round(cos, 6) DESC then neighbor ASC; pick by round(score, 6)
+    # DESC then id ASC
+    sims = (X @ X.T) / (np.linalg.norm(X, axis=1)[:, None]
+                        * np.linalg.norm(X, axis=1)[None, :])
+    votes: dict[int, list[int]] = {}
+    for i in range(len(X)):
+        order = sorted(
+            (j for j in range(len(X)) if j != i),
+            key=lambda j: (-round(sims[i, j], 6), j),
+        )[:k]
+        for j in order:
+            votes.setdefault(j, []).append(i)
+    selected: list[int] = []
+    for _ in range(select_num):
+        times = {
+            s: sum(1 for c in selected for s2 in votes.get(c, [])
+                   if s2 == s)
+            for s in range(len(X))
+        }
+        best = None
+        for c, supporters in votes.items():
+            if c in selected:
+                continue
+            sc = round(sum(10.0 ** -times[s] for s in supporters
+                           if s not in selected), 6)
+            cand = (-sc, c)
+            if best is None or cand < best:
+                best = cand
+        selected.append(best[1])
+
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = [r.vec_id for r in
+           fast_votek(df, select_num=select_num, k=k)
+           .orderBy("rank").collect()]
+    assert got == selected, (got, selected)

@@ -91,3 +91,49 @@ def test_rouge_l_summary(spark):
     row = rouge_l_summary(rouge_l(pairs)).collect()[0]
     assert row.n_pairs == 2
     assert row.mean_f == pytest.approx(0.5, abs=1e-6)  # (1.0 + 0.0) / 2
+
+
+def test_rouge_l_sql_twin_property(spark):
+    """The recursive-CTE LCS must equal the naive O(nm) DP on adversarial
+    token sequences: empties, all-repeats, disjoint, near-identical."""
+    import duckdb
+    import pandas as pd
+    from instructor_embedding_spark.metrics.generation import rouge_l_sql
+    from instructor_embedding_spark.functions.tokenize import tokenize_py
+
+    def naive_lcs(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = (
+                    dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                    else max(dp[i - 1][j], dp[i][j - 1])
+                )
+        return dp[-1][-1]
+
+    cases = [
+        ("", ""),
+        ("alpha beta gamma", ""),
+        ("", "alpha beta"),
+        ("aaa aaa aaa aaa", "aaa aaa"),
+        ("alpha beta gamma delta", "delta gamma beta alpha"),
+        ("merge sort quick sort heap sort", "sort merge sort quick"),
+        ("one two three four five six seven", "zero two four six eight"),
+        ("xx yy " * 30, "yy xx " * 25),
+        ("the of and or", "the of and or"),  # all stopwords → empty tokens
+    ]
+    pdf = pd.DataFrame(
+        [(i, c, r) for i, (c, r) in enumerate(cases)],
+        columns=["pair_id", "candidate", "reference"],
+    )
+    con = duckdb.connect()
+    con.register("pairs_py", pdf)
+    got = {
+        r[0]: r[1]
+        for r in con.execute(
+            rouge_l_sql("SELECT * FROM pairs_py")
+        ).fetchall()
+    }
+    for i, (c, r) in enumerate(cases):
+        want = naive_lcs(tokenize_py(c), tokenize_py(r))
+        assert got[i] == want, (i, c, r, got[i], want)
