@@ -639,12 +639,14 @@ def lsh_euclidean_topk(embeddings: DataFrame, k: int = 10,
             ]
         )
 
-    e = embeddings.select(
+    base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    e = e.withColumn("sigs", keys_udf(F.col("v"))).select(
-        "vid", "v", F.posexplode("sigs").alias("tbl", "sig")
+    # ids-only through the bucket shuffle + dedup-before-rerank, like
+    # lsh_cosine_topk's default mode (measured faster at every size)
+    e = base.withColumn("sigs", keys_udf(F.col("v"))).select(
+        "vid", F.posexplode("sigs").alias("tbl", "sig")
     )
     # hot-bucket guard (grid cells are unbounded, so a dense region — all
     # vectors near one point — would otherwise go quadratic)
@@ -652,19 +654,23 @@ def lsh_euclidean_topk(embeddings: DataFrame, k: int = 10,
         "bsz", F.count(F.lit(1)).over(Window.partitionBy("tbl", "sig"))
     ).filter(F.col("bsz") <= bucket_cap).drop("bsz")
 
-    a = e.select(F.col("vid").alias("vec_id"), F.col("v").alias("va"),
-                 "tbl", "sig")
-    b = e.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vb"),
-                 "tbl", "sig")
-    scored = (
-        a.join(b, ["tbl", "sig"])
+    cand = (
+        e.select(F.col("vid").alias("vec_id"), "tbl", "sig")
+        .join(e.select(F.col("vid").alias("neighbor_id"), "tbl", "sig"),
+              ["tbl", "sig"])
         .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(base.select(F.col("vid").alias("vec_id"),
+                              F.col("v").alias("va")), "vec_id")
+        .join(base.select(F.col("vid").alias("neighbor_id"),
+                          F.col("v").alias("vb")), "neighbor_id")
         .select(
             "vec_id", "neighbor_id",
             _pair_l2_udf(F.col("va"), F.col("vb")).alias("dist_raw"),
         )
-        .groupBy("vec_id", "neighbor_id")
-        .agg(F.first("dist_raw").alias("dist_raw"))  # dedup multi-table hits
     )
     win = Window.partitionBy("vec_id").orderBy(
         F.round(F.col("dist_raw"), 6).asc(), F.col("neighbor_id").asc()
