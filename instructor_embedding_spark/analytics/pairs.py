@@ -252,40 +252,54 @@ def knn_classify_lsh(embeddings: DataFrame, k: int = 5,
     test×train crossJoin replaced by a self-join on multi-table
     random-hyperplane signatures.  A test point votes only among train
     points it collides with; uncovered test points drop out (n_test counts
-    the covered ones)."""
+    the covered ones).
+
+    Like the ANN default, the bucket join ships IDS ONLY and candidate
+    (test, train) pairs de-duplicate before vectors re-join for the
+    cosine — multi-table collisions are scored once and the wide payload
+    stays out of the T-way shuffle."""
     from instructor_embedding_spark.analytics.similarity import (
         _cosine_sigs_udf,
     )
 
-    e = embeddings.select(
+    base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         F.col(label_col).alias("label"),
     ).withColumn("n", _norm(F.col("v")))
     sig_udf = _cosine_sigs_udf(dim, planes_per_table, n_tables)
-    e = e.withColumn("sigs", sig_udf(F.col("v"))).select(
-        "vid", "v", "n", "label",
-        F.posexplode("sigs").alias("tbl", "sig"),
+    e = base.withColumn("sigs", sig_udf(F.col("v"))).select(
+        "vid", F.posexplode("sigs").alias("tbl", "sig"),
     )
-    train = e.filter(F.col("vid") % 2 == 0).select(
-        F.col("vid").alias("tid"), F.col("v").alias("tv"),
-        F.col("n").alias("tn"), F.col("label").alias("tlabel"),
-        "tbl", "sig",
-    )
-    test = e.filter(F.col("vid") % 2 == 1).select(
-        F.col("vid").alias("qid"), F.col("v").alias("qv"),
-        F.col("n").alias("qn"), F.col("label").alias("qlabel"),
-        "tbl", "sig",
+    cand = (
+        e.filter(F.col("vid") % 2 == 1)
+        .select(F.col("vid").alias("qid"), "tbl", "sig")
+        .join(
+            e.filter(F.col("vid") % 2 == 0)
+            .select(F.col("vid").alias("tid"), "tbl", "sig"),
+            ["tbl", "sig"],
+        )
+        .select("qid", "tid")
+        .distinct()
     )
     scored = (
-        test.join(train, ["tbl", "sig"])
+        cand.join(
+            base.select(F.col("vid").alias("qid"), F.col("v").alias("qv"),
+                        F.col("n").alias("qn"),
+                        F.col("label").alias("qlabel")),
+            "qid",
+        )
+        .join(
+            base.select(F.col("vid").alias("tid"), F.col("v").alias("tv"),
+                        F.col("n").alias("tn"),
+                        F.col("label").alias("tlabel")),
+            "tid",
+        )
         .select(
             "qid", "qlabel", "tid", "tlabel",
             (_pair_dot_udf(F.col("qv"), F.col("tv"))
              / (F.col("qn") * F.col("tn"))).alias("cos_raw"),
         )
-        .groupBy("qid", "qlabel", "tid", "tlabel")
-        .agg(F.first("cos_raw").alias("cos_raw"))  # dedup multi-table hits
     )
     w = Window.partitionBy("qid").orderBy(
         F.round(F.col("cos_raw"), 6).desc(), F.col("tid").asc()
