@@ -337,6 +337,13 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict[str, object] = {}
     extra["loadavg_start"] = [round(x, 2) for x in os.getloadavg()]
+    try:  # traceability: which code produced this line
+        extra["git_head"] = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        pass
 
     # 1. indexing throughput on the datagen corpus
     docs = _bench_corpus(spark, BENCH_DOCS)
