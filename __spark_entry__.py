@@ -157,13 +157,6 @@ def _q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = bm25.tokenized(_docs(spark, sf_dir), "text")
-    return bm25.doc_stats(toks).select(
-        "doc_id", F.col("dl").cast("long").alias("dl")
-    )
-
-
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = bm25.tokenized(_docs(spark, sf_dir), "text")
     stats = bm25.corpus_stats(toks)
@@ -466,7 +459,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": _q_phrase_topk,
         "retrieval_metrics": _q_retrieval_metrics,
         "tokenize_tf": _q_tokenize_tf,
-        "doc_stats": _q_doc_stats,
+        # language-ID by char-trigram profile overlap (task mandate;
+        # integer-only scoring → exact twin).  Replaced r2's doc_stats
+        # entry, whose (doc_id, dl) output is a strict projection of
+        # tokenize_tf (A4 stays gated through that entry's dl column).
+        "text_langid_ngram": lambda s, d: text_stats.langid_ngram(
+            _docs(s, d)
+        ),
         "term_stats": _q_term_stats,
         # dedup family (documents table)
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
@@ -845,8 +844,7 @@ FROM (
   GROUP BY doc_id, term
 ) tf JOIN dl ON tf.doc_id = dl.doc_id
 """,
-        "doc_stats": _TOKS_CTE
-        + " SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM toks",
+        "text_langid_ngram": text_stats.langid_ngram_sql("documents"),
         "term_stats": _TOKS_CTE
         + """
 , dl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM toks)

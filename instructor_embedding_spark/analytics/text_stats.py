@@ -10,7 +10,7 @@ twins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from instructor_embedding_spark.functions.tokenize import sql_tokens_expr, tokens_col
@@ -153,6 +153,117 @@ def lang_profile(docs: DataFrame, text_col: str = "text",
         F.round(F.avg("n"), 6).alias("avg_tokens"),
     )
     return base.join(top, "lang")
+
+
+#: Language-ID heuristic (task mandate: "language-ID (n-gram heuristic)"):
+#: per-language character-trigram profiles learned from the even-id half
+#: of the corpus, classification by profile-overlap count.  Every score is
+#: an exact INTEGER (distinct-trigram intersections), so the DuckDB twin
+#: matches bit-for-bit — no float tolerance anywhere in the op.
+LANGID_N = 3
+LANGID_TOPK = 50
+
+
+def langid_ngram(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", lang_col: str = "lang",
+                 n: int = LANGID_N, top_k: int = LANGID_TOPK) -> DataFrame:
+    """(doc_id, lang, pred_lang, overlap) — n-gram language
+    identification: train char-trigram profiles (top_k most frequent
+    distinct-per-doc trigrams per language, ties broken lexicographically)
+    on even doc_ids, classify every doc by argmax profile-overlap
+    (ties → smallest language).  Docs sharing no trigram with any profile
+    drop out (deterministic in both engines).
+
+    Distributed shape: trigram explode is narrow; the profile is
+    langs × top_k rows — broadcast; classification is one groupBy over
+    (doc, candidate-language) cells.  No crossJoin, no Python UDF."""
+    lowered = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.lower(F.col(text_col)).alias("s"),
+    )
+    tri = lowered.select(
+        "doc_id", "lang",
+        F.explode(
+            F.when(
+                F.length("s") >= n,
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(s) - {n - 1}), "
+                        f"i -> substring(s, i, {n}))"
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tg"),
+    )
+    counts = (
+        tri.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang", "tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("tg").asc()
+    )
+    prof = (
+        counts.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= top_k)
+        .select(F.col("lang").alias("cand_lang"), "tg")
+    )
+    ov = (
+        tri.join(F.broadcast(prof), "tg")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), F.col("cand_lang").asc()
+    )
+    return (
+        ov.withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") == 1)
+        .select("doc_id", "lang", F.col("cand_lang").alias("pred_lang"),
+                F.col("overlap").cast("long").alias("overlap"))
+    )
+
+
+def langid_ngram_sql(table: str, text_col: str = "text",
+                     id_col: str = "doc_id", lang_col: str = "lang",
+                     n: int = LANGID_N, top_k: int = LANGID_TOPK) -> str:
+    """DuckDB twin of :func:`langid_ngram` — integer-only scoring, so the
+    match is exact."""
+    return f"""
+WITH s AS (
+  SELECT {id_col} AS doc_id, {lang_col} AS lang, lower({text_col}) AS s
+  FROM {table}
+),
+tri AS (
+  SELECT doc_id, lang, unnest(list_distinct(
+           CASE WHEN length(s) >= {n}
+                THEN list_transform(range(1, length(s) - {n - 2}),
+                                    i -> substr(s, i, {n}))
+                ELSE [] END)) AS tg
+  FROM s
+),
+prof AS (
+  SELECT lang AS cand_lang, tg FROM (
+    SELECT lang, tg,
+           row_number() OVER (
+             PARTITION BY lang ORDER BY count(*) DESC, tg ASC) AS rn
+    FROM tri WHERE doc_id % 2 = 0 GROUP BY lang, tg
+  ) WHERE rn <= {top_k}
+),
+ov AS (
+  SELECT t.doc_id, t.lang, p.cand_lang, count(*) AS overlap
+  FROM tri t JOIN prof p USING (tg)
+  GROUP BY t.doc_id, t.lang, p.cand_lang
+)
+SELECT doc_id, lang, cand_lang AS pred_lang,
+       CAST(overlap AS BIGINT) AS overlap
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY overlap DESC, cand_lang ASC) AS rd
+  FROM ov
+) WHERE rd = 1
+"""
 
 
 def lang_profile_sql(table: str, text_col: str = "text",

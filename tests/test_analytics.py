@@ -560,3 +560,28 @@ def test_fast_votek_matches_pure_python_reference(spark):
            fast_votek(df, select_num=select_num, k=k)
            .orderBy("rank").collect()]
     assert got == selected, (got, selected)
+
+
+def test_langid_ngram_classifies_planted_alphabets(spark):
+    """The sandbox corpus's lang tags carry no character signal (like its
+    embedding labels), so the gated entry proves engine parity; this
+    proves the classifier itself: languages with genuinely distinct
+    character distributions classify near-perfectly."""
+    from instructor_embedding_spark.analytics.text_stats import langid_ngram
+
+    words = {
+        "aa": ["kalle", "pumpka", "lampu", "karpuk", "pulka"],
+        "bb": ["zyzzo", "wyzzow", "ozzyw", "wozzy", "zowyz"],
+        "cc": ["tintin", "nitnit", "tinnit", "intint", "nittin"],
+    }
+    rows = []
+    vid = 0
+    for lang, ws in words.items():
+        for i in range(20):
+            text = " ".join(ws[(i + j) % len(ws)] for j in range(6))
+            rows.append((vid, text, lang))
+            vid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = langid_ngram(df).collect()
+    acc = sum(1 for r in out if r.pred_lang == r.lang) / len(out)
+    assert acc > 0.95, acc
