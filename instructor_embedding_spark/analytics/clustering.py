@@ -506,9 +506,13 @@ def v_measure(assignments: DataFrame, label_col: str = "label",
     com = 1.0 if h_k == 0 else 1.0 - h_k_given_c / h_k
     v = 0.0 if (hom + com) == 0 else 2.0 * hom * com / (hom + com)
 
+    # half-away-from-zero like the DuckDB twin's round(), NOT Python's
+    # banker's round (same discipline as metrics.generation)
+    from instructor_embedding_spark.functions.rounding import r6
+
     spark = assignments.sparkSession
     return spark.createDataFrame(
-        [(round(hom, 6), round(com, 6), round(v, 6))],
+        [(r6(hom), r6(com), r6(v))],
         "homogeneity double, completeness double, v_measure double",
     )
 

@@ -83,16 +83,26 @@ def _norm(a):
 
 def cosine_topk(embeddings: DataFrame, k: int = 10,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                queries: DataFrame | None = None) -> DataFrame:
     """(vec_id, rank, neighbor_id, cosine) — exact brute-force kNN.
 
     O(n²) scoring; at cluster scale this is the per-bucket re-rank kernel,
-    with the LSH variant below bounding the candidate set."""
+    with the LSH variant below bounding the candidate set.
+
+    ``queries`` (same schema) restricts the LEFT side: exact top-k over
+    the full corpus for just those vectors — O(|queries|·n), the shape
+    the 10× smokes use to measure approximate-index recall against exact
+    ground truth on a sample without paying the full n²."""
     e = embeddings.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("n", _norm(F.col("v")))
-    a = e.select(
+    qe = e if queries is None else queries.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+    a = qe.select(
         F.col("vid").alias("vec_id"),
         F.col("v").alias("va"),
         F.col("n").alias("na"),
@@ -300,14 +310,21 @@ def lsh_bucket_stats(embeddings: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding", dim: int = 64,
                      planes_per_table: int | None = None,
                      n_tables: int = 8,
-                     bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+                     bucket_cap: int = LSH_BUCKET_CAP,
+                     n: int | None = None) -> DataFrame:
     """(tbl, n_buckets, max_bucket, p99_bucket, n_dropped_buckets,
     n_dropped_rows) per LSH table — the observability surface for the
     hot-bucket cap: run this before committing an expensive pair join to
     see what a corpus would drop (and whether the derived P actually
-    holds occupancy near LSH_TARGET_BUCKET)."""
+    holds occupancy near LSH_TARGET_BUCKET).
+
+    ``n``: precomputed corpus count — pass it when composing several
+    derived-parameter ops over the same input so each doesn't pay an
+    eager count() over un-cached upstream lineage."""
     if planes_per_table is None:
-        planes_per_table = derive_planes_per_table(embeddings.count())
+        planes_per_table = derive_planes_per_table(
+            embeddings.count() if n is None else n
+        )
     sig_udf = _cosine_sigs_udf(dim, planes_per_table, n_tables)
     sizes = (
         embeddings.select(
@@ -391,7 +408,8 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
                     dim: int = 64, planes_per_table: int | None = None,
                     n_tables: int = 8,
                     bucket_cap: int = LSH_BUCKET_CAP,
-                    carry_vectors: bool = False) -> DataFrame:
+                    carry_vectors: bool = False,
+                    n: int | None = None) -> DataFrame:
     """Approximate kNN: MULTI-TABLE random-hyperplane LSH + exact re-rank.
 
     High-dim near-orthogonal vectors defeat a single signature (recall
@@ -417,9 +435,15 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
     better at 10^9+ where vectors × T would dominate the shuffle.
     ``carry_vectors=True`` keeps the single-shuffle inline-payload plan
     (useful when the re-join itself is the bottleneck, e.g. very small
-    vectors).  Both paths produce identical results (parity-tested)."""
+    vectors).  Both paths produce identical results (parity-tested).
+
+    ``n``: precomputed corpus count (skips the eager count() this call
+    otherwise issues to derive P — pass it when composing with other
+    derived-parameter ops, or cache the input)."""
     if planes_per_table is None:
-        planes_per_table = derive_planes_per_table(embeddings.count())
+        planes_per_table = derive_planes_per_table(
+            embeddings.count() if n is None else n
+        )
     base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -510,6 +534,11 @@ def cosine_sig_rows_sql(select_cols: str, src: str, dim: int = 64,
     count) the full LSH_MAX_PLANES-bit block is built and the signature is
     its substr prefix — how the static oracle adapts P to the corpus count
     it only knows at run time."""
+    if nbits_expr is None and planes_per_table < 1:
+        raise ValueError(
+            f"planes_per_table must be >= 1 (got {planes_per_table}); "
+            "pass nbits_expr for a run-time-derived plane count"
+        )
     P = _plane_matrix(n_tables * LSH_MAX_PLANES, dim)
     gen_planes = LSH_MAX_PLANES if nbits_expr is not None else planes_per_table
     sig_rows = []
@@ -540,15 +569,18 @@ def lsh_cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
     integer signature sums make bucket membership engine-independent;
     plane count derived from count(*) by the same integer CASE chain the
     Spark side evaluates in Python; the same hot-bucket cap applied."""
-    nbits = (
-        "(SELECT nbits FROM nb)" if planes_per_table is None
-        else str(planes_per_table)
-    )
-    sigs = cosine_sig_rows_sql(
-        "vid, v, nrm", "n", dim,
-        planes_per_table or 0, n_tables,
-        nbits_expr=nbits if planes_per_table is None else None,
-    )
+    # branch on `is None` (NOT truthiness): an explicit planes_per_table=0
+    # must fail cosine_sig_rows_sql's validation, not silently emit an
+    # empty signature concat
+    if planes_per_table is None:
+        sigs = cosine_sig_rows_sql(
+            "vid, v, nrm", "n", dim, n_tables=n_tables,
+            nbits_expr="(SELECT nbits FROM nb)",
+        )
+    else:
+        sigs = cosine_sig_rows_sql(
+            "vid, v, nrm", "n", dim, planes_per_table, n_tables
+        )
     return f"""
 WITH e AS (
   SELECT {id_col} AS vid,
@@ -785,7 +817,7 @@ def derive_ivf_nprobe(cells: int) -> int:
 def ivf_cosine_topk(embeddings: DataFrame, k: int = 10,
                     n_cells: int | None = None, nprobe: int | None = None,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    dim: int = 64) -> DataFrame:
+                    dim: int = 64, n: int | None = None) -> DataFrame:
     """FAISS-IVF analog (examples/faiss/README.md:49-90 trains an index
     over embeddings): the deterministic Lloyd's quantizer
     (clustering.lloyd_centroids) assigns every vector to its nearest cell;
@@ -804,7 +836,7 @@ def ivf_cosine_topk(embeddings: DataFrame, k: int = 10,
     )
 
     if n_cells is None:
-        n_cells = derive_ivf_cells(embeddings.count())
+        n_cells = derive_ivf_cells(embeddings.count() if n is None else n)
     if nprobe is None:
         nprobe = derive_ivf_nprobe(n_cells)
     pts = embeddings.select(

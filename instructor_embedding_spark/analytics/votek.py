@@ -9,9 +9,11 @@ already "spent" are exponentially discounted, pushing selection toward
 diverse regions of the embedding space.
 
 Determinism pinned for the DuckDB twin (the reference breaks score ties by
-dict insertion order — here: round(score, 6) DESC, id ASC; the kNN edges
-themselves use the round(cosine, 6) DESC, neighbor ASC order the
-``cosine_topk`` oracle already gates):
+dict insertion order — here: EXACT integer score DESC, id ASC, where the
+integer score sums weights 10**(select_num - 1 - t) so no float summation
+order can flip a pick in either engine; the kNN edges themselves use the
+round(cosine, 6) DESC, neighbor ASC order the ``cosine_topk`` oracle
+already gates):
 
 Distributed shape: the vote graph is n*k edges, built by the ANN family
 (bucketed LSH/IVF at scale, exact top-k here — the same swap every other
@@ -58,6 +60,15 @@ def fast_votek(embeddings: DataFrame, select_num: int = VOTEK_SELECT,
         )
         .cache()
     )
+    # Integer-weight scoring: 10**-t becomes the INTEGER 10**(max_exp - t)
+    # (t <= select_num - 1 by construction, so the exponent is >= 0), so
+    # each round's sum is an exact order-free BIGINT in any engine — a
+    # float sum's last-ulp could otherwise flip the argmax between Spark
+    # and DuckDB, a discrete id divergence no float tolerance absorbs.
+    # The reported float score is derived FROM the integer afterwards.
+    max_exp = select_num - 1
+    from instructor_embedding_spark.functions.rounding import r6
+
     selected: list[int] = []
     out_rows: list[tuple[int, int, float]] = []
     for r in range(1, select_num + 1):
@@ -75,16 +86,22 @@ def fast_votek(embeddings: DataFrame, select_num: int = VOTEK_SELECT,
             live = votes.withColumn("t", F.lit(None).cast("long"))
         pick = (
             live.withColumn(
-                "wt", F.pow(F.lit(10.0), -F.coalesce(F.col("t"), F.lit(0)))
+                "iwt",
+                F.pow(
+                    F.lit(10.0),
+                    F.lit(max_exp) - F.coalesce(F.col("t"), F.lit(0)),
+                ).cast("long"),  # 10**e is exact in double for e <= 15
             )
             .groupBy("cand")
-            .agg(F.round(F.sum("wt"), 6).alias("score"))
-            .orderBy(F.col("score").desc(), F.col("cand").asc())
+            .agg(F.sum("iwt").cast("long").alias("iscore"))
+            .orderBy(F.col("iscore").desc(), F.col("cand").asc())
             .limit(1)
             .collect()[0]
         )
         selected.append(int(pick["cand"]))
-        out_rows.append((r, int(pick["cand"]), float(pick["score"])))
+        out_rows.append(
+            (r, int(pick["cand"]), r6(int(pick["iscore"]) / 10.0 ** max_exp))
+        )
     votes.unpersist()
     return spark.createDataFrame(
         out_rows, "rank long, vec_id long, score double"
@@ -95,8 +112,11 @@ def fast_votek_sql(table: str, select_num: int = VOTEK_SELECT,
                    k: int = VOTEK_K, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> str:
     """DuckDB twin: the sequential selection is unrolled as
-    (t_r, sc_r, p_r, s_r) CTE quads — one per round."""
+    (t_r, sc_r, p_r, s_r) CTE quads — one per round.  Scores sum as exact
+    integer weights 10**(max_exp - t) (order-free, same as the Spark
+    side); the reported float score divides that integer at the end."""
     knn = cosine_topk_sql(table, k=k, id_col=id_col, vec_col=vec_col)
+    max_exp = select_num - 1
     parts = [
         f"knn AS ({knn})",
         "votes AS (SELECT neighbor_id AS cand, vec_id AS voter FROM knn)",
@@ -112,21 +132,24 @@ t{r} AS (
 )""")
         parts.append(f"""
 sc{r} AS (
-  SELECT v.cand, round(sum(power(10.0, -coalesce(t.t, 0))), 6) AS score
+  SELECT v.cand,
+         CAST(sum(CAST(power(10.0, {max_exp} - coalesce(t.t, 0)) AS BIGINT))
+              AS BIGINT) AS iscore
   FROM votes v LEFT JOIN t{r} t ON v.voter = t.voter
   WHERE v.cand NOT IN (SELECT id FROM {prev})
     AND v.voter NOT IN (SELECT id FROM {prev})
   GROUP BY v.cand
 )""")
         parts.append(
-            f"p{r} AS (SELECT {r} AS rank, cand AS id, score FROM sc{r} "
-            f"ORDER BY score DESC, cand ASC LIMIT 1)"
+            f"p{r} AS (SELECT {r} AS rank, cand AS id, iscore FROM sc{r} "
+            f"ORDER BY iscore DESC, cand ASC LIMIT 1)"
         )
         parts.append(
             f"s{r} AS (SELECT id FROM {prev} UNION ALL SELECT id FROM p{r})"
         )
     union = " UNION ALL ".join(
-        f"SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id, score FROM p{r}"
+        f"SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id, "
+        f"round(iscore / {10.0 ** max_exp!r}, 6) AS score FROM p{r}"
         for r in range(1, select_num + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + union
