@@ -32,14 +32,7 @@ OUT_SCHEMA = (
 )
 
 
-def _r6(x: float) -> float:
-    """Half-away-from-zero 6dp rounding (non-negative inputs) — matches
-    DuckDB's round(), unlike Python's banker's round(): P/R are exact
-    rationals lcs/n, and n a power of two makes .5-ties REAL (e.g.
-    lcs/128), where banker's would diverge from the SQL twin."""
-    import math
-
-    return math.floor(x * 1e6 + 0.5) / 1e6
+from instructor_embedding_spark.functions.rounding import r6 as _r6
 
 
 def lcs_len(a: list[str], b: list[str]) -> int:
@@ -111,22 +104,54 @@ def rouge_l_sql(pairs_sql: str, cand_col: str = "candidate",
     cur[j] = prefix-max of max(prev[j], prev[j-1]+1 if token match) —
     exactly the formulation :func:`lcs_len` vectorizes.  All state is
     integer, so the twin reproduces lcs bit-exactly; P/R/F are single
-    divisions of those integers (identical in both engines)."""
+    divisions of those integers (identical in both engines).
+
+    Size bound: the nested prefix-max makes this twin O(|cand|·|ref|²) in
+    TOKENS per pair — fine at the gated fixture sizes (candidate
+    substr(1,120) ⇒ ≤ ~25 tokens; references ≤ ~150 tokens) but
+    quadratic in reference length if pointed at long texts.  Cap the
+    reference column in ``pairs_sql`` (mirroring the candidate
+    truncation) before reusing it on bigger inputs; the Spark side
+    (:func:`rouge_l`) is O(|cand|·|ref|) and needs no cap."""
     from instructor_embedding_spark.functions.tokenize import (
         sql_tokens_expr,
     )
 
+    tok_sql = f"""
+  SELECT {id_col} AS pair_id, {sql_tokens_expr(cand_col)} AS ct,
+         {sql_tokens_expr(ref_col)} AS rt
+  FROM ({pairs_sql})
+"""
+    return f"""
+WITH fin AS ({lcs_cte_sql(tok_sql)}),
+pr AS (
+  SELECT pair_id, lcs,
+         CASE WHEN nc > 0 THEN lcs * 1.0 / nc ELSE 0.0 END AS p,
+         CASE WHEN nr > 0 THEN lcs * 1.0 / nr ELSE 0.0 END AS r
+  FROM fin
+)
+SELECT pair_id, lcs, round(p, 6) AS rouge_p, round(r, 6) AS rouge_r,
+       round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+             ELSE 0.0 END, 6) AS rouge_f
+FROM pr
+"""
+
+
+def lcs_cte_sql(tok_sql: str) -> str:
+    """Recursive-CTE LCS core, shared by :func:`rouge_l_sql` (token
+    sequences) and the fuzzy LCS-ratio twin (character sequences).
+
+    ``tok_sql``: a subquery yielding (pair_id, ct, rt) where ct/rt are
+    the two sequences as lists.  Returns a SELECT of
+    (pair_id, lcs BIGINT, nc, nr).  Iteration i of the recursion consumes
+    element i of ct, carrying the previous DP row as an INTEGER list;
+    cur[j] = prefix-max of max(prev[j], prev[j-1]+1 on match) — the same
+    recurrence :func:`lcs_len` vectorizes, with all state integer so both
+    engines agree bit-exactly.  Cost: O(len(ct)·len(rt)²) per pair — cap
+    input lengths at the call site (see rouge_l_sql's size-bound note)."""
     return f"""
 WITH RECURSIVE
-base AS (
-  SELECT {id_col} AS pair_id, {cand_col} AS cand, {ref_col} AS ref
-  FROM ({pairs_sql})
-),
-tok AS (
-  SELECT pair_id, {sql_tokens_expr('cand')} AS ct,
-         {sql_tokens_expr('ref')} AS rt
-  FROM base
-),
+tok AS ({tok_sql}),
 dp(pair_id, i, prev) AS (
   SELECT pair_id, 0, list_transform(range(0, len(rt) + 1), x -> 0)
   FROM tok
@@ -139,23 +164,11 @@ dp(pair_id, i, prev) AS (
                             THEN d.prev[j2] + 1 ELSE 0 END)))))
   FROM dp d JOIN tok s USING (pair_id)
   WHERE d.i < len(s.ct)
-),
-fin AS (
-  SELECT d.pair_id, CAST(d.prev[len(s.rt) + 1] AS BIGINT) AS lcs,
-         len(s.ct) AS nc, len(s.rt) AS nr
-  FROM dp d JOIN tok s USING (pair_id)
-  WHERE d.i = len(s.ct)
-),
-pr AS (
-  SELECT pair_id, lcs,
-         CASE WHEN nc > 0 THEN lcs * 1.0 / nc ELSE 0.0 END AS p,
-         CASE WHEN nr > 0 THEN lcs * 1.0 / nr ELSE 0.0 END AS r
-  FROM fin
 )
-SELECT pair_id, lcs, round(p, 6) AS rouge_p, round(r, 6) AS rouge_r,
-       round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
-             ELSE 0.0 END, 6) AS rouge_f
-FROM pr
+SELECT d.pair_id, CAST(d.prev[len(s.rt) + 1] AS BIGINT) AS lcs,
+       len(s.ct) AS nc, len(s.rt) AS nr
+FROM dp d JOIN tok s USING (pair_id)
+WHERE d.i = len(s.ct)
 """
 
 

@@ -61,3 +61,53 @@ def test_fuzzy_threshold_and_k(spark):
             assert a.score > b.score or (
                 a.score == b.score and a.value < b.value
             )
+
+
+def test_fuzzy_lcs_scorer_properties(spark):
+    """D6 scorer sanity: exact match ⇒ 1.0; LCS-ratio >= difflib ratio on
+    every pair (LCS >= Ratcliff-Obershelp's matched-block total); junk
+    stays below threshold."""
+    from instructor_embedding_spark.analytics.fuzzy import (
+        fuzzy_match_topk_lcs,
+    )
+
+    q, c = _mk(spark)
+    rows = fuzzy_match_topk_lcs(q, c, k=3, threshold=0.3).collect()
+    got = {(r.query_id, r.rank): (r.value, r.score) for r in rows}
+    assert got[(1, 1)] == ("United States", 1.0)
+    assert 3 not in {r.query_id for r in rows}
+    texts = {1: "united states", 2: "german", 3: "zzzz qqqq"}
+    for (qid, _), (v, s) in got.items():
+        dr = SequenceMatcher(None, texts[qid], v.lower()).ratio()
+        assert s >= round(dr, 6) - 1e-9, (qid, v, s, dr)
+
+
+def test_fuzzy_lcs_spark_matches_duckdb(spark):
+    """Engine parity for the D6 gate path on a local fixture (the driver
+    repeats this at sf0.01)."""
+    import duckdb
+
+    from instructor_embedding_spark.analytics.fuzzy import (
+        fuzzy_match_topk_lcs,
+        fuzzy_match_topk_lcs_sql,
+    )
+
+    qrows = [(1, "united states"), (2, "german"), (3, "zzzz qqqq"),
+             (4, "o'brien's query")]  # quote-escape path
+    q = spark.createDataFrame(qrows, "query_id long, query_text string")
+    c = spark.createDataFrame([(v,) for v in VALUES], "value string")
+    got = sorted(
+        tuple(r) for r in fuzzy_match_topk_lcs(q, c, k=3,
+                                               threshold=0.3).collect()
+    )
+    con = duckdb.connect()
+    vals = " UNION ALL ".join(
+        "SELECT '" + v.replace("'", "''") + "' AS value" for v in VALUES
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            fuzzy_match_topk_lcs_sql(qrows, vals, k=3, threshold=0.3)
+        ).fetchall()
+    )
+    assert got == want
