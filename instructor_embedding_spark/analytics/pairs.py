@@ -424,3 +424,120 @@ SELECT round(avg(CASE WHEN tlabel = qlabel THEN 1.0 ELSE 0.0 END), 6)
        CAST(count(*) AS BIGINT) AS n_test
 FROM pred WHERE rv = 1
 """
+
+
+def bitext_mine(src: DataFrame, tgt: DataFrame, gold: DataFrame,
+                vec_col: str = "embedding",
+                candidates: DataFrame | None = None) -> DataFrame:
+    """(n_pairs, n_correct, accuracy, precision, recall, f1) — bitext
+    gold-pair alignment (J5, BitextMiningEvaluator.py:56-68: mine the
+    nearest target for every source sentence, grade the mined pair set
+    against gold (i, j) pairs).
+
+    ``src``: (a_id, vec_col); ``tgt``: (b_id, vec_col); ``gold``:
+    (a_id, b_id).  Prediction = argmax cosine per a_id, tie-broken
+    (round(cos, 6) DESC, b_id ASC) like every top-k in the engine (D1).
+    With top-1 mining |pred| = |gold ∩ mined sources|, so P/R/F1 and
+    accuracy coincide when every source has a gold pair — all four are
+    still computed from the pair-set formulas (the reference reports all
+    of them).
+
+    ``candidates`` ((a_id, b_id), e.g. ANN output) bounds the scored
+    pairs; the default scores src × tgt — the reference's full similarity
+    matrix, fine for evaluation-sized sets.  At corpus scale pass the
+    LSH/IVF candidate set, the same swap every similarity consumer uses."""
+    a = src.select(
+        "a_id",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("va"),
+    ).withColumn("na", _norm(F.col("va")))
+    b = tgt.select(
+        "b_id",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vb"),
+    ).withColumn("nb", _norm(F.col("vb")))
+    if candidates is not None:
+        pairs_df = candidates.join(a, "a_id").join(b, "b_id")
+    else:
+        pairs_df = a.crossJoin(b)
+    scored = pairs_df.select(
+        "a_id", "b_id",
+        (_pair_dot_udf(F.col("va"), F.col("vb"))
+         / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("b_id").asc()
+    )
+    pred = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("a_id", F.col("b_id").alias("pred_b"))
+    )
+    graded = gold.join(pred, "a_id", "left").select(
+        "a_id",
+        (F.col("pred_b") == F.col("b_id")).cast("int").alias("correct"),
+        F.col("pred_b").isNotNull().cast("int").alias("mined"),
+    )
+    return graded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum("correct"), F.lit(0)).cast("long")
+        .alias("n_correct"),
+        F.round(F.coalesce(F.sum("correct"), F.lit(0))
+                / F.count(F.lit(1)), 6).alias("accuracy"),
+        F.round(F.coalesce(F.sum("correct"), F.lit(0))
+                / F.sum("mined"), 6).alias("precision"),
+        F.round(F.coalesce(F.sum("correct"), F.lit(0))
+                / F.count(F.lit(1)), 6).alias("recall"),
+        F.round(
+            2.0 * F.coalesce(F.sum("correct"), F.lit(0))
+            / (F.sum("mined") + F.count(F.lit(1))), 6
+        ).alias("f1"),
+    )
+
+
+def bitext_mine_sql(table: str, n: int = 200, offset: int = 200,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`bitext_mine` over the gated fixture shape:
+    sources = ids < n, targets = ids in [offset, offset + n), gold pair
+    (i, i + offset)."""
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+nrm AS (
+  SELECT vid, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nr
+  FROM e
+),
+a AS (SELECT vid AS a_id, v AS va, nr AS na FROM nrm WHERE vid < {n}),
+b AS (SELECT vid AS b_id, v AS vb, nr AS nb FROM nrm
+      WHERE vid >= {offset} AND vid < {offset} + {n}),
+scored AS (
+  SELECT a.a_id, b.b_id,
+         list_sum(list_transform(range(1, len(a.va) + 1),
+                                 i -> a.va[i] * b.vb[i]))
+           / (a.na * b.nb) AS cos_raw
+  FROM a CROSS JOIN b
+),
+pred AS (
+  SELECT a_id, b_id AS pred_b FROM (
+    SELECT a_id, b_id, row_number() OVER (
+      PARTITION BY a_id ORDER BY round(cos_raw, 6) DESC, b_id ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+gold AS (SELECT a_id, a_id + {offset} AS b_id FROM a),
+graded AS (
+  SELECT g.a_id,
+         CASE WHEN p.pred_b = g.b_id THEN 1 ELSE 0 END AS correct,
+         CASE WHEN p.pred_b IS NOT NULL THEN 1 ELSE 0 END AS mined
+  FROM gold g LEFT JOIN pred p USING (a_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(correct) AS BIGINT) AS n_correct,
+       round(sum(correct) * 1.0 / count(*), 6) AS accuracy,
+       round(sum(correct) * 1.0 / sum(mined), 6) AS precision,
+       round(sum(correct) * 1.0 / count(*), 6) AS recall,
+       round(2.0 * sum(correct) / (sum(mined) + count(*)), 6) AS f1
+FROM graded
+"""

@@ -122,3 +122,30 @@ def test_query_vs_oracle(spark, sf_small_dir, name):
                 assert a == pytest.approx(b, abs=2e-6), (name, s, d)
             else:
                 assert a == b, (name, s, d)
+
+
+def test_select_queries_category_filter():
+    """P9 (task-selection filter chain): the reference runs a selected
+    subset of tasks by type/category (MTEB.py task_types filter); the
+    registry analog must (a) classify every entry (no 'other'), (b)
+    partition the registry across categories, (c) compose category and
+    name filters."""
+    mod = _load_entry_module()
+    all_q = mod.queries()
+    cats = {n: mod.query_category(n) for n in all_q}
+    assert "other" not in cats.values(), {
+        n: c for n, c in cats.items() if c == "other"
+    }
+    # partition: union of per-category selections == full registry
+    union: set = set()
+    for cat in mod.QUERY_CATEGORY_PREFIXES:
+        sel = mod.select_queries(categories=[cat])
+        assert all(cats[n] == cat for n in sel)
+        union |= set(sel)
+    assert union == set(all_q)
+    # composition: category AND substring
+    sel = mod.select_queries(categories=["dedup"], name_contains="simhash")
+    assert sel and all(n.startswith("dedup_") and "simhash" in n
+                       for n in sel)
+    # empty result is valid, not an error
+    assert mod.select_queries(name_contains="zzz_nothing") == {}
