@@ -45,16 +45,35 @@ _EMPTY = pd.DataFrame(
     }
 )
 
+STATS_SCHEMA = (
+    "query_id long, doc_block long, sub_total long, sub_scored long"
+)
+
+_EMPTY_STATS = pd.DataFrame(
+    {
+        "query_id": pd.Series([], dtype="int64"),
+        "doc_block": pd.Series([], dtype="int64"),
+        "sub_total": pd.Series([], dtype="int64"),
+        "sub_scored": pd.Series([], dtype="int64"),
+    }
+)
+
 
 def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
-                 filtered: bool = False):
+                 filtered: bool = False, stats: bool = False):
     """applyInPandas kernel for one (query_id, doc_block) group.
 
     With ``filtered`` the group carries an ``allowed_bin`` varint-delta
     column (the metadata-predicate whitelist for this block); candidates
     outside it are dropped AFTER scoring — block-max upper bounds over the
     unfiltered postings remain true bounds for the filtered subset, so
-    pruning stays exact."""
+    pruning stays exact.
+
+    With ``stats`` the kernel does the SAME scoring/pruning work but
+    emits one (query_id, doc_block, sub_total, sub_scored) row instead of
+    candidates — the observability surface for how much the block-max
+    skip data actually prunes (sub_total - sub_scored sub-blocks were
+    never decoded/scored)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(pdf["query_id"].iloc[0])
@@ -83,7 +102,7 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
             n_sub = sub_max.size
             terms.append((float(row["idf"]), doc_ids, tfs, offsets, sub_max))
         if not terms:
-            return _EMPTY
+            return _EMPTY_STATS if stats else _EMPTY
 
         # Upper bound per sub-block = Σ_t sub_max[t][j]; process in
         # descending-UB order, stop once UB < kth-best (strict).
@@ -102,9 +121,11 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
         # kth candidate and win on doc_id ASC. Skipping only when
         # ub < θ - quantum keeps pruning safe under the pinned tie-break.
         quantum = 10.0 ** (-SCORE_DECIMALS)
+        n_scored = 0
         for j in order:
             if ub[j] <= 0.0 or (kth_count >= k and ub[j] < theta - quantum):
                 break
+            n_scored += 1
             scores = np.zeros(sub_span, dtype=np.float64)
             sub_base = base + j * sub_span
             touched = False
@@ -146,6 +167,15 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
             if kth_count >= k:
                 theta = np.partition(all_scores, kth_count - k)[kth_count - k]
 
+        if stats:
+            return pd.DataFrame(
+                {
+                    "query_id": [query_id],
+                    "doc_block": [block],
+                    "sub_total": [int(n_sub)],
+                    "sub_scored": [n_scored],
+                }
+            )
         if not cand_docs:
             return _EMPTY
         docs = np.concatenate(cand_docs)
@@ -204,6 +234,81 @@ def _pack_filter(doc_filter: DataFrame, span: int) -> DataFrame:
     )
 
 
+def _grouped_hits(
+    spark: SparkSession,
+    handle: IndexHandle,
+    queries: DataFrame,
+    doc_filter: DataFrame | None,
+    segments: DataFrame | None,
+    doc_lens: DataFrame | None,
+) -> DataFrame | None:
+    """Shared scatter construction for the scoring and stats kernels:
+    tokenized query terms joined against the segment scan and packed doc
+    lengths, one group per (query_id, doc_block).  None when the queries
+    tokenize to nothing.
+
+    Inlines the (tiny, driver-known) query-term set as a scan predicate:
+    a broadcast join alone does NOT push its keys into the parquet scan,
+    so without this the whole index would be read per query batch.  With
+    it, `.explain` shows PushedFilters: [In(term, [...])] and row groups
+    that contain none of the query terms are skipped via column stats
+    (segments are written term-sorted within files for exactly this).
+    One collect serves both the pushdown list AND the broadcast side
+    (LocalRelation — no second tokenize job per query batch)."""
+    p = handle.params
+    segments = segments if segments is not None else handle.segments(spark)
+    doc_lens = doc_lens if doc_lens is not None else handle.doc_lens(spark)
+
+    qt = query_terms(queries, p.use_pandas_udf_tokenizer)
+    qt_rows = [(r["query_id"], r["term"]) for r in qt.collect()]
+    term_list = sorted({t for _, t in qt_rows})
+    if not term_list:
+        return None
+    qt = spark.createDataFrame(qt_rows, "query_id long, term string")
+    hits = (
+        segments.select(
+            "term", "doc_block", "idf", "doc_bytes", "tf_bytes",
+            "sub_offsets", "sub_max",
+        )
+        .filter(F.col("term").isin(term_list))
+        .join(F.broadcast(qt), "term")
+    )
+    grouped = hits.join(
+        doc_lens.select("doc_block", "doc_ids_bin", "dls_bin"), "doc_block"
+    )
+    if doc_filter is not None:
+        grouped = grouped.join(
+            _pack_filter(doc_filter, p.doc_block_span), "doc_block"
+        )
+    return grouped
+
+
+def wand_scan_stats(
+    spark: SparkSession,
+    handle: IndexHandle,
+    queries: DataFrame,
+    k: int = 10,
+    segments: DataFrame | None = None,
+    doc_lens: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, doc_block, sub_total, sub_scored) — block-max pruning
+    observability: the stats twin of :func:`wand_topk` runs the identical
+    kernel loop and reports how many sub-blocks each group actually
+    decoded+scored vs its total.  1 - sum(sub_scored)/sum(sub_total) is
+    the skip rate the bench records (BENCH wand_skip_rate) — the measured
+    evidence that block-max metadata prunes at the current corpus scale."""
+    p = handle.params
+    grouped = _grouped_hits(spark, handle, queries, None, segments,
+                            doc_lens)
+    if grouped is None:
+        return spark.createDataFrame([], STATS_SCHEMA)
+    kernel = _wand_kernel(k, p.k1, p.b, handle.avgdl, p.doc_block_span,
+                          stats=True)
+    return grouped.groupBy("query_id", "doc_block").applyInPandas(
+        kernel, schema=STATS_SCHEMA
+    )
+
+
 def wand_topk(
     spark: SparkSession,
     handle: IndexHandle,
@@ -221,39 +326,11 @@ def wand_topk(
     Blocks with no allowed docs drop out of the plan via the inner join on
     the packed filter."""
     p = handle.params
-    segments = segments if segments is not None else handle.segments(spark)
-    doc_lens = doc_lens if doc_lens is not None else handle.doc_lens(spark)
-
-    qt = query_terms(queries, p.use_pandas_udf_tokenizer)
-    # Inline the (tiny, driver-known) query-term set as a scan predicate:
-    # a broadcast join alone does NOT push its keys into the parquet scan,
-    # so without this the whole index would be read per query batch.  With
-    # it, `.explain` shows PushedFilters: [In(term, [...])] and row groups
-    # that contain none of the query terms are skipped via column stats
-    # (segments are written term-sorted within files for exactly this).
-    # One collect serves both the pushdown list AND the broadcast side
-    # (LocalRelation — no second tokenize job per query batch).
-    qt_rows = [(r["query_id"], r["term"]) for r in qt.collect()]
-    term_list = sorted({t for _, t in qt_rows})
-    if not term_list:
+    grouped = _grouped_hits(spark, handle, queries, doc_filter, segments,
+                            doc_lens)
+    if grouped is None:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"
-        )
-    qt = spark.createDataFrame(qt_rows, "query_id long, term string")
-    hits = (
-        segments.select(
-            "term", "doc_block", "idf", "doc_bytes", "tf_bytes",
-            "sub_offsets", "sub_max",
-        )
-        .filter(F.col("term").isin(term_list))
-        .join(F.broadcast(qt), "term")
-    )
-    grouped = hits.join(
-        doc_lens.select("doc_block", "doc_ids_bin", "dls_bin"), "doc_block"
-    )
-    if doc_filter is not None:
-        grouped = grouped.join(
-            _pack_filter(doc_filter, p.doc_block_span), "doc_block"
         )
 
     kernel = _wand_kernel(k, p.k1, p.b, handle.avgdl, p.doc_block_span,

