@@ -43,7 +43,7 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 #: subprocess, so the bench JSON carries an old-vs-new ratio measured
 #: under the SAME host load — separating code deltas from the shared
 #: host's ±30% noise without trusting prose.  Empty ref disables.
-AB_REF = os.environ.get("SPARK_GRAFT_AB_REF", "round2-bench-baseline")
+AB_REF = os.environ.get("SPARK_GRAFT_AB_REF", "round3-bench-baseline")
 AB_DOCS = int(os.environ.get("SPARK_GRAFT_AB_DOCS", "25000"))
 
 
@@ -261,13 +261,18 @@ def _synth_vectors(spark, n: int, dim: int = 64, n_clusters: int = 50,
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             rng = np.random.default_rng(seed * 1000003 + int(ids[0]))
-            V = cents[ids % n_clusters] + rng.standard_normal(
+            # (id // 2) % k, NOT id % k: the kNN ops split train/test by
+            # id parity, and id % k would put even-id train points and
+            # odd-id test points in disjoint label sets (accuracy
+            # structurally 0 no matter how good the classifier)
+            cluster = (ids // 2) % n_clusters
+            V = cents[cluster] + rng.standard_normal(
                 (len(ids), dim)
             ) * 0.1
             yield pd.DataFrame({
                 "vec_id": ids,
                 "embedding": list(V.astype("float32")),
-                "label": (ids % n_clusters).astype("int32"),
+                "label": cluster.astype("int32"),
             })
 
     return spark.range(n).repartition(CPUS).mapInPandas(

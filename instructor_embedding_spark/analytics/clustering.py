@@ -11,6 +11,8 @@ contingency table — no sklearn:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
@@ -51,6 +53,15 @@ CENTROID_DECIMALS = 9
 CENTROID_QUANT = 10 ** 6
 
 
+#: Above this many centroids the literal-expression assignment (k structs
+#: × dim terms each) becomes a 10^5-node plan that blows up codegen and
+#: driver heap — measured: the IVF coarse quantizer at derived cells=512
+#: (20k vectors) OOMed an 8g driver.  Large k dispatches to the
+#: vectorized Arrow kernel below, which computes the SAME left-assoc
+#: float64 sums and half-away rounding, so assignments are identical.
+LLOYD_EXPR_MAX_K = 64
+
+
 def lloyd_choice_array(cents: list[tuple[int, list[float]]],
                        dist_decimals: int = DIST_DECIMALS):
     """Array column of (rounded squared L2 dist, cluster id) structs over a
@@ -71,17 +82,89 @@ def lloyd_choice_array(cents: list[tuple[int, list[float]]],
     return F.array(*choices)
 
 
+def _lloyd_dist_matrix(cents: list[tuple[int, list[float]]]):
+    """(cids int64 array, kernel(V) -> rounded squared-distance matrix).
+
+    The kernel accumulates (V[:,d] - C[:,d])² one dimension at a time, so
+    each (row, cell) sum is the LEFT-ASSOCIATIVE float64 fold — bit-equal
+    to the expression path's explicit chain and to DuckDB's list_sum —
+    then rounds half-away-from-zero (floor(x·10^d + 0.5), DuckDB round()
+    semantics; distances are non-negative)."""
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    scale = 10.0 ** DIST_DECIMALS
+
+    def dists(V):
+        acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+        for d in range(C.shape[1]):
+            diff = V[:, d, None] - C[None, :, d]
+            acc += diff * diff
+        return np.floor(acc * scale + 0.5) / scale
+
+    return cids, dists
+
+
+def _lloyd_assign_arrow(pts: DataFrame,
+                        cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Large-k assignment: one Arrow-batched kernel instead of a k×dim
+    literal expression tree.  np.argmin's first-match tie rule equals the
+    (dist ASC, cluster ASC) order because centroid columns are sorted by
+    cluster id."""
+
+    cids, dists = _lloyd_dist_matrix(cents)
+    assert all(cids[i] < cids[i + 1] for i in range(len(cids) - 1))
+
+    @F.pandas_udf("long")
+    def assign(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy())
+        return pd.Series(cids[np.argmin(dists(V), axis=1)])
+
+    return pts.withColumn("cluster", assign(F.col("v")))
+
+
 def _lloyd_assign(pts: DataFrame, cents: list[tuple[int, list[float]]],
                   dist_decimals: int = DIST_DECIMALS) -> DataFrame:
     """Add ``cluster`` = argmin_j round(||v - c_j||², d) with ties broken by
-    cluster id — centroids are driver-side constants broadcast as literal
-    arrays, so assignment is a pure narrow column expression (the
-    scale-correct shape: k is small, points are not)."""
+    cluster id — centroids are driver-side constants broadcast either as
+    literal arrays (small k: pure narrow column expression inside codegen)
+    or inside an Arrow kernel (k > LLOYD_EXPR_MAX_K: same sums, same
+    rounding, same tie-break — parity-tested)."""
+    if len(cents) > LLOYD_EXPR_MAX_K:
+        return _lloyd_assign_arrow(pts, cents)
     # array_min over (dist, cluster) structs = lexicographic argmin
     return pts.withColumn(
         "cluster",
         F.array_min(lloyd_choice_array(cents, dist_decimals))
         .getField("c").cast("long"),
+    )
+
+
+def lloyd_probe_cells(pts: DataFrame,
+                      cents: list[tuple[int, list[float]]],
+                      nprobe: int) -> DataFrame:
+    """(vec_id, cluster) — each vector's ``nprobe`` nearest cells in
+    (rounded dist ASC, cluster ASC) order, the IVF probe set.  Small k
+    sorts the literal choice array; large k uses the Arrow kernel with a
+    stable argsort (ties keep ascending-cid column order)."""
+    if len(cents) <= LLOYD_EXPR_MAX_K:
+        return pts.select(
+            "vec_id",
+            F.explode(
+                F.slice(F.array_sort(lloyd_choice_array(cents)), 1, nprobe)
+            ).alias("ch"),
+        ).select("vec_id", F.col("ch.c").cast("long").alias("cluster"))
+
+
+    cids, dists = _lloyd_dist_matrix(cents)
+
+    @F.pandas_udf("array<long>")
+    def probe(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy())
+        order = np.argsort(dists(V), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cids[order]))
+
+    return pts.select(
+        "vec_id", F.explode(probe(F.col("v"))).alias("cluster")
     )
 
 

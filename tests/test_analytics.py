@@ -503,8 +503,10 @@ def test_ivf_derivation_adapts():
     assert derive_ivf_cells(20_000) == 512   # 512 * 64 >= 20_000
     assert derive_ivf_cells(10) == 4         # floor
     assert derive_ivf_cells(10**9) == 4096   # cap
-    assert derive_ivf_nprobe(8) == 2
-    assert derive_ivf_nprobe(512) == 128
+    assert derive_ivf_nprobe(4) == 2       # floor of 2
+    assert derive_ivf_nprobe(8) == 3       # ceil(sqrt(8))
+    assert derive_ivf_nprobe(512) == 23    # sqrt growth: ~4.5% probed
+    assert derive_ivf_nprobe(4096) == 64   # ~1.6% probed at the cap
 
 
 def test_fast_votek_matches_pure_python_reference(spark):
@@ -661,3 +663,88 @@ def test_fast_votek_on_approximate_graph(spark):
     overlap = len(set(default_picks) & set(approx_picks))
     assert overlap >= 3, (default_picks, approx_picks)
     df.unpersist()
+
+
+def test_lloyd_arrow_assignment_matches_expression_path(spark):
+    """The large-k Arrow assignment kernel must reproduce the literal
+    expression path bit-for-bit (same left-assoc sums, same rounding,
+    same tie-break) — checked by running BOTH paths with the same
+    centroids on the same points."""
+    import numpy as np
+    from instructor_embedding_spark.analytics.clustering import (
+        _lloyd_assign,
+        _lloyd_assign_arrow,
+        lloyd_centroids,
+        lloyd_probe_cells,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in
+            range(300)]
+    pts = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = lloyd_centroids(pts, k=24, dim=8)
+    expr = {(r.vec_id, r.cluster)
+            for r in _lloyd_assign(pts, cents).collect()}
+    arrow = {(r.vec_id, r.cluster)
+             for r in _lloyd_assign_arrow(pts, cents).collect()}
+    assert expr == arrow
+    # probe sets agree too, in order (nprobe nearest cells per vector)
+    small = lloyd_probe_cells(pts, cents, nprobe=3)
+    import instructor_embedding_spark.analytics.clustering as cl
+
+    orig = cl.LLOYD_EXPR_MAX_K
+    cl.LLOYD_EXPR_MAX_K = 1  # force the Arrow path
+    try:
+        big = lloyd_probe_cells(pts, cents, nprobe=3)
+        key = lambda df: sorted(
+            (r.vec_id, r.cluster) for r in df.collect()
+        )
+        assert key(small) == key(big)
+    finally:
+        cl.LLOYD_EXPR_MAX_K = orig
+
+
+def test_ivf_above_expression_threshold_matches_duckdb(spark):
+    """IVF with a cell count ABOVE LLOYD_EXPR_MAX_K (Arrow assignment
+    path) must still match the DuckDB twin — the dispatch is a Spark-side
+    physical choice, not a semantic one."""
+    import duckdb
+    import numpy as np
+    from instructor_embedding_spark.analytics.similarity import (
+        ivf_cosine_topk,
+        ivf_cosine_topk_sql,
+    )
+
+    rng = np.random.default_rng(5)
+    cents = rng.standard_normal((10, 16)) * 2.0
+    rows = [
+        (i, [float(x) for x in cents[i % 10]
+             + 0.3 * rng.standard_normal(16)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        tuple(r)
+        for r in ivf_cosine_topk(df, k=5, n_cells=96, nprobe=8,
+                                 dim=16).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE emb AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {v!r}::DOUBLE[], 0)" for i, v in
+            ((r[0], r[1]) for r in rows)
+        )
+        + ") t(vec_id, embedding, label)"  # twin's pts CTE carries label
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            ivf_cosine_topk_sql("emb", k=5, n_cells=96, nprobe=8, dim=16)
+        ).fetchall()
+    )
+    assert len(got) == len(want)
+    mism = [(a, b) for a, b in zip(got, want) if a[:3] != b[:3]
+            or abs(a[3] - b[3]) > 2e-6]
+    assert not mism, mism[:5]
