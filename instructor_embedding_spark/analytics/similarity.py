@@ -781,9 +781,12 @@ SELECT vec_id, rank, neighbor_id, dist FROM ranked WHERE rank <= {k}
 #: is DERIVED from n as the smallest power of two with
 #: cells × IVF_TARGET_LIST >= n, so inverted-list length stays ~constant
 #: as the corpus grows (the FAISS √n-ish rule, exact-integer version);
-#: nprobe = max(2, cells // 4) keeps the probed fraction ~25%.  Both
-#: derivations are pure integer arithmetic, reproduced in the static SQL
-#: twin via a CASE chain over count(*).
+#: nprobe = max(2, ceil(√cells)), so the probed FRACTION shrinks as the
+#: corpus grows (r4: the old cells//4 rule probed a constant 25% — 297 s
+#: at 20k vectors vs 14.4 s under √cells at the same sampled recall).
+#: Both derivations are exact in both engines: the cells CASE chain is
+#: pure integer arithmetic, and ceil(sqrt()) is exact for perfect squares
+#: in IEEE with cells <= 4096 << 2^52.
 IVF_TARGET_LIST = 64
 IVF_MIN_CELLS = 4
 IVF_MAX_CELLS = 4096

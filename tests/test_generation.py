@@ -137,3 +137,44 @@ def test_rouge_l_sql_twin_property(spark):
     for i, (c, r) in enumerate(cases):
         want = naive_lcs(tokenize_py(c), tokenize_py(r))
         assert got[i] == want, (i, c, r, got[i], want)
+
+
+def test_lcs_cte_char_level_property():
+    """The shared recursive-CTE LCS core (now also the D6 fuzzy scorer's
+    engine) must equal the numpy DP on random CHARACTER sequences — the
+    fuzzy path feeds it char lists rather than token lists, so exercise
+    that shape directly in DuckDB."""
+    import random
+
+    import duckdb
+
+    from instructor_embedding_spark.metrics.generation import (
+        lcs_cte_sql,
+        lcs_len,
+    )
+
+    rng = random.Random(99)
+    alphabet = "abcdx"
+    pairs = []
+    for pid in range(30):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        pairs.append((pid, a, b))
+    vals = ", ".join(
+        f"({pid}, '{a}', '{b}')" for pid, a, b in pairs
+    )
+    chars = "list_transform(range(1, length({0}) + 1), i -> {0}[i])"
+    tok = (
+        f"SELECT pair_id, {chars.format('a')} AS ct, "
+        f"{chars.format('b')} AS rt "
+        f"FROM (VALUES {vals}) t(pair_id, a, b)"
+    )
+    got = dict(
+        duckdb.connect().execute(
+            f"SELECT pair_id, lcs FROM ({lcs_cte_sql(tok)}) q"
+        ).fetchall()
+    )
+    for pid, a, b in pairs:
+        want = lcs_len(list(a), list(b))
+        # empty ct short-circuits the recursion at i=0 rows
+        assert got.get(pid, 0) == want, (pid, a, b, got.get(pid), want)
