@@ -245,8 +245,9 @@ def knn_classify(embeddings: DataFrame, k: int = 5,
 def knn_classify_lsh(embeddings: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      label_col: str = "label", dim: int = 64,
-                     planes_per_table: int = 4,
-                     n_tables: int = 8) -> DataFrame:
+                     planes_per_table: int | None = None,
+                     n_tables: int = 8,
+                     n: int | None = None) -> DataFrame:
     """(accuracy, n_test) — LSH-bucketed kNN majority vote: the 100-TB
     twin of :func:`knn_classify` (same split/vote/tie semantics), with the
     test×train crossJoin replaced by a self-join on multi-table
@@ -257,10 +258,21 @@ def knn_classify_lsh(embeddings: DataFrame, k: int = 5,
     Like the ANN default, the bucket join ships IDS ONLY and candidate
     (test, train) pairs de-duplicate before vectors re-join for the
     cosine — multi-table collisions are scored once and the wide payload
-    stays out of the T-way shuffle."""
+    stays out of the T-way shuffle.
+
+    ``planes_per_table`` defaults to the count-derived value (r4: same
+    auto-sizing discipline as the ANN family — buckets hold train+test
+    together, so the full corpus count is the occupancy denominator);
+    pass ``n`` to skip the eager count()."""
     from instructor_embedding_spark.analytics.similarity import (
         _cosine_sigs_udf,
+        derive_planes_per_table,
     )
+
+    if planes_per_table is None:
+        planes_per_table = derive_planes_per_table(
+            embeddings.count() if n is None else n
+        )
 
     base = embeddings.select(
         F.col(id_col).alias("vid"),
@@ -327,23 +339,32 @@ def knn_classify_lsh(embeddings: DataFrame, k: int = 5,
 def knn_classify_lsh_sql(table: str, k: int = 5, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          label_col: str = "label", dim: int = 64,
-                         planes_per_table: int = 4,
+                         planes_per_table: int | None = None,
                          n_tables: int = 8) -> str:
     from instructor_embedding_spark.analytics.similarity import (
+        _vq_sql,
         cosine_sig_rows_sql,
+        derive_planes_sql,
     )
 
-    from instructor_embedding_spark.analytics.similarity import _vq_sql
-
-    sigs = cosine_sig_rows_sql(
-        "vid, v, nrm, label", "n", dim, planes_per_table, n_tables
-    )
+    if planes_per_table is None:
+        sigs = cosine_sig_rows_sql(
+            "vid, v, nrm, label", "n", dim, n_tables=n_tables,
+            nbits_expr="(SELECT nbits FROM nb)",
+        )
+    else:
+        sigs = cosine_sig_rows_sql(
+            "vid, v, nrm, label", "n", dim, planes_per_table, n_tables
+        )
     return f"""
 WITH e AS (
   SELECT {id_col} AS vid,
          list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
          {label_col} AS label
   FROM {table}
+),
+nb AS (
+  SELECT {derive_planes_sql('count(*)')} AS nbits FROM e
 ),
 n AS (
   SELECT vid, v, label,
