@@ -247,7 +247,8 @@ def knn_classify_lsh(embeddings: DataFrame, k: int = 5,
                      label_col: str = "label", dim: int = 64,
                      planes_per_table: int | None = None,
                      n_tables: int = 8,
-                     n: int | None = None) -> DataFrame:
+                     n: int | None = None,
+                     bucket_cap: int | None = None) -> DataFrame:
     """(accuracy, n_test) — LSH-bucketed kNN majority vote: the 100-TB
     twin of :func:`knn_classify` (same split/vote/tie semantics), with the
     test×train crossJoin replaced by a self-join on multi-table
@@ -263,12 +264,20 @@ def knn_classify_lsh(embeddings: DataFrame, k: int = 5,
     ``planes_per_table`` defaults to the count-derived value (r4: same
     auto-sizing discipline as the ANN family — buckets hold train+test
     together, so the full corpus count is the occupancy denominator);
-    pass ``n`` to skip the eager count()."""
+    pass ``n`` to skip the eager count().
+
+    Buckets above ``bucket_cap`` are dropped before the join (same skew
+    guard as the ANN family: a near-constant embedding region would
+    otherwise go quadratic); affected test points lose those voters and
+    may drop out of coverage — n_test reports what remains."""
     from instructor_embedding_spark.analytics.similarity import (
+        LSH_BUCKET_CAP,
         _cosine_sigs_udf,
         derive_planes_per_table,
     )
 
+    if bucket_cap is None:
+        bucket_cap = LSH_BUCKET_CAP
     if planes_per_table is None:
         planes_per_table = derive_planes_per_table(
             embeddings.count() if n is None else n
@@ -283,6 +292,10 @@ def knn_classify_lsh(embeddings: DataFrame, k: int = 5,
     e = base.withColumn("sigs", sig_udf(F.col("v"))).select(
         "vid", F.posexplode("sigs").alias("tbl", "sig"),
     )
+    # hot-bucket guard: same (tbl, sig) keys the join hashes on
+    e = e.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("tbl", "sig"))
+    ).filter(F.col("bsz") <= bucket_cap).drop("bsz")
     cand = (
         e.filter(F.col("vid") % 2 == 1)
         .select(F.col("vid").alias("qid"), "tbl", "sig")
@@ -340,12 +353,17 @@ def knn_classify_lsh_sql(table: str, k: int = 5, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          label_col: str = "label", dim: int = 64,
                          planes_per_table: int | None = None,
-                         n_tables: int = 8) -> str:
+                         n_tables: int = 8,
+                         bucket_cap: int | None = None) -> str:
     from instructor_embedding_spark.analytics.similarity import (
+        LSH_BUCKET_CAP,
         _vq_sql,
         cosine_sig_rows_sql,
         derive_planes_sql,
     )
+
+    if bucket_cap is None:
+        bucket_cap = LSH_BUCKET_CAP
 
     if planes_per_table is None:
         sigs = cosine_sig_rows_sql(
@@ -373,13 +391,17 @@ n AS (
   FROM e
 ),
 sigs AS ({sigs}),
+capped AS (
+  SELECT * FROM sigs
+  QUALIFY count(*) OVER (PARTITION BY tbl, sig) <= {bucket_cap}
+),
 scored AS (
   SELECT DISTINCT q.vid AS qid, q.label AS qlabel,
          t.vid AS tid, t.label AS tlabel,
          list_sum(list_transform(range(1, len(q.v) + 1),
                                  i -> q.v[i] * t.v[i]))
            / (q.nrm * t.nrm) AS cos_raw
-  FROM sigs q JOIN sigs t ON q.tbl = t.tbl AND q.sig = t.sig
+  FROM capped q JOIN capped t ON q.tbl = t.tbl AND q.sig = t.sig
   WHERE q.vid % 2 = 1 AND t.vid % 2 = 0
 ),
 topk AS (

@@ -748,3 +748,38 @@ def test_ivf_above_expression_threshold_matches_duckdb(spark):
     mism = [(a, b) for a, b in zip(got, want) if a[:3] != b[:3]
             or abs(a[3] - b[3]) > 2e-6]
     assert not mism, mism[:5]
+
+
+def test_knn_lsh_hot_bucket_cap_drops_skewed_region(spark):
+    """Skew guard (same as the ANN family): a large block of IDENTICAL
+    vectors lands in one bucket per table in every table; with a cap
+    below that block size the bucket drops and those test points lose
+    coverage instead of going quadratic — healthy points still classify."""
+    import numpy as np
+    from instructor_embedding_spark.analytics.pairs import knn_classify_lsh
+
+    rng = np.random.default_rng(13)
+    rows = []
+    # 80 healthy points in 4 clusters (labels follow (id//2)%4 so the
+    # parity split shares labels), then 120 identical "skew" vectors
+    cents = rng.standard_normal((4, 16)) * 3.0
+    for vid in range(80):
+        c = (vid // 2) % 4
+        rows.append(
+            (vid, [float(x) for x in cents[c]
+                   + 0.1 * rng.standard_normal(16)], c)
+        )
+    skew_vec = [float(x) for x in rng.standard_normal(16)]
+    for vid in range(80, 200):
+        rows.append((vid, skew_vec, 9))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    capped = knn_classify_lsh(df, k=3, dim=16, bucket_cap=100).collect()[0]
+    uncapped = knn_classify_lsh(df, k=3, dim=16,
+                                bucket_cap=10**9).collect()[0]
+    # the identical block is 120 > cap -> its buckets drop in every
+    # table, so the 60 skew test points lose all coverage
+    assert capped.n_test <= uncapped.n_test - 60
+    # healthy clustered points still classify well
+    assert capped.accuracy >= 0.9, capped
