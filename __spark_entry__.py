@@ -452,6 +452,35 @@ FROM a JOIN q USING (bucket)
 """
 
 
+def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_counts + M7 min-max over n_chars WITHOUT a doc_id join
+    shuffle: n_chars rides the token_counts projection (extra_cols) and
+    the global (min, max) is a 1-row broadcast crossJoined on — one wide
+    scan plus one n_chars-pruned agg branch, zero shuffles (the earlier
+    join-on-doc_id formulation scanned documents three times and
+    shuffled every row for a 2-value broadcast)."""
+    d = _docs(spark, sf_dir)
+    stats = d.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    return (
+        text_stats.token_counts(d, extra_cols=("n_chars",))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "ws_tokens", "bpe_ish_tokens", "chars",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.col("n_chars") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn")).cast("double"),
+                    6,
+                )
+            )
+            .alias("n_chars_norm"),
+        )
+    )
+
+
 def _q_kmeans_vmeasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     n_labels = int(emb.select("label").distinct().count())
@@ -647,14 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token counts + M7 min-max normalization in one per-doc entry
         # (r4: stat_minmax_chars merged in — a strict projection over the
         # same table — to free a registry slot under the 50-entry cap)
-        "text_token_counts": lambda s, d: text_stats.token_counts(
-            _docs(s, d)
-        ).join(
-            text_stats.minmax_normalize(_docs(s, d), "n_chars").select(
-                "doc_id", F.col("x_norm").alias("n_chars_norm")
-            ),
-            "doc_id",
-        ),
+        "text_token_counts": _q_text_token_counts,
         "text_lang_profile": lambda s, d: text_stats.lang_profile(_docs(s, d)),
         "text_doc_fingerprints": lambda s, d: text_stats.doc_fingerprints(
             _docs(s, d)

@@ -449,10 +449,18 @@ def main() -> None:
                          doc_lens=doc_lens).collect()
     sub_total = sum(int(r["sub_total"]) for r in st)
     sub_scored = sum(int(r["sub_scored"]) for r in st)
+    sub_zero = sum(int(r["sub_zero"]) for r in st)
     extra["wand_sub_blocks_total"] = sub_total
     extra["wand_sub_blocks_scored"] = sub_scored
+    extra["wand_sub_blocks_zero"] = sub_zero
     if sub_total:
         extra["wand_skip_rate"] = round(1.0 - sub_scored / sub_total, 4)
+    if sub_total > sub_zero:
+        # θ-bound pruning only, zero-postings blocks excluded (a naive
+        # scorer skips those too — don't credit them to block-max)
+        extra["wand_theta_skip_rate"] = round(
+            1.0 - sub_scored / (sub_total - sub_zero), 4
+        )
 
     # 3. headline driver-table queries at SF_DIR
     import importlib.util

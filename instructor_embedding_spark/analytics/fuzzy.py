@@ -49,10 +49,16 @@ def _collect_picklist(candidates: DataFrame, c_col: str,
                       max_picklist: int) -> list[str]:
     """Distinct non-null picklist values, sorted; raises past the cap.
 
-    A cheap limit(max+1) probe bounds the check BEFORE the collect."""
-    n_probe = candidates.select(c_col).distinct().limit(
-        max_picklist + 1
-    ).count()
+    A cheap limit(max+1) probe bounds the check BEFORE the collect; the
+    probe filters NULLs like the collect does, so a null row can't
+    spuriously tip an at-cap picklist over the limit."""
+    n_probe = (
+        candidates.select(c_col)
+        .filter(F.col(c_col).isNotNull())
+        .distinct()
+        .limit(max_picklist + 1)
+        .count()
+    )
     if n_probe > max_picklist:
         raise ValueError(
             f"picklist exceeds max_picklist={max_picklist} distinct "
@@ -126,7 +132,12 @@ def fuzzy_match_topk_lcs(
     IEEE division, so Spark and the DuckDB twin order identically; only
     the reported score is rounded.  Same distributed shape as
     :func:`fuzzy_match_topk` (collected picklist, mapInPandas over the
-    query stream)."""
+    query stream).
+
+    Contract shared with the SQL twin: query_id is a unique key (the
+    twin ranks per query_id, so duplicate ids would merge into one
+    rank partition there but not here); NULL-text queries are skipped;
+    both-empty (query, value) pairs score nothing."""
     from instructor_embedding_spark.metrics.generation import lcs_len
 
     values = _collect_picklist(candidates, c_col, max_picklist)
@@ -137,13 +148,17 @@ def fuzzy_match_topk_lcs(
         for pdf in batches:
             out = {"query_id": [], "rank": [], "value": [], "score": []}
             for qid, q in zip(pdf["query_id"], pdf["q"]):
-                if pd.isna(qid):
-                    continue  # unkeyed row: skip, don't fail the stage
-                ql = list(q.lower()) if isinstance(q, str) else []
+                if pd.isna(qid) or not isinstance(q, str):
+                    # unkeyed or NULL-text row: skip like the SQL twin
+                    # (its VALUES inlining drops None texts)
+                    continue
+                ql = list(q.lower())
                 scored = []
                 for v, vl in lowered:
                     tot = len(ql) + len(vl)
-                    s = (2.0 * lcs_len(ql, vl) / tot) if tot else 0.0
+                    if tot == 0:
+                        continue  # both empty: twin's nc+nr>0 filter
+                    s = 2.0 * lcs_len(ql, vl) / tot
                     if s >= threshold:
                         scored.append((s, v))
                 scored.sort(key=lambda t: (-t[0], t[1]))
@@ -183,6 +198,10 @@ def fuzzy_match_topk_lcs_sql(
         f"({int(qid)}, {_sql_str(text)})" for qid, text in query_rows
         if qid is not None and text is not None
     )
+    if not vals:
+        # all rows filtered: VALUES () is invalid SQL — emit an empty
+        # typed relation so both engines return zero rows
+        vals = None
     chars = (
         "list_transform(range(1, length({0}) + 1), i -> {0}[i])"
     )
@@ -190,8 +209,14 @@ def fuzzy_match_topk_lcs_sql(
   SELECT pair_id, {chars.format('ql')} AS ct, {chars.format('vl')} AS rt
   FROM pairs
 """
+    q_cte = (
+        f"q(query_id, qtext) AS (VALUES {vals})"
+        if vals is not None
+        else "q AS (SELECT CAST(NULL AS BIGINT) AS query_id, "
+             "CAST(NULL AS VARCHAR) AS qtext WHERE FALSE)"
+    )
     return f"""
-WITH q(query_id, qtext) AS (VALUES {vals}),
+WITH {q_cte},
 cand AS (
   SELECT DISTINCT {c_col} AS value FROM ({candidates_sql})
   WHERE {c_col} IS NOT NULL

@@ -480,10 +480,11 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, gold: DataFrame,
     ``src``: (a_id, vec_col); ``tgt``: (b_id, vec_col); ``gold``:
     (a_id, b_id).  Prediction = argmax cosine per a_id, tie-broken
     (round(cos, 6) DESC, b_id ASC) like every top-k in the engine (D1).
-    With top-1 mining |pred| = |gold ∩ mined sources|, so P/R/F1 and
-    accuracy coincide when every source has a gold pair — all four are
-    still computed from the pair-set formulas (the reference reports all
-    of them).
+    Pair-set formulas: tp = |mined ∩ gold|, precision = tp/|mined|
+    (mined pairs counted once each — a source with several gold targets
+    does not inflate the denominator), recall = accuracy = tp/|gold|,
+    F1 = 2·tp/(|mined|+|gold|); on the reference's 1:1 gold sets all
+    four coincide (BitextMiningEvaluator reports all of them).
 
     ``candidates`` ((a_id, b_id), e.g. ANN output) bounds the scored
     pairs; the default scores src × tgt — the reference's full similarity
@@ -514,24 +515,30 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, gold: DataFrame,
         .filter(F.col("r") == 1)
         .select("a_id", F.col("b_id").alias("pred_b"))
     )
+    # PAIR-SET metrics: tp over gold rows (each gold row matches at most
+    # one pred row — pred is unique per a_id), precision denominator =
+    # |mined pairs| counted ONCE per prediction, not once per gold row —
+    # a source with several gold targets must not inflate it
     graded = gold.join(pred, "a_id", "left").select(
-        "a_id",
         (F.col("pred_b") == F.col("b_id")).cast("int").alias("correct"),
-        F.col("pred_b").isNotNull().cast("int").alias("mined"),
     )
-    return graded.agg(
+    g = graded.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.coalesce(F.sum("correct"), F.lit(0)).cast("long")
         .alias("n_correct"),
-        F.round(F.coalesce(F.sum("correct"), F.lit(0))
-                / F.count(F.lit(1)), 6).alias("accuracy"),
-        F.round(F.coalesce(F.sum("correct"), F.lit(0))
-                / F.sum("mined"), 6).alias("precision"),
-        F.round(F.coalesce(F.sum("correct"), F.lit(0))
-                / F.count(F.lit(1)), 6).alias("recall"),
+    )
+    p = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    return g.crossJoin(F.broadcast(p)).select(
+        "n_pairs",
+        "n_correct",
+        F.round(F.col("n_correct") / F.col("n_pairs"), 6)
+        .alias("accuracy"),
+        F.round(F.col("n_correct") / F.col("n_pred"), 6)
+        .alias("precision"),
+        F.round(F.col("n_correct") / F.col("n_pairs"), 6).alias("recall"),
         F.round(
-            2.0 * F.coalesce(F.sum("correct"), F.lit(0))
-            / (F.sum("mined") + F.count(F.lit(1))), 6
+            2.0 * F.col("n_correct")
+            / (F.col("n_pred") + F.col("n_pairs")), 6
         ).alias("f1"),
     )
 
@@ -572,15 +579,16 @@ pred AS (
 gold AS (SELECT a_id, a_id + {offset} AS b_id FROM a),
 graded AS (
   SELECT g.a_id,
-         CASE WHEN p.pred_b = g.b_id THEN 1 ELSE 0 END AS correct,
-         CASE WHEN p.pred_b IS NOT NULL THEN 1 ELSE 0 END AS mined
+         CASE WHEN p.pred_b = g.b_id THEN 1 ELSE 0 END AS correct
   FROM gold g LEFT JOIN pred p USING (a_id)
-)
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM pred)
 SELECT CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(correct) AS BIGINT) AS n_correct,
        round(sum(correct) * 1.0 / count(*), 6) AS accuracy,
-       round(sum(correct) * 1.0 / sum(mined), 6) AS precision,
+       round(sum(correct) * 1.0 / (SELECT n_pred FROM np), 6) AS precision,
        round(sum(correct) * 1.0 / count(*), 6) AS recall,
-       round(2.0 * sum(correct) / (sum(mined) + count(*)), 6) AS f1
+       round(2.0 * sum(correct) / ((SELECT n_pred FROM np) + count(*)), 6)
+         AS f1
 FROM graded
 """

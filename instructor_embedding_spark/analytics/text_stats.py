@@ -99,13 +99,18 @@ FROM s
 
 
 def token_counts(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, ws_tokens, bpe_ish_tokens, chars) — cheap cost estimators.
+                 id_col: str = "doc_id",
+                 extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens, chars[, *extra_cols]) — cheap
+    cost estimators.
 
     bpe_ish = count of word/number/punct-run pieces (a BPE-shaped regex),
-    the standard pre-tokenizer approximation for budget planning."""
+    the standard pre-tokenizer approximation for budget planning.
+    ``extra_cols`` pass through unchanged so composed entries stay a
+    single projection instead of re-joining on doc_id."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
+        *extra_cols,
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias(
             "ws_tokens"
         ),

@@ -67,6 +67,15 @@ def fast_votek(embeddings: DataFrame, select_num: int = VOTEK_SELECT,
     # and DuckDB, a discrete id divergence no float tolerance absorbs.
     # The reported float score is derived FROM the integer afterwards.
     max_exp = select_num - 1
+    if max_exp > 15:
+        # 10**e stops being exact in double at e=16 and the per-candidate
+        # BIGINT weight sum would near the int64 ceiling — Spark's
+        # non-ANSI cast wraps silently while DuckDB errors, so fail fast
+        # instead of diverging (the reference selects handfuls, not 17+)
+        raise ValueError(
+            f"select_num={select_num} exceeds the exact-integer scoring "
+            "range (max 16); shard the selection or lower select_num"
+        )
     from instructor_embedding_spark.functions.rounding import r6
 
     selected: list[int] = []
@@ -117,6 +126,11 @@ def fast_votek_sql(table: str, select_num: int = VOTEK_SELECT,
     side); the reported float score divides that integer at the end."""
     knn = cosine_topk_sql(table, k=k, id_col=id_col, vec_col=vec_col)
     max_exp = select_num - 1
+    if max_exp > 15:
+        raise ValueError(
+            f"select_num={select_num} exceeds the exact-integer scoring "
+            "range (max 16)"
+        )
     parts = [
         f"knn AS ({knn})",
         "votes AS (SELECT neighbor_id AS cand, vec_id AS voter FROM knn)",

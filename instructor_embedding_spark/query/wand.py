@@ -46,7 +46,8 @@ _EMPTY = pd.DataFrame(
 )
 
 STATS_SCHEMA = (
-    "query_id long, doc_block long, sub_total long, sub_scored long"
+    "query_id long, doc_block long, sub_total long, sub_scored long, "
+    "sub_zero long"
 )
 
 _EMPTY_STATS = pd.DataFrame(
@@ -55,6 +56,7 @@ _EMPTY_STATS = pd.DataFrame(
         "doc_block": pd.Series([], dtype="int64"),
         "sub_total": pd.Series([], dtype="int64"),
         "sub_scored": pd.Series([], dtype="int64"),
+        "sub_zero": pd.Series([], dtype="int64"),
     }
 )
 
@@ -168,12 +170,16 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                 theta = np.partition(all_scores, kth_count - k)[kth_count - k]
 
         if stats:
+            # decompose honestly: sub_zero blocks (no postings for any
+            # query term — a naive scorer skips them too) vs blocks the
+            # θ bound actually pruned (total - zero - scored)
             return pd.DataFrame(
                 {
                     "query_id": [query_id],
                     "doc_block": [block],
                     "sub_total": [int(n_sub)],
                     "sub_scored": [n_scored],
+                    "sub_zero": [int((ub <= 0.0).sum())],
                 }
             )
         if not cand_docs:
@@ -291,12 +297,14 @@ def wand_scan_stats(
     segments: DataFrame | None = None,
     doc_lens: DataFrame | None = None,
 ) -> DataFrame:
-    """(query_id, doc_block, sub_total, sub_scored) — block-max pruning
-    observability: the stats twin of :func:`wand_topk` runs the identical
-    kernel loop and reports how many sub-blocks each group actually
-    decoded+scored vs its total.  1 - sum(sub_scored)/sum(sub_total) is
-    the skip rate the bench records (BENCH wand_skip_rate) — the measured
-    evidence that block-max metadata prunes at the current corpus scale."""
+    """(query_id, doc_block, sub_total, sub_scored, sub_zero) —
+    block-max pruning observability: the stats twin of :func:`wand_topk`
+    runs the identical kernel loop and reports, per group, the sub-block
+    total, how many were actually decoded+scored, and how many had NO
+    postings for any query term (sub_zero — a naive scorer skips those
+    too, so they are not credited to block-max).  The θ-bound's own
+    contribution is sub_total - sub_zero - sub_scored; bench records
+    both the raw skip rate and the zero-excluded theta rate."""
     p = handle.params
     grouped = _grouped_hits(spark, handle, queries, None, segments,
                             doc_lens)

@@ -619,6 +619,18 @@ def test_bitext_mine_finds_planted_pairs(spark):
     one_bad = bitext_mine(src, mk(B_bad, 100), gold).collect()[0]
     assert one_bad.n_correct == 19
     assert one_bad.accuracy == round(19 / 20, 6)
+    # PAIR-SET semantics on a non-1:1 gold set: an extra gold target for
+    # source 0 must lower recall (tp/|gold|) but NOT precision
+    # (tp/|mined| — mined pairs counted once, not once per gold row)
+    extra_gold = gold.union(
+        src.select(F.lit(0).alias("a_id"), F.lit(117).alias("b_id"))
+        .limit(1)
+    )
+    multi = bitext_mine(src, mk(B, 100), extra_gold).collect()[0]
+    assert (multi.n_pairs, multi.n_correct) == (21, 20)
+    assert multi.precision == 1.0
+    assert multi.recall == round(20 / 21, 6)
+    assert multi.f1 == round(2 * 20 / (20 + 21), 6)
 
 
 def test_fast_votek_on_approximate_graph(spark):

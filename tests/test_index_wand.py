@@ -227,6 +227,8 @@ def test_wand_scan_stats_invariants(spark, built):
     for r in rows:
         assert r.sub_total == n_sub
         assert 0 <= r.sub_scored <= r.sub_total
+        # zero-UB blocks and scored blocks are disjoint subsets
+        assert 0 <= r.sub_zero <= r.sub_total - r.sub_scored
     total = sum(r.sub_total for r in rows)
     scored = sum(r.sub_scored for r in rows)
     assert 0 <= scored <= total
