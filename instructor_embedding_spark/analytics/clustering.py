@@ -65,7 +65,14 @@ LLOYD_EXPR_MAX_K = 64
 def lloyd_choice_array(cents: list[tuple[int, list[float]]],
                        dist_decimals: int = DIST_DECIMALS):
     """Array column of (rounded squared L2 dist, cluster id) structs over a
-    ``v`` double-array column — lexicographic order = (dist, id)."""
+    ``v`` double-array column — lexicographic order = (dist, id).
+
+    Rounding is the SHARED floor(x·10^d + 0.5)/10^d rule — the identical
+    IEEE op sequence (multiply, add, floor, divide) the Arrow kernel and
+    the DuckDB twin use — not F.round (HALF_UP over the double's shortest
+    decimal repr), whose result can differ on representation-boundary
+    values and flip an argmin between the small-k and large-k paths."""
+    scale = float(10 ** dist_decimals)
     choices = []
     for cid, c in cents:
         # explicit left-assoc sum of (v[d]-c_d)^2 — bit-identical to the
@@ -77,7 +84,11 @@ def lloyd_choice_array(cents: list[tuple[int, list[float]]],
                 F.col("v")[d] - F.lit(float(x))
             )
             dist_expr = t if dist_expr is None else dist_expr + t
-        dist = F.round(dist_expr, dist_decimals)
+        # floor(double) → BIGINT: exact for |x·scale| < 2^53, same as the
+        # float64 kernel (squared dists here are ~10^3, nowhere near it)
+        dist = (
+            F.floor(dist_expr * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+        )
         choices.append(F.struct(dist.alias("d"), F.lit(cid).alias("c")))
     return F.array(*choices)
 
@@ -88,8 +99,9 @@ def _lloyd_dist_matrix(cents: list[tuple[int, list[float]]]):
     The kernel accumulates (V[:,d] - C[:,d])² one dimension at a time, so
     each (row, cell) sum is the LEFT-ASSOCIATIVE float64 fold — bit-equal
     to the expression path's explicit chain and to DuckDB's list_sum —
-    then rounds half-away-from-zero (floor(x·10^d + 0.5), DuckDB round()
-    semantics; distances are non-negative)."""
+    then rounds via floor(x·10^d + 0.5)/10^d, the ONE rule shared with
+    lloyd_choice_array and the DuckDB twin's dist expression (half-up;
+    distances are non-negative so this equals half-away-from-zero)."""
     cids = np.array([cid for cid, _ in cents], dtype=np.int64)
     C = np.array([c for _, c in cents], dtype=np.float64)
     scale = 10.0 ** DIST_DECIMALS
@@ -275,10 +287,14 @@ def lloyd_ctes_sql(table: str, k: int, iters: int = LLOYD_ITERS,
     (centroids).  ``k_expr`` (a scalar SQL expression) overrides the
     literal seed limit — how the IVF twin derives its cell count from
     count(*) inside the static SQL."""
+    # same floor(x·10^d + 0.5)/10^d rule as lloyd_choice_array and
+    # _lloyd_dist_matrix — ONE rounding formula across both engines and
+    # both Spark paths (r4 ADVICE: F.round vs floor could disagree on
+    # representation-boundary distances)
     dist = (
-        "round(list_sum(list_transform(range(1, {dim} + 1), "
-        "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))), {dd})"
-    ).format(dim=dim, dd=DIST_DECIMALS)
+        "(floor(list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))) * {sc} + 0.5) / {sc})"
+    ).format(dim=dim, sc=float(10 ** DIST_DECIMALS))
     assign_tpl = """
 a{t} AS (
   SELECT vid, label, v, cl AS cluster FROM (

@@ -137,7 +137,16 @@ def fuzzy_match_topk_lcs(
     Contract shared with the SQL twin: query_id is a unique key (the
     twin ranks per query_id, so duplicate ids would merge into one
     rank partition there but not here); NULL-text queries are skipped;
-    both-empty (query, value) pairs score nothing."""
+    both-empty (query, value) pairs score nothing.
+
+    ASCII contract: parity with the twin holds for text where Python
+    ``str.lower()`` + code-point indexing and DuckDB ``lower()`` +
+    ``s[i]``/``length()`` (utf8proc) agree — true for ASCII, not for
+    every Unicode case fold (e.g. 'İ'.lower() is TWO code points in
+    Python, one grapheme in utf8proc).  Non-ASCII picklists still rank
+    deterministically on the Spark side; only the cross-engine
+    bit-parity claim narrows to ASCII-ish inputs (the gated fixture's
+    vocabulary is ASCII)."""
     from instructor_embedding_spark.metrics.generation import lcs_len
 
     values = _collect_picklist(candidates, c_col, max_picklist)

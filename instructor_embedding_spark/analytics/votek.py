@@ -51,15 +51,6 @@ def fast_votek(embeddings: DataFrame, select_num: int = VOTEK_SELECT,
     ``ivf_cosine_topk`` output to run the selection over an approximate
     graph at corpus sizes where the exact O(n²) graph is off the table."""
     spark = embeddings.sparkSession
-    if knn is None:
-        knn = cosine_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
-    votes = (
-        knn.select(
-            F.col("neighbor_id").alias("cand"),
-            F.col("vec_id").alias("voter"),
-        )
-        .cache()
-    )
     # Integer-weight scoring: 10**-t becomes the INTEGER 10**(max_exp - t)
     # (t <= select_num - 1 by construction, so the exponent is >= 0), so
     # each round's sum is an exact order-free BIGINT in any engine — a
@@ -75,6 +66,28 @@ def fast_votek(embeddings: DataFrame, select_num: int = VOTEK_SELECT,
         raise ValueError(
             f"select_num={select_num} exceeds the exact-integer scoring "
             "range (max 16); shard the selection or lower select_num"
+        )
+    if knn is None:
+        knn = cosine_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    votes = (
+        knn.select(
+            F.col("neighbor_id").alias("cand"),
+            F.col("vec_id").alias("voter"),
+        )
+        .cache()
+    )
+    # Bound the per-candidate SUM, not just the per-voter weight: a hub
+    # candidate's iscore is at most n_edges * 10**max_exp, and past int64
+    # Spark's non-ANSI sum wraps silently while DuckDB errors — the exact
+    # divergence class the integer scoring exists to prevent.  n_edges is
+    # a free count on the just-cached votes table.
+    n_edges = votes.count()
+    if n_edges * 10 ** max_exp >= 2 ** 62:
+        votes.unpersist()
+        raise ValueError(
+            f"vote graph too large for exact-integer scoring: {n_edges} "
+            f"edges * 10^{max_exp} approaches the int64 ceiling — lower "
+            "select_num or shard the selection"
         )
     from instructor_embedding_spark.functions.rounding import r6
 

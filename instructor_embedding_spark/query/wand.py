@@ -26,6 +26,8 @@ brute-force oracle (property-tested in tests/test_wand.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -240,6 +242,17 @@ def _pack_filter(doc_filter: DataFrame, span: int) -> DataFrame:
     )
 
 
+#: Above this many DISTINCT query terms, skip the driver-side collect +
+#: In() scan pushdown and join the tokenized term table instead: the
+#: pushdown is an interactive-batch optimization (tiny term set → row-group
+#: skipping), but a 10^5-query offline join would funnel every term through
+#: the driver and inline a megabyte-scale In() predicate into the plan.
+#: Both paths are rank-identical (property-tested).
+PUSHDOWN_MAX_TERMS = int(
+    os.environ.get("SPARK_GRAFT_WAND_PUSHDOWN_MAX_TERMS", "4096")
+)
+
+
 def _grouped_hits(
     spark: SparkSession,
     handle: IndexHandle,
@@ -247,38 +260,57 @@ def _grouped_hits(
     doc_filter: DataFrame | None,
     segments: DataFrame | None,
     doc_lens: DataFrame | None,
+    pushdown_max_terms: int | None = None,
 ) -> DataFrame | None:
     """Shared scatter construction for the scoring and stats kernels:
     tokenized query terms joined against the segment scan and packed doc
     lengths, one group per (query_id, doc_block).  None when the queries
     tokenize to nothing.
 
-    Inlines the (tiny, driver-known) query-term set as a scan predicate:
-    a broadcast join alone does NOT push its keys into the parquet scan,
-    so without this the whole index would be read per query batch.  With
-    it, `.explain` shows PushedFilters: [In(term, [...])] and row groups
-    that contain none of the query terms are skipped via column stats
-    (segments are written term-sorted within files for exactly this).
-    One collect serves both the pushdown list AND the broadcast side
-    (LocalRelation — no second tokenize job per query batch)."""
+    Small term sets inline the (driver-known) query-term set as a scan
+    predicate: a broadcast join alone does NOT push its keys into the
+    parquet scan, so without this the whole index would be read per query
+    batch.  With it, `.explain` shows PushedFilters: [In(term, [...])] and
+    row groups that contain none of the query terms are skipped via column
+    stats (segments are written term-sorted within files for exactly
+    this).  One collect serves both the pushdown list AND the broadcast
+    side (LocalRelation — no second tokenize job per query batch).
+
+    Past ``pushdown_max_terms`` distinct terms (default
+    :data:`PUSHDOWN_MAX_TERMS`) the collect is skipped and the term table
+    joins the segment scan engine-side — no driver funnel, no
+    megabyte-In() predicate; the probe that decides is a bounded
+    ``distinct().limit(max+1)`` collect, never the full term set."""
     p = handle.params
     segments = segments if segments is not None else handle.segments(spark)
     doc_lens = doc_lens if doc_lens is not None else handle.doc_lens(spark)
+    max_terms = (PUSHDOWN_MAX_TERMS if pushdown_max_terms is None
+                 else pushdown_max_terms)
 
     qt = query_terms(queries, p.use_pandas_udf_tokenizer)
-    qt_rows = [(r["query_id"], r["term"]) for r in qt.collect()]
-    term_list = sorted({t for _, t in qt_rows})
-    if not term_list:
-        return None
-    qt = spark.createDataFrame(qt_rows, "query_id long, term string")
-    hits = (
-        segments.select(
-            "term", "doc_block", "idf", "doc_bytes", "tf_bytes",
-            "sub_offsets", "sub_max",
-        )
-        .filter(F.col("term").isin(term_list))
-        .join(F.broadcast(qt), "term")
+    probe = (
+        qt.select("term").distinct().limit(max_terms + 1).collect()
     )
+    if not probe:
+        return None
+    seg_cols = segments.select(
+        "term", "doc_block", "idf", "doc_bytes", "tf_bytes",
+        "sub_offsets", "sub_max",
+    )
+    if len(probe) <= max_terms:
+        # pushdown path: probe holds the FULL distinct term set
+        term_list = sorted(r["term"] for r in probe)
+        qt_rows = [(r["query_id"], r["term"]) for r in qt.collect()]
+        qt = spark.createDataFrame(qt_rows, "query_id long, term string")
+        hits = (
+            seg_cols.filter(F.col("term").isin(term_list))
+            .join(F.broadcast(qt), "term")
+        )
+    else:
+        # join path: the term table stays distributed; the segment scan
+        # reads fully once, which at this query volume is amortized over
+        # len(qt)/|segments| work anyway
+        hits = seg_cols.join(qt, "term")
     grouped = hits.join(
         doc_lens.select("doc_block", "doc_ids_bin", "dls_bin"), "doc_block"
     )
@@ -296,6 +328,7 @@ def wand_scan_stats(
     k: int = 10,
     segments: DataFrame | None = None,
     doc_lens: DataFrame | None = None,
+    pushdown_max_terms: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_block, sub_total, sub_scored, sub_zero) —
     block-max pruning observability: the stats twin of :func:`wand_topk`
@@ -307,7 +340,7 @@ def wand_scan_stats(
     both the raw skip rate and the zero-excluded theta rate."""
     p = handle.params
     grouped = _grouped_hits(spark, handle, queries, None, segments,
-                            doc_lens)
+                            doc_lens, pushdown_max_terms)
     if grouped is None:
         return spark.createDataFrame([], STATS_SCHEMA)
     kernel = _wand_kernel(k, p.k1, p.b, handle.avgdl, p.doc_block_span,
@@ -325,6 +358,7 @@ def wand_topk(
     segments: DataFrame | None = None,
     doc_lens: DataFrame | None = None,
     doc_filter: DataFrame | None = None,
+    pushdown_max_terms: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to the oracle.
 
@@ -335,7 +369,7 @@ def wand_topk(
     the packed filter."""
     p = handle.params
     grouped = _grouped_hits(spark, handle, queries, doc_filter, segments,
-                            doc_lens)
+                            doc_lens, pushdown_max_terms)
     if grouped is None:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"

@@ -70,6 +70,28 @@ def write_beir(docs: DataFrame, queries: DataFrame, qrels: DataFrame,
     )
 
 
+def append_qrels(qrels: DataFrame, out_dir: str) -> None:
+    """Append-mode qrels sink (S8, reference MTEB.py:287-290 append-opens
+    its results file): a later judgment batch lands as ADDITIONAL part
+    files in the same ``qrels.tsv`` directory — no rewrite of existing
+    parts, so incremental labeling runs are O(new batch).  Each part
+    carries its own header; :func:`read_beir` (header=True) skips one
+    header line per file, so overwrite-then-append reads back as the
+    union of all batches."""
+    (
+        qrels.select(
+            F.col("query_id").cast("string").alias("query-id"),
+            F.col("doc_id").cast("string").alias("corpus-id"),
+            F.col("relevance").cast("int").alias("score"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .option("header", True)
+        .option("sep", "\t")
+        .csv(f"{out_dir}/qrels.tsv")
+    )
+
+
 def read_beir(spark: SparkSession, data_dir: str,
               concat_title: bool = True) -> tuple[
     DataFrame, DataFrame, DataFrame

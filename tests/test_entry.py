@@ -149,3 +149,16 @@ def test_select_queries_category_filter():
                        for n in sel)
     # empty result is valid, not an error
     assert mod.select_queries(name_contains="zzz_nothing") == {}
+
+
+def test_bench_retrieval_metrics_equals_gated_entry(spark, sf_small_dir):
+    """The bench-path retrieval_metrics (k=20 qrels served from the
+    checkpointed WAND index) must produce EXACTLY the gated entry's
+    output — WAND rank-identity makes them the same computation."""
+    mod = _load_entry_module()
+    gated = mod.queries()["retrieval_metrics"](spark, sf_small_dir)
+    bench = mod.bench_retrieval_metrics(spark, sf_small_dir)
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(map(key, gated.collect())) == sorted(
+        map(key, bench.collect())
+    )
