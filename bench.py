@@ -404,11 +404,21 @@ def _merge_smoke_results(rows: dict) -> None:
     path = os.path.join(REPO, "SMOKE10X_RESULTS.json")
     merged: dict = {}
     if os.path.exists(path):
-        with open(path) as f:
-            merged = json.load(f)
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a run killed mid-dump leaves truncated JSON; don't throw
+            # away THIS run's multi-minute result over it
+            merged = {}
     merged.update(rows)
-    with open(path, "w") as f:
+    # atomic replace so a kill mid-write can't truncate the file for the
+    # next reader (two concurrent smokes still last-writer-win on the
+    # union, but neither can corrupt it)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(merged, f, indent=1)
+    os.replace(tmp, path)
 
 
 def run_smoke_phrase(n_docs: int = 1_000_000) -> dict:
@@ -419,7 +429,6 @@ def run_smoke_phrase(n_docs: int = 1_000_000) -> dict:
     shuffle volume, and runs a PLANTED-PHRASE probe: 30 docs contain the
     marker phrase adjacently, 20 decoys contain the same two terms
     non-adjacently — exact-adjacency must return precisely the 30."""
-    from pyspark.sql import functions as F
 
     from instructor_embedding_spark.index.build import (
         IndexParams,
@@ -534,16 +543,22 @@ def run_smoke_streaming(n_docs: int = 50_000, n_batches: int = 4) -> dict:
 
     docs = _bench_corpus(spark, n_docs)
     in_dir = os.path.join(RUNTIME, f"smoke_stream_in_{n_docs}")
-    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+    if not os.path.exists(in_dir):
         # disjoint doc_id ranges per file (the merge contract), one file
-        # per micro-batch
+        # per micro-batch.  Build in a temp dir and rename INTO place:
+        # Spark writes _SUCCESS after the FIRST append batch, so a crash
+        # mid-loop would otherwise leave a partial corpus that later
+        # runs treat as complete — and the row-identity check below
+        # would then misreport a merge regression.
         span = (n_docs + n_batches - 1) // n_batches
-        shutil.rmtree(in_dir, ignore_errors=True)
+        tmp_dir = in_dir + ".building"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         for b in range(n_batches):
             docs.filter(
                 (F.col("doc_id") >= b * span)
                 & (F.col("doc_id") < (b + 1) * span)
-            ).coalesce(1).write.mode("append").parquet(in_dir)
+            ).coalesce(1).write.mode("append").parquet(tmp_dir)
+        os.rename(tmp_dir, in_dir)
 
     root = os.path.join(RUNTIME, f"smoke_stream_idx_{n_docs}")
     shutil.rmtree(root, ignore_errors=True)

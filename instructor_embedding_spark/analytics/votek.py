@@ -77,17 +77,24 @@ def fast_votek(embeddings: DataFrame, select_num: int = VOTEK_SELECT,
         .cache()
     )
     # Bound the per-candidate SUM, not just the per-voter weight: a hub
-    # candidate's iscore is at most n_edges * 10**max_exp, and past int64
-    # Spark's non-ANSI sum wraps silently while DuckDB errors — the exact
-    # divergence class the integer scoring exists to prevent.  n_edges is
-    # a free count on the just-cached votes table.
-    n_edges = votes.count()
-    if n_edges * 10 ** max_exp >= 2 ** 62:
+    # candidate's iscore is at most in_degree * 10**max_exp, and past
+    # int64 Spark's non-ANSI sum wraps silently while DuckDB errors — the
+    # exact divergence class the integer scoring exists to prevent.  The
+    # bound uses the MAX in-degree (one cheap agg on the just-cached
+    # table), not the total edge count: a 500k-edge graph with
+    # in-degrees in the tens is exactly the documented LSH-graph scale
+    # path and must not be rejected.
+    max_deg = (
+        votes.groupBy("cand").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d")).collect()[0][0]
+    )
+    if max_deg is None or int(max_deg) * 10 ** max_exp >= 2 ** 62:
         votes.unpersist()
         raise ValueError(
-            f"vote graph too large for exact-integer scoring: {n_edges} "
-            f"edges * 10^{max_exp} approaches the int64 ceiling — lower "
-            "select_num or shard the selection"
+            f"vote graph too hub-heavy for exact-integer scoring: max "
+            f"in-degree {max_deg} * 10^{max_exp} approaches the int64 "
+            "ceiling (or the graph is empty) — lower select_num or "
+            "shard the selection"
         )
     from instructor_embedding_spark.functions.rounding import r6
 

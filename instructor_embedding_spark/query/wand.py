@@ -273,25 +273,33 @@ def _grouped_hits(
     batch.  With it, `.explain` shows PushedFilters: [In(term, [...])] and
     row groups that contain none of the query terms are skipped via column
     stats (segments are written term-sorted within files for exactly
-    this).  One collect serves both the pushdown list AND the broadcast
-    side (LocalRelation — no second tokenize job per query batch).
+    this).  The tokenized term table is cached around the probe, so the
+    pushdown path's follow-up collect reads the cache — still one
+    tokenize job per query batch.
 
     Past ``pushdown_max_terms`` distinct terms (default
-    :data:`PUSHDOWN_MAX_TERMS`) the collect is skipped and the term table
-    joins the segment scan engine-side — no driver funnel, no
-    megabyte-In() predicate; the probe that decides is a bounded
+    :data:`PUSHDOWN_MAX_TERMS`; values < 0 are clamped to 0, which
+    disables pushdown) the collect is skipped and the term table joins
+    the segment scan engine-side — no driver funnel, no megabyte-In()
+    predicate; the probe that decides is a bounded
     ``distinct().limit(max+1)`` collect, never the full term set."""
     p = handle.params
     segments = segments if segments is not None else handle.segments(spark)
     doc_lens = doc_lens if doc_lens is not None else handle.doc_lens(spark)
-    max_terms = (PUSHDOWN_MAX_TERMS if pushdown_max_terms is None
-                 else pushdown_max_terms)
+    max_terms = max(0, PUSHDOWN_MAX_TERMS if pushdown_max_terms is None
+                    else pushdown_max_terms)
 
-    qt = query_terms(queries, p.use_pandas_udf_tokenizer)
+    # Cache the tokenize output: the probe materializes it, the pushdown
+    # branch's full collect then reads memory instead of re-running the
+    # tokenizer.  A limit(0) probe would collect [] even for non-empty
+    # queries and silently drop all results — the clamp above plus
+    # limit(max+1) >= 1 guarantee the emptiness test is meaningful.
+    qt = query_terms(queries, p.use_pandas_udf_tokenizer).persist()
     probe = (
         qt.select("term").distinct().limit(max_terms + 1).collect()
     )
     if not probe:
+        qt.unpersist()
         return None
     seg_cols = segments.select(
         "term", "doc_block", "idf", "doc_bytes", "tf_bytes",
@@ -301,6 +309,7 @@ def _grouped_hits(
         # pushdown path: probe holds the FULL distinct term set
         term_list = sorted(r["term"] for r in probe)
         qt_rows = [(r["query_id"], r["term"]) for r in qt.collect()]
+        qt.unpersist()
         qt = spark.createDataFrame(qt_rows, "query_id long, term string")
         hits = (
             seg_cols.filter(F.col("term").isin(term_list))
@@ -309,7 +318,11 @@ def _grouped_hits(
     else:
         # join path: the term table stays distributed; the segment scan
         # reads fully once, which at this query volume is amortized over
-        # len(qt)/|segments| work anyway
+        # len(qt)/|segments| work anyway.  Unpersist now — the consumer
+        # job re-derives the terms inside its own distributed pipeline
+        # (the documented cost of skipping the driver funnel) rather
+        # than pinning a 10^5-query term table in executor memory.
+        qt = qt.unpersist()
         hits = seg_cols.join(qt, "term")
     grouped = hits.join(
         doc_lens.select("doc_block", "doc_ids_bin", "dls_bin"), "doc_block"

@@ -871,3 +871,33 @@ def test_fast_votek_rejects_int64_overflow_graph(spark):
     )
     with _pytest.raises(ValueError, match="int64 ceiling"):
         fast_votek(emb, select_num=16, knn=knn)
+
+
+def test_fast_votek_overflow_guard_uses_in_degree_not_edge_count(spark):
+    """The int64 guard must bound the PER-CANDIDATE sum (max in-degree ×
+    10^max_exp), not total edges: a large low-degree graph — the
+    documented LSH-graph scale path — must run, while a hub whose
+    in-degree alone nears the ceiling must still fail fast."""
+    import pytest as _pytest
+
+    from instructor_embedding_spark.analytics.votek import fast_votek
+
+    # 20k edges, in-degree <= 4: old total-edge bound would reject at
+    # select_num=16 (2e4 * 1e15 > 2^62); the true per-candidate sum is
+    # at most 4e15 — comfortably exact
+    n = 5000
+    edges = [(v, (v + off) % n) for v in range(n) for off in (1, 2, 3, 4)]
+    knn = spark.createDataFrame(
+        [(v, nb) for v, nb in edges], "vec_id long, neighbor_id long"
+    )
+    dummy = spark.createDataFrame([(0, [0.0])],
+                                  "vec_id long, embedding array<double>")
+    out = fast_votek(dummy, select_num=16, k=4, knn=knn).collect()
+    assert len(out) == 16
+
+    # hub: one candidate with in-degree 5000 → 5e3 * 1e15 > 2^62
+    hub = spark.createDataFrame(
+        [(v, 0) for v in range(n)], "vec_id long, neighbor_id long"
+    )
+    with _pytest.raises(ValueError, match="hub-heavy"):
+        fast_votek(dummy, select_num=16, k=1, knn=hub)

@@ -175,13 +175,74 @@ def test_capped_fixture_plans_distributed_take_ordered(spark, sf_small_dir):
     assert "Window" not in plan, plan[:1500]
 
 
+def _cross_join_children_capped(plan: str) -> list[str]:
+    """Parse a ``formatted`` explain string and return one failure
+    message per cartesian/nested-loop-join CHILD SUBTREE that carries no
+    cap.  A cap is a limit node inside that child (GlobalLimit /
+    LocalLimit / TakeOrderedAndProject) or a vec_id range predicate in
+    one of the child's Filter/Scan detail blocks (the bitext fixture's
+    pushed window filters).  Scoping the marker to the join's input
+    subtree — not the whole plan string — is the point: a top-k limit
+    ABOVE the product must not pass for a cap below it."""
+    import re
+
+    sections = plan.split("\n\n")
+    tree = sections[0].splitlines()
+    details = "\n\n".join(sections[1:])
+    blocks: dict[int, str] = {}
+    for m in re.finditer(
+        r"^\((\d+)\) .*?(?=^\(\d+\) |\Z)", details, re.S | re.M
+    ):
+        blocks[int(m.group(1))] = m.group(0)
+
+    def conn_col(line: str) -> int | None:
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m is not None else None
+
+    failures: list[str] = []
+    for i, line in enumerate(tree):
+        if ("CartesianProduct" not in line
+                and "BroadcastNestedLoopJoin" not in line):
+            continue
+        jcol = conn_col(line)
+        jcol = -3 if jcol is None else jcol  # join at the tree root
+        # subtree = following lines with deeper connectors; children
+        # start exactly one level (3 columns) below the join
+        children: list[list[str]] = []
+        for sub in tree[i + 1:]:
+            c = conn_col(sub)
+            if c is None or c <= jcol:
+                break
+            if c == jcol + 3 or not children:
+                children.append([])
+            children[-1].append(sub)
+        for ci, child in enumerate(children):
+            text = "\n".join(child)
+            if ("GlobalLimit" in text or "LocalLimit" in text
+                    or "TakeOrderedAndProject" in text):
+                continue
+            ids = [int(x) for x in re.findall(r"\((\d+)\)", text)]
+            if any(
+                re.search(r"vec_id#\d+L? [<>]", blocks.get(n, ""))
+                or "LessThan(vec_id" in blocks.get(n, "")
+                or "GreaterThan(vec_id" in blocks.get(n, "")
+                for n in ids
+            ):
+                continue
+            failures.append(
+                f"cross-join child {ci} uncapped:\n{text}"
+            )
+    return failures
+
+
 def test_no_gated_entry_plans_an_uncapped_cross_join(spark, sf_small_dir):
     """r4 judge item #1 'done' condition: any gated entry whose physical
     plan contains a cartesian/nested-loop product must bound its inputs —
     the md5-order ANN_EXACT_CAP (TakeOrderedAndProject) or the bitext
-    fixture's pushed vec_id window filters.  fast_votek_select
-    materializes eagerly (driver selection loop), so its vote-graph
-    SOURCE is asserted instead of the finished entry."""
+    fixture's pushed vec_id window filters — IN THE JOIN'S OWN INPUT
+    SUBTREES (an unrelated limit elsewhere in the plan does not count).
+    fast_votek_select materializes eagerly (driver selection loop), so
+    its vote-graph SOURCE is asserted instead of the finished entry."""
     from instructor_embedding_spark.analytics.similarity import cosine_topk
 
     mod = _entry_mod()
@@ -189,19 +250,10 @@ def test_no_gated_entry_plans_an_uncapped_cross_join(spark, sf_small_dir):
     for name in ("ann_cosine_topk", "ann_euclidean_topk", "knn_classify",
                  "bitext_pairs_eval"):
         plan = _formatted(qs[name](spark, sf_small_dir))
-        if ("CartesianProduct" in plan
-                or "BroadcastNestedLoopJoin" in plan):
-            capped = (
-                # md5-order cap: terminal form OR the sort+limit form it
-                # takes when further operators sit on top of the limit
-                "TakeOrderedAndProject" in plan
-                or "GlobalLimit" in plan
-                or "LessThan(vec_id" in plan  # bitext window pushdown
-            )
-            assert capped, f"{name} cross-joins an unbounded input"
+        bad = _cross_join_children_capped(plan)
+        assert not bad, f"{name}: " + "\n".join(bad)
     # fast_votek_select's vote graph source = exact top-k over the capped
     # fixture: the cap must sit under the cross join
     graph = cosine_topk(mod._capped_emb(spark, sf_small_dir), k=5)
-    plan = _formatted(graph)
-    assert ("TakeOrderedAndProject" in plan or "GlobalLimit" in plan), \
-        plan[:1500]
+    bad = _cross_join_children_capped(_formatted(graph))
+    assert not bad, "\n".join(bad)

@@ -116,3 +116,26 @@ def test_pushdown_vs_join_path_rank_identity(spark, tmp_path):
     )
     assert "In(term" in plan_pushed
     assert _rows(pushed) == _rows(joined)
+
+
+def test_negative_pushdown_threshold_clamps_to_join_path(spark, tmp_path):
+    """pushdown_max_terms=-1 (a natural guess for 'disable pushdown';
+    0 is the documented disable value) must behave like 0, not probe
+    with limit(0) — which collects [] for non-empty queries and would
+    silently return zero results."""
+    docs_rows = [(i, f"alpha beta tok{i % 7}") for i in range(60)]
+    queries_rows = [(1, "alpha tok3"), (2, "beta")]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, content string")
+    queries = spark.createDataFrame(
+        queries_rows, "query_id long, query_text string"
+    )
+    handle = build_index(
+        spark, docs, str(tmp_path),
+        IndexParams(doc_block_span=16, n_sub_blocks=4),
+        text_col="content",
+    )
+    neg = wand_topk(spark, handle, queries, k=5, pushdown_max_terms=-1)
+    ref = wand_topk(spark, handle, queries, k=5, pushdown_max_terms=0)
+    got = _rows(neg)
+    assert got, "negative threshold silently produced zero results"
+    assert got == _rows(ref)
