@@ -903,20 +903,36 @@ def select_queries(
     return out
 
 
+#: One task instruction for the whole batch — the reference's retrieval
+#: wrapper prepends a fixed task instruction to every query the same way
+#: (RetrievalEvaluator.py encode_queries; instructor.py:410-419 joins
+#: [instruction, text] with NO separator).
+PROJ_INSTRUCTION = "Represent the document for retrieval: "
+
+
 def _q_proj_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2/P4/P5/P6 in one pipeline: computed concat projection with
-    null guard, token-size predicate, limit with pinned order
-    (AbsTaskRetrieval.py:718-736; ClusteringEvaluator.py:91-94)."""
+    null guard, the instruction-prepend projection (P2 first-class:
+    functions/project.py prepend_instruction — ''.join semantics,
+    instructor.py:404-427), token-size predicate, limit with pinned
+    order (AbsTaskRetrieval.py:718-736; ClusteringEvaluator.py:91-94)."""
+    from instructor_embedding_spark.functions.project import (
+        prepend_instruction,
+    )
+
     d = _docs(spark, sf_dir)
     toks = tokens_col("text")
     return (
-        d.select(
+        prepend_instruction(d, PROJ_INSTRUCTION, text_col="text",
+                            out_col="instructed")
+        .select(
             "doc_id",
             F.trim(
                 F.concat_ws(
                     " ", F.coalesce(F.col("lang"), F.lit("")), F.col("text")
                 )
             ).alias("titled_text"),
+            "instructed",
             F.size(toks).alias("n_tokens"),
         )
         .filter((F.col("n_tokens") > 10) & (F.col("n_tokens") <= 256))
@@ -925,12 +941,23 @@ def _q_proj_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.substring("titled_text", 1, 40).alias("head40"),
+            F.substring("instructed", 1, 48).alias("instr_head48"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
         )
     )
 
 
 # ------------------------------------------------------------- oracle SQL
+
+def _proj_instr_sql_expr() -> str:
+    """P2 twin expression for the proj_filter_chain oracle."""
+    from instructor_embedding_spark.functions.project import (
+        prepend_instruction_sql_expr,
+    )
+
+    lit = PROJ_INSTRUCTION.replace("'", "''")
+    return prepend_instruction_sql_expr(f"'{lit}'", text_col="text")
+
 
 _TOKS_CTE = (
     "WITH toks AS (SELECT doc_id, "
@@ -1082,10 +1109,12 @@ FROM documents GROUP BY lang
 WITH base AS (
   SELECT doc_id,
          trim(concat_ws(' ', coalesce(lang, ''), text)) AS titled_text,
+         {_proj_instr_sql_expr()} AS instructed,
          CAST(len({sql_tokens_expr('text')}) AS BIGINT) AS n_tokens
   FROM documents
 )
-SELECT doc_id, substr(titled_text, 1, 40) AS head40, n_tokens
+SELECT doc_id, substr(titled_text, 1, 40) AS head40,
+       substr(instructed, 1, 48) AS instr_head48, n_tokens
 FROM base WHERE n_tokens > 10 AND n_tokens <= 256
 ORDER BY doc_id LIMIT 50
 """,

@@ -162,3 +162,29 @@ def test_bench_retrieval_metrics_equals_gated_entry(spark, sf_small_dir):
     assert sorted(map(key, gated.collect())) == sorted(
         map(key, bench.collect())
     )
+
+
+def test_prepend_instruction_join_semantics(spark):
+    """P2 first-class (instructor.py:404-427): instruction ++ text with
+    NO separator; NULLs coalesce to '' like ''.join over empty members;
+    per-row Column instructions work the same as a frame-wide literal."""
+    from pyspark.sql import functions as F
+
+    from instructor_embedding_spark.functions.project import (
+        prepend_instruction,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Represent: ", "doc one"), (2, None, "doc two"),
+         (3, "Q: ", None)],
+        "id long, instr string, text string",
+    )
+    lit = {r.id: r.instructed
+           for r in prepend_instruction(df, "T: ").collect()}
+    assert lit[1] == "T: doc one"          # no extra separator
+    assert lit[3] == "T: "                 # NULL text -> ''
+    per_row = {r.id: r.instructed
+               for r in prepend_instruction(df, F.col("instr")).collect()}
+    assert per_row[1] == "Represent: doc one"
+    assert per_row[2] == "doc two"         # NULL instruction -> ''
+    assert per_row[3] == "Q: "
