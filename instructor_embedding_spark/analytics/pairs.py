@@ -469,6 +469,12 @@ FROM pred WHERE rv = 1
 """
 
 
+#: Largest |src|·|tgt| the DEFAULT (exact full-matrix) bitext path will
+#: plan — ~the reference's evaluation sizes with headroom; past it the
+#: caller must pass candidates= (ANN output) explicitly.
+BITEXT_EXACT_MAX_PAIRS = 4_000_000
+
+
 def bitext_mine(src: DataFrame, tgt: DataFrame, gold: DataFrame,
                 vec_col: str = "embedding",
                 candidates: DataFrame | None = None) -> DataFrame:
@@ -489,7 +495,11 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, gold: DataFrame,
     ``candidates`` ((a_id, b_id), e.g. ANN output) bounds the scored
     pairs; the default scores src × tgt — the reference's full similarity
     matrix, fine for evaluation-sized sets.  At corpus scale pass the
-    LSH/IVF candidate set, the same swap every similarity consumer uses."""
+    LSH/IVF candidate set, the same swap every similarity consumer uses;
+    above :data:`BITEXT_EXACT_MAX_PAIRS` the default FAILS FAST (two
+    cheap counts) instead of silently planning an O(|src|·|tgt|)
+    cartesian — an evaluator must not auto-degrade to approximate
+    results, so the caller chooses the swap explicitly."""
     a = src.select(
         "a_id",
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("va"),
@@ -501,6 +511,14 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, gold: DataFrame,
     if candidates is not None:
         pairs_df = candidates.join(a, "a_id").join(b, "b_id")
     else:
+        n_pairs_full = a.count() * b.count()
+        if n_pairs_full > BITEXT_EXACT_MAX_PAIRS:
+            raise ValueError(
+                f"bitext_mine default would score {n_pairs_full} pairs "
+                f"(> BITEXT_EXACT_MAX_PAIRS={BITEXT_EXACT_MAX_PAIRS}); "
+                "pass candidates= (e.g. lsh_cosine_topk / "
+                "ivf_cosine_topk output) for corpus-scale mining"
+            )
         pairs_df = a.crossJoin(b)
     scored = pairs_df.select(
         "a_id", "b_id",

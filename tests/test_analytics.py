@@ -901,3 +901,35 @@ def test_fast_votek_overflow_guard_uses_in_degree_not_edge_count(spark):
     )
     with _pytest.raises(ValueError, match="hub-heavy"):
         fast_votek(dummy, select_num=16, k=1, knn=hub)
+
+
+def test_bitext_mine_default_fails_fast_above_pair_budget(spark):
+    """Above BITEXT_EXACT_MAX_PAIRS the default full-matrix path must
+    raise (directing to candidates=), not silently plan an
+    O(|src|x|tgt|) cartesian — and the guard must not fire at
+    evaluation sizes."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from instructor_embedding_spark.analytics import pairs as pairs_mod
+
+    src = spark.range(3).select(
+        F.col("id").alias("a_id"),
+        F.array(F.lit(1.0), F.col("id").cast("double")).alias("embedding"),
+    )
+    tgt = spark.range(3).select(
+        F.col("id").alias("b_id"),
+        F.array(F.lit(1.0), F.col("id").cast("double")).alias("embedding"),
+    )
+    gold = spark.createDataFrame([(0, 0), (1, 1)], "a_id long, b_id long")
+    # small: runs fine
+    assert pairs_mod.bitext_mine(src, tgt, gold).collect()[0]["n_pairs"] == 2
+    # shrink the budget instead of building millions of rows
+    orig = pairs_mod.BITEXT_EXACT_MAX_PAIRS
+    pairs_mod.BITEXT_EXACT_MAX_PAIRS = 8
+    try:
+        with _pytest.raises(ValueError, match="candidates="):
+            pairs_mod.bitext_mine(src, tgt, gold)
+    finally:
+        pairs_mod.BITEXT_EXACT_MAX_PAIRS = orig
