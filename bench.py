@@ -414,8 +414,11 @@ def _merge_smoke_results(rows: dict) -> None:
     merged.update(rows)
     # atomic replace so a kill mid-write can't truncate the file for the
     # next reader (two concurrent smokes still last-writer-win on the
-    # union, but neither can corrupt it)
-    tmp = path + ".tmp"
+    # union, but neither can corrupt it).  The temp name is pid-unique:
+    # a SHARED temp file would let two concurrent smokes interleave
+    # writes and the loser's os.replace would crash — the exact race
+    # this function exists to survive.
+    tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "w") as f:
         json.dump(merged, f, indent=1)
     os.replace(tmp, path)
@@ -543,22 +546,34 @@ def run_smoke_streaming(n_docs: int = 50_000, n_batches: int = 4) -> dict:
 
     docs = _bench_corpus(spark, n_docs)
     in_dir = os.path.join(RUNTIME, f"smoke_stream_in_{n_docs}")
-    if not os.path.exists(in_dir):
+    # A corpus dir counts as complete only if it carries the _ALL_BATCHES
+    # marker this builder writes after the LAST micro-batch: Spark's own
+    # _SUCCESS appears after the FIRST append batch, so neither bare
+    # existence nor _SUCCESS distinguishes a complete corpus from the
+    # debris of a crashed build (and the row-identity check below would
+    # misreport a merge regression over a partial corpus).
+    marker = os.path.join(in_dir, "_ALL_BATCHES")
+    if not os.path.exists(marker):
+        shutil.rmtree(in_dir, ignore_errors=True)
         # disjoint doc_id ranges per file (the merge contract), one file
-        # per micro-batch.  Build in a temp dir and rename INTO place:
-        # Spark writes _SUCCESS after the FIRST append batch, so a crash
-        # mid-loop would otherwise leave a partial corpus that later
-        # runs treat as complete — and the row-identity check below
-        # would then misreport a merge regression.
+        # per micro-batch.  Build in a pid-unique temp dir and rename
+        # INTO place so a crash mid-loop leaves no half-corpus at in_dir
+        # and a concurrent builder can't interleave batches with ours.
         span = (n_docs + n_batches - 1) // n_batches
-        tmp_dir = in_dir + ".building"
+        tmp_dir = f"{in_dir}.building.{os.getpid()}"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         for b in range(n_batches):
             docs.filter(
                 (F.col("doc_id") >= b * span)
                 & (F.col("doc_id") < (b + 1) * span)
             ).coalesce(1).write.mode("append").parquet(tmp_dir)
-        os.rename(tmp_dir, in_dir)
+        with open(os.path.join(tmp_dir, "_ALL_BATCHES"), "w") as mf:
+            mf.write(str(n_batches))
+        try:
+            os.rename(tmp_dir, in_dir)
+        except OSError:
+            # a concurrent builder won the rename; use its corpus
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
     root = os.path.join(RUNTIME, f"smoke_stream_idx_{n_docs}")
     shutil.rmtree(root, ignore_errors=True)

@@ -511,7 +511,15 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, gold: DataFrame,
     if candidates is not None:
         pairs_df = candidates.join(a, "a_id").join(b, "b_id")
     else:
-        n_pairs_full = a.count() * b.count()
+        # The guard makes default construction eager by two COUNT jobs —
+        # deliberate (an evaluator must not silently plan a quadratic
+        # product), and cheap: the id-only projections column-prune the
+        # vector transforms away, so each count is a metadata-ish row
+        # scan; the second is skipped when the first side is empty.
+        n_src = src.select("a_id").count()
+        n_pairs_full = (
+            n_src * tgt.select("b_id").count() if n_src else 0
+        )
         if n_pairs_full > BITEXT_EXACT_MAX_PAIRS:
             raise ValueError(
                 f"bitext_mine default would score {n_pairs_full} pairs "

@@ -295,35 +295,41 @@ def _grouped_hits(
     # queries and silently drop all results — the clamp above plus
     # limit(max+1) >= 1 guarantee the emptiness test is meaningful.
     qt = query_terms(queries, p.use_pandas_udf_tokenizer).persist()
-    probe = (
-        qt.select("term").distinct().limit(max_terms + 1).collect()
-    )
-    if not probe:
-        qt.unpersist()
-        return None
-    seg_cols = segments.select(
-        "term", "doc_block", "idf", "doc_bytes", "tf_bytes",
-        "sub_offsets", "sub_max",
-    )
-    if len(probe) <= max_terms:
-        # pushdown path: probe holds the FULL distinct term set
-        term_list = sorted(r["term"] for r in probe)
-        qt_rows = [(r["query_id"], r["term"]) for r in qt.collect()]
-        qt.unpersist()
-        qt = spark.createDataFrame(qt_rows, "query_id long, term string")
-        hits = (
-            seg_cols.filter(F.col("term").isin(term_list))
-            .join(F.broadcast(qt), "term")
+    try:
+        probe = (
+            qt.select("term").distinct().limit(max_terms + 1).collect()
         )
-    else:
-        # join path: the term table stays distributed; the segment scan
-        # reads fully once, which at this query volume is amortized over
-        # len(qt)/|segments| work anyway.  Unpersist now — the consumer
-        # job re-derives the terms inside its own distributed pipeline
-        # (the documented cost of skipping the driver funnel) rather
-        # than pinning a 10^5-query term table in executor memory.
-        qt = qt.unpersist()
-        hits = seg_cols.join(qt, "term")
+        if not probe:
+            return None
+        seg_cols = segments.select(
+            "term", "doc_block", "idf", "doc_bytes", "tf_bytes",
+            "sub_offsets", "sub_max",
+        )
+        if len(probe) <= max_terms:
+            # pushdown path: probe holds the FULL distinct term set
+            term_list = sorted(r["term"] for r in probe)
+            qt_rows = [(r["query_id"], r["term"]) for r in qt.collect()]
+            local_qt = spark.createDataFrame(
+                qt_rows, "query_id long, term string"
+            )
+            hits = (
+                seg_cols.filter(F.col("term").isin(term_list))
+                .join(F.broadcast(local_qt), "term")
+            )
+        else:
+            # join path: the term table stays distributed; the segment
+            # scan reads fully once, which at this query volume is
+            # amortized over len(qt)/|segments| work anyway.  The
+            # finally-unpersist below means the consumer job re-derives
+            # the terms inside its own distributed pipeline (the
+            # documented cost of skipping the driver funnel) rather
+            # than pinning a 10^5-query term table in executor memory.
+            hits = seg_cols.join(qt, "term")
+    finally:
+        # always release the probe cache — an exception in the probe or
+        # the pushdown collect must not leave the term table pinned in
+        # executor memory for the life of the session
+        qt.unpersist()
     grouped = hits.join(
         doc_lens.select("doc_block", "doc_ids_bin", "dls_bin"), "doc_block"
     )

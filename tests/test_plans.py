@@ -183,21 +183,46 @@ def _cross_join_children_capped(plan: str) -> list[str]:
     one of the child's Filter/Scan detail blocks (the bitext fixture's
     pushed window filters).  Scoping the marker to the join's input
     subtree — not the whole plan string — is the point: a top-k limit
-    ABOVE the product must not pass for a cap below it."""
+    ABOVE the product must not pass for a cap below it.
+
+    EVERY tree in the string is scanned, not just the main one: formatted
+    explain renders each subquery as its own tree under an
+    ``===== Subqueries =====`` banner (header line, then connector lines),
+    and a product planned inside a scalar subquery is exactly as
+    quadratic as one in the main plan.  Operator ids are globally unique
+    across main + subquery trees, so one detail-block dict serves all."""
     import re
 
-    sections = plan.split("\n\n")
-    tree = sections[0].splitlines()
-    details = "\n\n".join(sections[1:])
     blocks: dict[int, str] = {}
     for m in re.finditer(
-        r"^\((\d+)\) .*?(?=^\(\d+\) |\Z)", details, re.S | re.M
+        r"^\((\d+)\) .*?(?=^\(\d+\) |^=====|\Z)", plan, re.S | re.M
     ):
         blocks[int(m.group(1))] = m.group(0)
+
+    # tree node lines end with their operator id "(N)"; detail blocks
+    # START with "(N) " and section headers end with other text — so a
+    # section holding >= 1 such line is a plan tree (main or subquery)
+    trees: list[list[str]] = []
+    for section in plan.split("\n\n"):
+        node_lines = [
+            ln for ln in section.splitlines()
+            if re.search(r"\(\d+\)$", ln) and not re.match(r"^\(\d+\) ", ln)
+        ]
+        if node_lines:
+            trees.append(node_lines)
 
     def conn_col(line: str) -> int | None:
         m = re.search(r"[+:]- ", line)
         return m.start() if m is not None else None
+
+    failures: list[str] = []
+    for tree in trees:
+        failures.extend(_scan_tree_for_uncapped(tree, blocks, conn_col))
+    return failures
+
+
+def _scan_tree_for_uncapped(tree, blocks, conn_col) -> list[str]:
+    import re
 
     failures: list[str] = []
     for i, line in enumerate(tree):
@@ -233,6 +258,48 @@ def _cross_join_children_capped(plan: str) -> list[str]:
                 f"cross-join child {ci} uncapped:\n{text}"
             )
     return failures
+
+
+def test_cross_join_parser_scans_subquery_trees():
+    """A product planned inside a scalar subquery must be detected: the
+    parser walks the ``===== Subqueries =====`` trees too (layout below
+    is verbatim Spark 4 formatted-explain shape).  Pure string test —
+    no session needed."""
+    plan = (
+        "== Physical Plan ==\n"
+        "AdaptiveSparkPlan (7)\n"
+        "+- Project (3)\n"
+        "   +- Filter (2)\n"
+        "      +- Range (1)\n"
+        "\n"
+        "(1) Range\n"
+        "Output [1]: [id#0L]\n"
+        "\n"
+        "===== Subqueries =====\n"
+        "\n"
+        "Subquery:1 Hosting operator id = 2 Hosting Expression = "
+        "Subquery subquery#8, [id=#63]\n"
+        "AdaptiveSparkPlan (20)\n"
+        "+- HashAggregate (19)\n"
+        "   +- BroadcastNestedLoopJoin Cross BuildRight (16)\n"
+        "      :- Project (9)\n"
+        "      :  +- Range (8)\n"
+        "      +- BroadcastExchange (15)\n"
+        "         +- Range (10)\n"
+        "\n"
+        "(8) Range\n"
+        "Output [1]: [id#11L]\n"
+    )
+    bad = _cross_join_children_capped(plan)
+    assert len(bad) == 2, bad  # both join inputs uncapped
+    # capping one child (a GlobalLimit under the build side) clears it
+    capped = plan.replace(
+        "         +- Range (10)",
+        "         +- GlobalLimit (14)\n"
+        "            +- Range (10)",
+    )
+    bad = _cross_join_children_capped(capped)
+    assert len(bad) == 1 and ":- Project (9)" in bad[0], bad
 
 
 def test_no_gated_entry_plans_an_uncapped_cross_join(spark, sf_small_dir):
