@@ -51,6 +51,7 @@ from instructor_embedding_spark.functions.codec import (
     varint_encode,
     varint_encode_segmented,
 )
+from instructor_embedding_spark.functions.batching import length_sorted
 from instructor_embedding_spark.functions.tfcount import tf_pairs_map_side
 from instructor_embedding_spark.index.manifest import (
     ManifestStore,
@@ -71,6 +72,12 @@ class IndexParams:
     segment_shuffle_partitions: int | None = None
     corpus_fingerprint: str = ""    # caller-supplied input identity
     store_positions: bool = False   # optional positional side index (phrase)
+    #: W6 (instructor.py:632-641): length-sort docs WITHIN partitions
+    #: before the tokenize UDF so each Arrow batch sees similar-length
+    #: texts.  Logical output is identical (keyed rows, order-free
+    #: downstream aggregation); measured default-off for the lexical
+    #: kernel — see functions/batching.py.
+    length_sorted_batches: bool = False
 
     def __post_init__(self) -> None:
         # sub_span floor-truncates: with a non-divisible combination the
@@ -304,8 +311,12 @@ def build_index(
     # covers zero-token docs.
     if not (stage_done("postings_raw") and stage_done("doc_stats")):
         with StageTimer() as t:
+            tok_src = (
+                length_sorted(docs, text_col)
+                if params.length_sorted_batches else docs
+            )
             combined = tf_pairs_map_side(
-                docs, text_col, id_col, include_doc_rows=True
+                tok_src, text_col, id_col, include_doc_rows=True
             ).withColumn("doc_block", (F.col("doc_id") / span).cast("long"))
             combined.write.mode("overwrite").parquet(p_raw)
             # doc_stats = the NULL-term rows of the same single tokenize
