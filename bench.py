@@ -393,6 +393,53 @@ def run_smoke10x(n_docs: int = 50_000, n_vecs: int = 20_000) -> dict:
         },
     }
 
+    # embedding-cosine near-dup (r5 entry): the clustered synth corpus is
+    # genuinely near-dup-rich (within-cluster cosine ~0.99, ~50 clusters),
+    # plus 200 PLANTED copies (v_i + 0.15·v_{i+500}, cosine ≥ ~0.989) as a
+    # known-truth recall probe the natural pairs can't fake.
+    n_plant = 200
+    plant_off = 1_000_000
+    nd_base = vecs.select("vec_id", "embedding")
+    partner = nd_base.select(
+        (F.col("vec_id") - 500).alias("vec_id"),
+        F.col("embedding").alias("pv"),
+    )
+    copies = (
+        nd_base.filter(F.col("vec_id") < n_plant)
+        .join(partner, "vec_id")
+        .select(
+            (F.col("vec_id") + plant_off).alias("vec_id"),
+            F.zip_with(
+                "embedding", "pv",
+                lambda x, y: x + F.lit(0.15) * y,
+            ).alias("embedding"),
+        )
+    )
+    nd = nd_base.unionByName(copies)
+    before = _stage_totals(spark)
+    t0 = time.monotonic()
+    found = dedup.embedding_near_dup_pairs(
+        nd, threshold=0.9, n=n_vecs + n_plant
+    ).cache()
+    n_found = found.count()
+    wall = time.monotonic() - t0
+    after = _stage_totals(spark)
+    n_planted_found = found.filter(
+        (F.col("id_a") < n_plant)
+        & (F.col("id_b") == F.col("id_a") + plant_off)
+    ).count()
+    found.unpersist()
+    out["embedding_near_dup_10x"] = {
+        "vectors": n_vecs + n_plant, "pairs": n_found,
+        "wall_s": round(wall, 2),
+        "shuffle_write_mb": round(
+            (after["shuffle_write"] - before["shuffle_write"]) / 2**20, 1),
+        "shuffle_read_mb": round(
+            (after["shuffle_read"] - before["shuffle_read"]) / 2**20, 1),
+        "planted_recall": round(n_planted_found / n_plant, 4),
+        "planted": n_plant,
+    }
+
     _merge_smoke_results(out)
     return out
 

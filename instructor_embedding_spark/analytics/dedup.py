@@ -428,3 +428,131 @@ h AS (
 )
 SELECT doc_id, {bit_sum} AS simhash FROM h GROUP BY doc_id
 """
+
+
+# --------------------------------------- embedding-cosine near-duplicates
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding", dim: int = 64,
+                             planes_per_table: int | None = None,
+                             n_tables: int = 8,
+                             bucket_cap: int | None = None,
+                             n: int | None = None) -> DataFrame:
+    """(id_a, id_b, cosine) for pairs with exact cosine >= ``threshold`` —
+    embedding-space near-duplicate detection, the semantic sibling of the
+    text families above (the reference dedups by exact sentence identity,
+    PairClassificationEvaluator.py:75; embeddings are how you catch the
+    paraphrased/reformatted copies exact hashing misses).
+
+    Scale shape: candidates come from the multi-table sign-LSH bucket
+    self-join (same derived planes, fixed-block layout, and hot-bucket cap
+    as :func:`..similarity.lsh_cosine_topk` — occupancy stays
+    ~LSH_TARGET_BUCKET as n grows, so per-bucket pair work is bounded);
+    ids-only ride the bucket shuffle, each distinct candidate pair is
+    exact-cosine-scored ONCE after a vector re-join, and only pairs at or
+    above the threshold survive.  No crossJoin at any size.
+
+    ``n``: precomputed corpus count (skips the derive-P count())."""
+    from instructor_embedding_spark.analytics import similarity as sim
+
+    if bucket_cap is None:
+        bucket_cap = sim.LSH_BUCKET_CAP
+    if planes_per_table is None:
+        planes_per_table = sim.derive_planes_per_table(
+            embeddings.count() if n is None else n
+        )
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", sim._norm(F.col("v")))
+    sig_udf = sim._cosine_sigs_udf(dim, planes_per_table, n_tables)
+    e = base.withColumn("sigs", sig_udf(F.col("v"))).select(
+        "vid", F.posexplode("sigs").alias("tbl", "sig")
+    )
+    e = e.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("tbl", "sig"))
+    ).filter(F.col("bsz") <= bucket_cap).drop("bsz")
+    cand = (
+        e.select(F.col("vid").alias("id_a"), "tbl", "sig")
+        .join(e.select(F.col("vid").alias("id_b"), "tbl", "sig"),
+              ["tbl", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))   # canonical: half the pairs
+        .select("id_a", "id_b")
+        .distinct()                              # rerank once per pair
+    )
+    scored = (
+        cand.join(
+            base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
+                        F.col("nrm").alias("na")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+                        F.col("nrm").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            F.round(
+                sim._pair_dot_udf(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_dup_pairs_sql(table: str, threshold: float = 0.9,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding", dim: int = 64,
+                                 planes_per_table: int | None = None,
+                                 n_tables: int = 8,
+                                 bucket_cap: int | None = None) -> str:
+    """DuckDB twin of :func:`embedding_near_dup_pairs` — the SAME
+    approximate candidate set (md5-derived quantized planes as int
+    literals, integer signature sums, count-derived plane count, identical
+    hot-bucket cap), then the same round-6 cosine threshold."""
+    from instructor_embedding_spark.analytics import similarity as sim
+
+    if bucket_cap is None:
+        bucket_cap = sim.LSH_BUCKET_CAP
+    if planes_per_table is None:
+        sigs = sim.cosine_sig_rows_sql(
+            "vid, v, nrm", "n", dim, n_tables=n_tables,
+            nbits_expr="(SELECT nbits FROM nb)",
+        )
+    else:
+        sigs = sim.cosine_sig_rows_sql(
+            "vid, v, nrm", "n", dim, planes_per_table, n_tables
+        )
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+nb AS (
+  SELECT {sim.derive_planes_sql('count(*)')} AS nbits FROM e
+),
+n AS (
+  SELECT vid, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         {sim._vq_sql('v')} AS vq
+  FROM e
+),
+sigs AS ({sigs}),
+capped AS (
+  SELECT * FROM sigs
+  QUALIFY count(*) OVER (PARTITION BY tbl, sig) <= {bucket_cap}
+),
+pairs AS (
+  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b,
+         round(list_sum(list_transform(range(1, len(a.v) + 1),
+                                       i -> a.v[i] * b.v[i]))
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM capped a JOIN capped b ON a.tbl = b.tbl AND a.sig = b.sig
+  WHERE a.vid < b.vid
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""

@@ -933,3 +933,52 @@ def test_bitext_mine_default_fails_fast_above_pair_budget(spark):
             pairs_mod.bitext_mine(src, tgt, gold)
     finally:
         pairs_mod.BITEXT_EXACT_MAX_PAIRS = orig
+
+
+def test_embedding_near_dup_finds_planted_copies_only(spark, sf_small_dir):
+    """The gated fixture plants 40 near-copies (alpha=0.15 mixtures,
+    cosine ~0.99) and 40 decoys (alpha=1.0, cosine <= sqrt((1+0.51)/2)
+    ~ 0.87): the LSH-candidate + exact-threshold pipeline must return
+    EXACTLY the 40 planted (i, i + ID_OFFSET) pairs — full recall through
+    the bucket join, zero decoy leakage through the threshold."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["dedup_embedding_cosine"](
+        spark, sf_small_dir
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    want = {
+        (i, i + entry_mod.NEARDUP_ID_OFFSET)
+        for i in range(entry_mod.NEARDUP_PLANT_N)
+    }
+    assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+    for r in out:
+        assert r["cosine"] >= entry_mod.NEARDUP_THRESHOLD, r
+
+
+def test_minhash_signatures_match_duckdb(spark, sf_small_dir):
+    """Direct signature parity for the minhash dump, which ceded its r5
+    registry slot to dedup_embedding_cosine (the gate is capped at 50
+    entries): dedup_lsh_pairs still recomputes these signatures in its
+    gated lineage, so this pins the standalone op the same way the r4
+    simhash refit did."""
+    import duckdb
+
+    from instructor_embedding_spark.analytics.dedup import (
+        minhash_signatures,
+        minhash_signatures_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_small_dir}/documents.parquet")
+    sdf = minhash_signatures(docs)
+    cols = sdf.columns  # doc_id, h0..h{K-1}
+    got = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_small_dir}/documents.parquet'"
+    )
+    duck = con.execute(minhash_signatures_sql("documents"))
+    assert [d[0] for d in duck.description] == cols
+    want = sorted(tuple(row) for row in duck.fetchall())
+    assert got == want

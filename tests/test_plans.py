@@ -88,6 +88,19 @@ def test_simhash_pairs_plan_is_banded(spark, sf_small_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_near_dup_plan_is_bucketed_not_cartesian(spark,
+                                                           sf_small_dir):
+    """embedding_near_dup_pairs candidates must come from the (tbl, sig)
+    bucket equi-join — no O(n²) product anywhere in the plan, including
+    the gated entry's planted-copy fixture construction."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["dedup_embedding_cosine"](spark, sf_small_dir)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_fielded_bm25_plan_broadcasts_query_terms(spark, built):
     from instructor_embedding_spark.query.bm25 import bm25_topk_fielded
 
