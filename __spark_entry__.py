@@ -240,7 +240,10 @@ _CAPPED_EMB_SQL = f"""(
 NEARDUP_PLANT_N = 40
 NEARDUP_DECOY_N = 40
 NEARDUP_PARTNER = 200
-NEARDUP_ID_OFFSET = 100000
+#: far above any natural vec_id at any scale factor (review finding: a
+#: 100k offset collides with real ids once the table reaches 100k rows,
+#: silently double-keying the planted pairs — 10^12 can't)
+NEARDUP_ID_OFFSET = 10**12
 NEARDUP_ALPHA_NEAR = 0.15
 NEARDUP_ALPHA_FAR = 1.0
 NEARDUP_THRESHOLD = 0.9
@@ -768,9 +771,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         # embedding-space near-dups: planted-copy fixture (no natural
         # near-dups in the synthetic embeddings), LSH-bucketed candidates,
-        # exact cosine >= threshold — the paraphrase-catching dedup stage
+        # exact cosine >= threshold — the paraphrase-catching dedup stage.
+        # n= is the raw parquet count (metadata-cheap) + the fixed plant
+        # size, so deriving P doesn't execute the fixture's join+union
+        # lineage a fourth time (review finding)
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_near_dup_pairs(
-            _neardup_emb(s, d), threshold=NEARDUP_THRESHOLD
+            _neardup_emb(s, d), threshold=NEARDUP_THRESHOLD,
+            n=_emb(s, d).count() + NEARDUP_PLANT_N + NEARDUP_DECOY_N
         ),
         # similarity search (embeddings table)
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(

@@ -1,11 +1,14 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four families, each a (Spark DataFrame, DuckDB oracle SQL) pair:
+Five families, each a (Spark DataFrame, DuckDB oracle SQL) pair:
 
-- exact:          hash-groupBy on content digest
-- minhash + LSH:  shingle → k minhashes → banded buckets → candidate pairs
-- n-gram Jaccard: exact Jaccard over distinct token shingles for candidates
-- simhash:        64-bit sign-aggregated fingerprint, near-dup by Hamming
+- exact:            hash-groupBy on content digest
+- minhash + LSH:    shingle → k minhashes → banded buckets → candidate pairs
+- n-gram Jaccard:   exact Jaccard over distinct token shingles for candidates
+- simhash:          64-bit sign-aggregated fingerprint, near-dup by Hamming
+- embedding-cosine: sign-LSH bucketed candidates → exact cosine ≥ threshold
+                    (the paraphrase-catching stage; machinery shared with
+                    analytics/similarity.py's ANN family)
 
 The reference's only dedup is Python ``set`` of sentences before encoding
 (PairClassificationEvaluator.py:75, BitextMiningEvaluator.py:36) — the
@@ -465,43 +468,19 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", sim._norm(F.col("v")))
-    sig_udf = sim._cosine_sigs_udf(dim, planes_per_table, n_tables)
-    e = base.withColumn("sigs", sig_udf(F.col("v"))).select(
-        "vid", F.posexplode("sigs").alias("tbl", "sig")
+    ).withColumn("n", sim._norm(F.col("v")))
+    cand = sim.bucketed_candidate_pairs(
+        base, dim, planes_per_table, n_tables, bucket_cap, canonical=True
     )
-    e = e.withColumn(
-        "bsz", F.count(F.lit(1)).over(Window.partitionBy("tbl", "sig"))
-    ).filter(F.col("bsz") <= bucket_cap).drop("bsz")
-    cand = (
-        e.select(F.col("vid").alias("id_a"), "tbl", "sig")
-        .join(e.select(F.col("vid").alias("id_b"), "tbl", "sig"),
-              ["tbl", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))   # canonical: half the pairs
-        .select("id_a", "id_b")
-        .distinct()                              # rerank once per pair
-    )
-    scored = (
-        cand.join(
-            base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
-                        F.col("nrm").alias("na")),
-            "id_a",
-        )
-        .join(
-            base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
-                        F.col("nrm").alias("nb")),
-            "id_b",
-        )
+    return (
+        sim.score_candidate_pairs(base, cand)
         .select(
-            "id_a", "id_b",
-            F.round(
-                sim._pair_dot_udf(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb")),
-                6,
-            ).alias("cosine"),
+            F.col("vec_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.round("cos_raw", 6).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
     )
-    return scored.filter(F.col("cosine") >= threshold)
 
 
 def embedding_near_dup_pairs_sql(table: str, threshold: float = 0.9,
@@ -511,48 +490,20 @@ def embedding_near_dup_pairs_sql(table: str, threshold: float = 0.9,
                                  n_tables: int = 8,
                                  bucket_cap: int | None = None) -> str:
     """DuckDB twin of :func:`embedding_near_dup_pairs` — the SAME
-    approximate candidate set (md5-derived quantized planes as int
-    literals, integer signature sums, count-derived plane count, identical
-    hot-bucket cap), then the same round-6 cosine threshold."""
+    approximate candidate set (the shared
+    :func:`..similarity.lsh_pairs_ctes` scaffolding with the canonical
+    a < b pair predicate), then the same round-6 cosine threshold."""
     from instructor_embedding_spark.analytics import similarity as sim
 
     if bucket_cap is None:
         bucket_cap = sim.LSH_BUCKET_CAP
-    if planes_per_table is None:
-        sigs = sim.cosine_sig_rows_sql(
-            "vid, v, nrm", "n", dim, n_tables=n_tables,
-            nbits_expr="(SELECT nbits FROM nb)",
-        )
-    else:
-        sigs = sim.cosine_sig_rows_sql(
-            "vid, v, nrm", "n", dim, planes_per_table, n_tables
-        )
+    ctes = sim.lsh_pairs_ctes(
+        table, id_col, vec_col, dim, planes_per_table, n_tables,
+        bucket_cap, pair_pred="a.vid < b.vid",
+    )
     return f"""
-WITH e AS (
-  SELECT {id_col} AS vid,
-         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
-  FROM {table}
-),
-nb AS (
-  SELECT {sim.derive_planes_sql('count(*)')} AS nbits FROM e
-),
-n AS (
-  SELECT vid, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-         {sim._vq_sql('v')} AS vq
-  FROM e
-),
-sigs AS ({sigs}),
-capped AS (
-  SELECT * FROM sigs
-  QUALIFY count(*) OVER (PARTITION BY tbl, sig) <= {bucket_cap}
-),
-pairs AS (
-  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b,
-         round(list_sum(list_transform(range(1, len(a.v) + 1),
-                                       i -> a.v[i] * b.v[i]))
-               / (a.nrm * b.nrm), 6) AS cosine
-  FROM capped a JOIN capped b ON a.tbl = b.tbl AND a.sig = b.sig
-  WHERE a.vid < b.vid
-)
-SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+WITH {ctes}
+SELECT vec_id AS id_a, neighbor_id AS id_b,
+       round(cos_raw, 6) AS cosine
+FROM pairs WHERE round(cos_raw, 6) >= {threshold}
 """

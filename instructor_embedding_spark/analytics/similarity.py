@@ -403,6 +403,64 @@ def _uniform01_py(key: str) -> float:
     return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / float(2 ** 32)
 
 
+def bucketed_candidate_pairs(base: DataFrame, dim: int,
+                             planes_per_table: int, n_tables: int,
+                             bucket_cap: int,
+                             canonical: bool = False) -> DataFrame:
+    """ids-only LSH candidate generation shared by the ANN top-k and the
+    embedding near-dup operators: signature → hot-bucket cap → (tbl, sig)
+    self-join → distinct (vec_id, neighbor_id) pairs.
+
+    ``base`` must expose ``vid`` and the double-array ``v``.  With
+    ``canonical`` each unordered pair appears once as vec_id < neighbor_id
+    (the near-dup shape — half the join output); without it both
+    directions survive (the per-query top-k shape)."""
+    sig_udf = _cosine_sigs_udf(dim, planes_per_table, n_tables)
+    e = base.withColumn("sigs", sig_udf(F.col("v"))).select(
+        "vid", F.posexplode("sigs").alias("tbl", "sig")
+    )
+    # hot-bucket guard: the window shuffles on the same (tbl, sig) keys
+    # the pair join hashes on, so AQE reuses the partitioning
+    e = e.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("tbl", "sig"))
+    ).filter(F.col("bsz") <= bucket_cap).drop("bsz")
+    pred = (
+        F.col("vec_id") < F.col("neighbor_id") if canonical
+        else F.col("vec_id") != F.col("neighbor_id")
+    )
+    return (
+        e.select(F.col("vid").alias("vec_id"), "tbl", "sig")
+        .join(e.select(F.col("vid").alias("neighbor_id"), "tbl", "sig"),
+              ["tbl", "sig"])
+        .filter(pred)
+        .select("vec_id", "neighbor_id")
+        .distinct()  # dedup BEFORE scoring: each pair reranked once
+    )
+
+
+def score_candidate_pairs(base: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-cosine rerank of distinct candidate pairs: re-join vectors
+    once per pair (the ids-only shuffle's second half), emit
+    (vec_id, neighbor_id, cos_raw)."""
+    return (
+        cand.join(
+            base.select(F.col("vid").alias("vec_id"),
+                        F.col("v").alias("va"), F.col("n").alias("na")),
+            "vec_id",
+        )
+        .join(
+            base.select(F.col("vid").alias("neighbor_id"),
+                        F.col("v").alias("vb"), F.col("n").alias("nb")),
+            "neighbor_id",
+        )
+        .select(
+            "vec_id", "neighbor_id",
+            (_pair_dot_udf(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+        )
+    )
+
+
 def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int = 64, planes_per_table: int | None = None,
@@ -449,18 +507,17 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("n", _norm(F.col("v")))
 
-    sig_udf = _cosine_sigs_udf(dim, planes_per_table, n_tables)
-    e = base.withColumn("sigs", sig_udf(F.col("v"))).select(
-        "vid", *(("v", "n") if carry_vectors else ()),
-        F.posexplode("sigs").alias("tbl", "sig"),
-    )
-    # hot-bucket guard: the window shuffles on the same (tbl, sig) keys
-    # the pair join hashes on, so AQE reuses the partitioning
-    e = e.withColumn(
-        "bsz", F.count(F.lit(1)).over(Window.partitionBy("tbl", "sig"))
-    ).filter(F.col("bsz") <= bucket_cap).drop("bsz")
-
     if carry_vectors:
+        sig_udf = _cosine_sigs_udf(dim, planes_per_table, n_tables)
+        e = base.withColumn("sigs", sig_udf(F.col("v"))).select(
+            "vid", "v", "n",
+            F.posexplode("sigs").alias("tbl", "sig"),
+        )
+        # hot-bucket guard: the window shuffles on the same (tbl, sig)
+        # keys the pair join hashes on, so AQE reuses the partitioning
+        e = e.withColumn(
+            "bsz", F.count(F.lit(1)).over(Window.partitionBy("tbl", "sig"))
+        ).filter(F.col("bsz") <= bucket_cap).drop("bsz")
         a = e.select(F.col("vid").alias("vec_id"), F.col("v").alias("va"),
                      F.col("n").alias("na"), "tbl", "sig")
         b = e.select(F.col("vid").alias("neighbor_id"),
@@ -478,33 +535,10 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
             .agg(F.first("cos_raw").alias("cos_raw"))  # dedup table hits
         )
     else:
-        cand = (
-            e.select(F.col("vid").alias("vec_id"), "tbl", "sig")
-            .join(e.select(F.col("vid").alias("neighbor_id"), "tbl", "sig"),
-                  ["tbl", "sig"])
-            .filter(F.col("vec_id") != F.col("neighbor_id"))
-            .select("vec_id", "neighbor_id")
-            .distinct()  # dedup BEFORE scoring: each pair reranked once
+        cand = bucketed_candidate_pairs(
+            base, dim, planes_per_table, n_tables, bucket_cap
         )
-        scored = (
-            cand.join(
-                base.select(F.col("vid").alias("vec_id"),
-                            F.col("v").alias("va"),
-                            F.col("n").alias("na")),
-                "vec_id",
-            )
-            .join(
-                base.select(F.col("vid").alias("neighbor_id"),
-                            F.col("v").alias("vb"),
-                            F.col("n").alias("nb")),
-                "neighbor_id",
-            )
-            .select(
-                "vec_id", "neighbor_id",
-                (_pair_dot_udf(F.col("va"), F.col("vb"))
-                 / (F.col("na") * F.col("nb"))).alias("cos_raw"),
-            )
-        )
+        scored = score_candidate_pairs(base, cand)
     w = Window.partitionBy("vec_id").orderBy(
         F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id").asc()
     )
@@ -559,16 +593,20 @@ def cosine_sig_rows_sql(select_cols: str, src: str, dim: int = 64,
     return " UNION ALL ".join(sig_rows)
 
 
-def lsh_cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
-                        vec_col: str = "embedding", dim: int = 64,
-                        planes_per_table: int | None = None,
-                        n_tables: int = 8,
-                        bucket_cap: int = LSH_BUCKET_CAP) -> str:
-    """DuckDB oracle for :func:`lsh_cosine_topk` — the SAME approximate
-    result: md5-derived quantized planes inlined as int literals; exact
-    integer signature sums make bucket membership engine-independent;
-    plane count derived from count(*) by the same integer CASE chain the
-    Spark side evaluates in Python; the same hot-bucket cap applied."""
+def lsh_pairs_ctes(table: str, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 64,
+                   planes_per_table: int | None = None,
+                   n_tables: int = 8,
+                   bucket_cap: int = LSH_BUCKET_CAP,
+                   pair_pred: str = "a.vid <> b.vid") -> str:
+    """Shared WITH-body of the LSH candidate-pair oracles, ending in
+    ``pairs(vec_id, neighbor_id, cos_raw)``: md5-derived quantized planes
+    inlined as int literals; exact integer signature sums make bucket
+    membership engine-independent; plane count derived from count(*) by
+    the same integer CASE chain the Spark side evaluates in Python; the
+    same hot-bucket cap applied.  ``pair_pred`` selects both directions
+    (top-k shape, default) or the canonical a < b half (near-dup shape) —
+    the SQL twin of :func:`bucketed_candidate_pairs`' ``canonical``."""
     # branch on `is None` (NOT truthiness): an explicit planes_per_table=0
     # must fail cosine_sig_rows_sql's validation, not silently emit an
     # empty signature concat
@@ -581,8 +619,7 @@ def lsh_cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
         sigs = cosine_sig_rows_sql(
             "vid, v, nrm", "n", dim, planes_per_table, n_tables
         )
-    return f"""
-WITH e AS (
+    return f"""e AS (
   SELECT {id_col} AS vid,
          list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
   FROM {table}
@@ -606,8 +643,22 @@ pairs AS (
                                  i -> a.v[i] * b.v[i]))
            / (a.nrm * b.nrm) AS cos_raw
   FROM capped a JOIN capped b ON a.tbl = b.tbl AND a.sig = b.sig
-  WHERE a.vid <> b.vid
-),
+  WHERE {pair_pred}
+)"""
+
+
+def lsh_cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        planes_per_table: int | None = None,
+                        n_tables: int = 8,
+                        bucket_cap: int = LSH_BUCKET_CAP) -> str:
+    """DuckDB oracle for :func:`lsh_cosine_topk` — the SAME approximate
+    result (see :func:`lsh_pairs_ctes` for the shared candidate
+    contract), ranked per query id."""
+    ctes = lsh_pairs_ctes(table, id_col, vec_col, dim, planes_per_table,
+                          n_tables, bucket_cap)
+    return f"""
+WITH {ctes},
 ranked AS (
   SELECT vec_id,
          CAST(row_number() OVER (
