@@ -982,3 +982,44 @@ def test_minhash_signatures_match_duckdb(spark, sf_small_dir):
     assert [d[0] for d in duck.description] == cols
     want = sorted(tuple(row) for row in duck.fetchall())
     assert got == want
+
+
+def test_embedding_near_dup_random_data_matches_duckdb(spark):
+    """Cross-engine parity for embedding_near_dup_pairs on RANDOM
+    clustered data (not just the gated planted fixture): the shared
+    candidate machinery + round-6 threshold must agree pair-for-pair on
+    inputs with hundreds of genuine near-dups."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from instructor_embedding_spark.analytics.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_sql,
+    )
+
+    rng = np.random.default_rng(7)
+    cents = rng.standard_normal((25, 64))
+    rows = [
+        (vid, [float(x) for x in
+               cents[vid % 25] + rng.standard_normal(64) * 0.08])
+        for vid in range(150)
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    got = sorted(
+        ((r["id_a"], r["id_b"]), r["cosine"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9, n=150).collect()
+    )
+    assert len(got) > 100, len(got)  # clustered corpus: real near-dups
+    con = duckdb.connect()
+    con.register("emb_py", pdf)
+    want = sorted(
+        ((r[0], r[1]), r[2])
+        for r in con.execute(
+            embedding_near_dup_pairs_sql("emb_py", threshold=0.9)
+        ).fetchall()
+    )
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=2e-6), (g, w)
