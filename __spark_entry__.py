@@ -250,37 +250,30 @@ NEARDUP_THRESHOLD = 0.9
 
 
 def _neardup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias(
-            "embedding"
-        ),
+    return dedup.plant_near_dup_copies(
+        _emb(spark, sf_dir),
+        n_plant=NEARDUP_PLANT_N, n_decoy=NEARDUP_DECOY_N,
+        partner=NEARDUP_PARTNER, id_offset=NEARDUP_ID_OFFSET,
+        alpha_near=NEARDUP_ALPHA_NEAR, alpha_far=NEARDUP_ALPHA_FAR,
     )
-    partner = e.select(
-        (F.col("vec_id") - NEARDUP_PARTNER).alias("vec_id"),
-        F.col("embedding").alias("pv"),
-    )
-    # alpha is materialized as its own column BEFORE the id re-alias: a
-    # when() referencing vec_id inline in the same select would resolve
-    # against the aliased OUTPUT id (+ID_OFFSET) and silently pick the
-    # decoy alpha for every row
-    copies = (
-        e.filter(F.col("vec_id") < NEARDUP_PLANT_N + NEARDUP_DECOY_N)
-        .join(partner, "vec_id")
-        .withColumn(
-            "alpha",
-            F.when(F.col("vec_id") < NEARDUP_PLANT_N,
-                   F.lit(NEARDUP_ALPHA_NEAR))
-            .otherwise(F.lit(NEARDUP_ALPHA_FAR)),
+
+
+def _neardup_n(spark: SparkSession, sf_dir: str) -> int:
+    """Fixture count for deriving the LSH plane count WITHOUT executing
+    the plant lineage: raw + the 80 planted rows.  The arithmetic holds
+    only if every plant's partner id exists — otherwise the inner join
+    drops copies and the Spark-side n would disagree with the DuckDB
+    twin's count(*)-derived planes, so FAIL FAST instead of letting the
+    two engines size their bucket grids differently."""
+    raw = _emb(spark, sf_dir).count()
+    need = NEARDUP_PLANT_N + NEARDUP_DECOY_N + NEARDUP_PARTNER
+    if raw < need:
+        raise ValueError(
+            f"embeddings fixture has {raw} rows; the near-dup plant "
+            f"needs ids 0..{need - 1} present so all "
+            f"{NEARDUP_PLANT_N + NEARDUP_DECOY_N} copies materialize"
         )
-        .select(
-            (F.col("vec_id") + NEARDUP_ID_OFFSET).alias("vec_id"),
-            F.zip_with(
-                "embedding", "pv", lambda x, y: x + F.col("alpha") * y
-            ).alias("embedding"),
-        )
-    )
-    return e.unionByName(copies)
+    return raw + NEARDUP_PLANT_N + NEARDUP_DECOY_N
 
 
 _NEARDUP_EMB_SQL = f"""(
@@ -774,10 +767,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact cosine >= threshold — the paraphrase-catching dedup stage.
         # n= is the raw parquet count (metadata-cheap) + the fixed plant
         # size, so deriving P doesn't execute the fixture's join+union
-        # lineage a fourth time (review finding)
+        # lineage a fourth time (review finding); _neardup_n fail-fasts
+        # if the corpus is too shallow for every plant to materialize
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_near_dup_pairs(
             _neardup_emb(s, d), threshold=NEARDUP_THRESHOLD,
-            n=_emb(s, d).count() + NEARDUP_PLANT_N + NEARDUP_DECOY_N
+            n=_neardup_n(s, d)
         ),
         # similarity search (embeddings table)
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(

@@ -399,23 +399,10 @@ def run_smoke10x(n_docs: int = 50_000, n_vecs: int = 20_000) -> dict:
     # known-truth recall probe the natural pairs can't fake.
     n_plant = 200
     plant_off = 1_000_000
-    nd_base = vecs.select("vec_id", "embedding")
-    partner = nd_base.select(
-        (F.col("vec_id") - 500).alias("vec_id"),
-        F.col("embedding").alias("pv"),
+    nd = dedup.plant_near_dup_copies(
+        vecs.select("vec_id", "embedding"),
+        n_plant=n_plant, partner=500, id_offset=plant_off, alpha_near=0.15,
     )
-    copies = (
-        nd_base.filter(F.col("vec_id") < n_plant)
-        .join(partner, "vec_id")
-        .select(
-            (F.col("vec_id") + plant_off).alias("vec_id"),
-            F.zip_with(
-                "embedding", "pv",
-                lambda x, y: x + F.lit(0.15) * y,
-            ).alias("embedding"),
-        )
-    )
-    nd = nd_base.unionByName(copies)
     before = _stage_totals(spark)
     t0 = time.monotonic()
     found = dedup.embedding_near_dup_pairs(

@@ -114,21 +114,59 @@ def _shingles_sql(text_col: str) -> str:
 
 # ---------------------------------------------------------------- minhash
 
+#: Modulus of the universal minwise family — the Mersenne prime 2^31-1,
+#: chosen so A_i·x + B_i < 2^62 stays exact int64 in BOTH engines (Spark
+#: would wrap silently past 2^63, DuckDB would error — either way a
+#: divergence).  31-bit hash range: shingle collisions within one doc's
+#: min() are ~2^-31 per pair, negligible against MinHash's own 1/√K
+#: estimation error.
+MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_ab() -> list[tuple[int, int]]:
+    """K fixed (A_i, B_i) pairs for h_i(x) = (A_i·x + B_i) mod P — seeded,
+    so the Spark expressions and the rendered SQL literals are THE SAME
+    constants by construction.  Per-HASH constants over a per-SHINGLE
+    value x give pairwise-independent minhashes (the classic universal
+    family: Broder et al., "Min-wise independent permutations"); deriving
+    per-shingle constants varied by i instead (an earlier draft) makes
+    the K minhashes correlated — measured on the sf0.01 corpus it
+    inflated band-candidate pairs 31 → 145 and LOST two true
+    jaccard ≥ 0.5 pairs, versus 32 candidates / full recall for this
+    family at identical cost."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(MINHASH_K)
+    ]
+
+
+MINHASH_AB = _minhash_ab()
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, h0..h{K-1}) — min of md5(shingle || '#i') per hash i.
+    """(doc_id, h0..h{K-1} BIGINT) — K minhashes from ONE md5 per shingle.
+
+    Hash family: x = first 32 digest bits of md5(shingle) mod P, then
+    h_i(shingle) = (A_i·x + B_i) mod P with the K fixed seeded constants
+    in :data:`MINHASH_AB` (P = 2^31-1, :data:`MINHASH_P`).  Signature
+    h_i = min over the doc's shingles.  All-integer — exact in both
+    engines, no overflow, no float.
 
     Documents with no shingles are dropped (nothing to compare).
 
-    Map-side: the min is a PER-DOC aggregate over the doc's own shingles,
-    so it's an ``array_min(transform(...))`` column expression — no
-    explode, no shuffle (the explode+groupBy formulation pushes
-    docs × shingles × K rows through a wide agg).  Fixed-width lowercase
-    hex compares lexicographically == numerically, so array_min IS the
-    minhash.  Inputs with fewer splits than cores are repartitioned first
-    (the md5 work is CPU-bound and per-row deterministic, so partitioning
-    cannot change results; at real scale splits >> cores and the branch
-    never fires)."""
+    Map-side: one transform materializes x per shingle, and each h_i is
+    an ``array_min(transform(...))`` over those — no explode, no shuffle,
+    and the md5 is computed ONCE per shingle instead of K times (the
+    dominant cost: the digest is ~8× the multiply-mod).  BIGINT
+    signatures also ride the band shuffle at 8 bytes instead of 32-char
+    hex.  Inputs with fewer splits than cores are repartitioned first
+    (the digest work is CPU-bound and per-row deterministic, so
+    partitioning cannot change results; at real scale splits >> cores
+    and the branch never fires)."""
     spark = docs.sparkSession
     target = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
@@ -136,28 +174,41 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         _shingles_col(text_col).alias("sh"),
+    ).select(
+        "doc_id",
+        F.size("sh").alias("nsh"),
+        F.transform(
+            F.transform("sh", F.md5),
+            lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+            % F.lit(MINHASH_P),
+        ).alias("xs"),
     )
     cols = [
         F.array_min(
             F.transform(
-                "sh", lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))
+                "xs",
+                lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P),
             )
         ).alias(f"h{i}")
-        for i in range(MINHASH_K)
+        for i, (a, b) in enumerate(MINHASH_AB)
     ]
-    return base.filter(F.size("sh") > 0).select("doc_id", *cols)
+    return base.filter(F.col("nsh") > 0).select("doc_id", *cols)
 
 
 def minhash_signatures_sql(table: str, text_col: str = "text",
                            id_col: str = "doc_id") -> str:
     aggs = ", ".join(
-        f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(MINHASH_K)
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
     )
     return f"""
 SELECT doc_id, {aggs}
 FROM (
-  SELECT {id_col} AS doc_id, unnest({_shingles_sql(text_col)}) AS shingle
-  FROM {table}
+  SELECT doc_id, ('0x' || substr(m, 1, 8))::BIGINT % {MINHASH_P} AS x
+  FROM (
+    SELECT {id_col} AS doc_id, md5(unnest({_shingles_sql(text_col)})) AS m
+    FROM {table}
+  )
 )
 GROUP BY doc_id
 """
@@ -220,16 +271,15 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 def lsh_candidate_pairs_sql(table: str, text_col: str = "text",
                             id_col: str = "doc_id") -> str:
     r = MINHASH_K // LSH_BANDS
-    band_rows = ", ".join(
-        "({}, h{})".format(
-            bi, " || '|' || h".join(str(bi * r + j) for j in range(r))
-        )
-        for bi in range(LSH_BANDS)
-    )
-    # build band rows via UNION ALL (engine-agnostic formulation)
+    # build band rows via UNION ALL (engine-agnostic formulation); the
+    # BIGINT signatures render to decimal identically in both engines, so
+    # the band key string (and therefore bucket membership + the cap
+    # filter) stays engine-independent
     unions = " UNION ALL ".join(
         f"SELECT doc_id, {bi} AS band, "
-        + " || '|' || ".join(f"h{bi * r + j}" for j in range(r))
+        + " || '|' || ".join(
+            f"CAST(h{bi * r + j} AS VARCHAR)" for j in range(r)
+        )
         + " AS key, "
         + ", ".join(f"h{i}" for i in range(MINHASH_K))
         + " FROM sig"
@@ -435,6 +485,56 @@ SELECT doc_id, {bit_sum} AS simhash FROM h GROUP BY doc_id
 
 # --------------------------------------- embedding-cosine near-duplicates
 
+def plant_near_dup_copies(embeddings: DataFrame, *, n_plant: int,
+                          partner: int, id_offset: int, alpha_near: float,
+                          n_decoy: int = 0, alpha_far: float = 1.0,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """base ∪ planted near-copies — the ONE construction behind every
+    known-truth recall probe for :func:`embedding_near_dup_pairs` (the
+    oracle-gate fixture and the 10× smoke share it, so the arithmetic
+    cannot drift between the two evidence sites).
+
+    Ids ``i < n_plant`` are copied as ``i + id_offset`` with vector
+    ``v_i + alpha_near · v_{i+partner}`` (a paraphrase-grade near-dup);
+    ids in ``[n_plant, n_plant + n_decoy)`` get ``alpha_far`` mixed in
+    (provably below a 0.9 threshold for unit-ish uncorrelated vectors).
+    Pure double arithmetic — no RNG — so an engine twin can reproduce the
+    planted vectors bit-exactly.  Rows whose partner id is absent plant
+    nothing (inner join); callers that require all plants must check the
+    corpus is at least ``n_plant + n_decoy + partner`` ids deep."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    partner_df = base.select(
+        (F.col("vec_id") - partner).alias("vec_id"),
+        F.col("embedding").alias("pv"),
+    )
+    # alpha is materialized as its own column BEFORE the id re-alias: a
+    # when() referencing vec_id inline in the same select would resolve
+    # against the aliased OUTPUT id (+id_offset) and silently pick the
+    # decoy alpha for every row
+    copies = (
+        base.filter(F.col("vec_id") < n_plant + n_decoy)
+        .join(partner_df, "vec_id")
+        .withColumn(
+            "alpha",
+            F.when(F.col("vec_id") < n_plant, F.lit(alpha_near))
+            .otherwise(F.lit(alpha_far)),
+        )
+        .select(
+            (F.col("vec_id") + id_offset).alias("vec_id"),
+            F.zip_with(
+                "embedding", "pv", lambda x, y: x + F.col("alpha") * y
+            ).alias("embedding"),
+        )
+    )
+    return base.unionByName(copies)
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding", dim: int = 64,
@@ -472,12 +572,20 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     cand = sim.bucketed_candidate_pairs(
         base, dim, planes_per_table, n_tables, bucket_cap, canonical=True
     )
+    from instructor_embedding_spark.functions.rounding import r6_col
+
+    # pair membership gates on the rounded cosine, so the rounding is the
+    # SHARED floor(x·1e6 + 0.5)/1e6 rule (functions/rounding.py), not
+    # F.round vs DuckDB round() — those two can disagree on a
+    # representation-boundary cosine right at the threshold and flip the
+    # pair SET between engines (the same divergence class the Lloyd
+    # distance rule eliminates in clustering.py)
     return (
         sim.score_candidate_pairs(base, cand)
         .select(
             F.col("vec_id").alias("id_a"),
             F.col("neighbor_id").alias("id_b"),
-            F.round("cos_raw", 6).alias("cosine"),
+            r6_col(F.col("cos_raw")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -497,6 +605,8 @@ def embedding_near_dup_pairs_sql(table: str, threshold: float = 0.9,
 
     if bucket_cap is None:
         bucket_cap = sim.LSH_BUCKET_CAP
+    from instructor_embedding_spark.functions.rounding import r6_sql
+
     ctes = sim.lsh_pairs_ctes(
         table, id_col, vec_col, dim, planes_per_table, n_tables,
         bucket_cap, pair_pred="a.vid < b.vid",
@@ -504,6 +614,6 @@ def embedding_near_dup_pairs_sql(table: str, threshold: float = 0.9,
     return f"""
 WITH {ctes}
 SELECT vec_id AS id_a, neighbor_id AS id_b,
-       round(cos_raw, 6) AS cosine
-FROM pairs WHERE round(cos_raw, 6) >= {threshold}
+       {r6_sql('cos_raw')} AS cosine
+FROM pairs WHERE {r6_sql('cos_raw')} >= {threshold}
 """

@@ -252,6 +252,17 @@ PUSHDOWN_MAX_TERMS = int(
     os.environ.get("SPARK_GRAFT_WAND_PUSHDOWN_MAX_TERMS", "4096")
 )
 
+#: The distinct-term probe above bounds the In() predicate but NOT the
+#: (query_id, term) table: a 10^6-query offline batch over a small
+#: vocabulary passes the distinct gate with millions of rows, and
+#: collecting those for a LocalRelation broadcast is its own driver
+#: funnel.  Above this many qt ROWS the pushdown path keeps the In()
+#: scan predicate (built from the already-bounded distinct list) but
+#: joins the term table engine-side instead of collecting it.
+PUSHDOWN_MAX_QT_ROWS = int(
+    os.environ.get("SPARK_GRAFT_WAND_PUSHDOWN_MAX_QT_ROWS", "65536")
+)
+
 
 def _grouped_hits(
     spark: SparkSession,
@@ -261,6 +272,7 @@ def _grouped_hits(
     segments: DataFrame | None,
     doc_lens: DataFrame | None,
     pushdown_max_terms: int | None = None,
+    pushdown_max_qt_rows: int | None = None,
 ) -> DataFrame | None:
     """Shared scatter construction for the scoring and stats kernels:
     tokenized query terms joined against the segment scan and packed doc
@@ -282,12 +294,23 @@ def _grouped_hits(
     disables pushdown) the collect is skipped and the term table joins
     the segment scan engine-side — no driver funnel, no megabyte-In()
     predicate; the probe that decides is a bounded
-    ``distinct().limit(max+1)`` collect, never the full term set."""
+    ``distinct().limit(max+1)`` collect, never the full term set.
+
+    The distinct-term probe bounds the PREDICATE, not the table: past
+    ``pushdown_max_qt_rows`` (query_id, term) ROWS (default
+    :data:`PUSHDOWN_MAX_QT_ROWS`) the In() pushdown is kept — it only
+    needs the already-bounded distinct list — but qt joins the pruned
+    scan engine-side instead of being collected, so neither probe ever
+    pulls an unbounded row set to the driver.  All three shapes
+    (collect, pushdown+distributed-qt, join-only) are rank-identical
+    (property-tested)."""
     p = handle.params
     segments = segments if segments is not None else handle.segments(spark)
     doc_lens = doc_lens if doc_lens is not None else handle.doc_lens(spark)
     max_terms = max(0, PUSHDOWN_MAX_TERMS if pushdown_max_terms is None
                     else pushdown_max_terms)
+    max_qt_rows = max(0, PUSHDOWN_MAX_QT_ROWS if pushdown_max_qt_rows is None
+                      else pushdown_max_qt_rows)
 
     # Cache the tokenize output: the probe materializes it, the pushdown
     # branch's full collect then reads memory instead of re-running the
@@ -308,14 +331,21 @@ def _grouped_hits(
         if len(probe) <= max_terms:
             # pushdown path: probe holds the FULL distinct term set
             term_list = sorted(r["term"] for r in probe)
-            qt_rows = [(r["query_id"], r["term"]) for r in qt.collect()]
-            local_qt = spark.createDataFrame(
-                qt_rows, "query_id long, term string"
-            )
-            hits = (
-                seg_cols.filter(F.col("term").isin(term_list))
-                .join(F.broadcast(local_qt), "term")
-            )
+            pruned = seg_cols.filter(F.col("term").isin(term_list))
+            if qt.limit(max_qt_rows + 1).count() <= max_qt_rows:
+                # bounded row set: inline it as a LocalRelation so the
+                # join broadcasts without a shuffle or a size estimate
+                qt_rows = [(r["query_id"], r["term"]) for r in qt.collect()]
+                local_qt = spark.createDataFrame(
+                    qt_rows, "query_id long, term string"
+                )
+                hits = pruned.join(F.broadcast(local_qt), "term")
+            else:
+                # distinct terms fit the In() predicate but the
+                # (query_id, term) table itself is too large to collect
+                # (e.g. 10^6 queries over a 4k-word vocabulary): keep
+                # the scan pushdown, join qt distributed
+                hits = pruned.join(qt, "term")
         else:
             # join path: the term table stays distributed; the segment
             # scan reads fully once, which at this query volume is
@@ -348,6 +378,7 @@ def wand_scan_stats(
     segments: DataFrame | None = None,
     doc_lens: DataFrame | None = None,
     pushdown_max_terms: int | None = None,
+    pushdown_max_qt_rows: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_block, sub_total, sub_scored, sub_zero) —
     block-max pruning observability: the stats twin of :func:`wand_topk`
@@ -359,7 +390,8 @@ def wand_scan_stats(
     both the raw skip rate and the zero-excluded theta rate."""
     p = handle.params
     grouped = _grouped_hits(spark, handle, queries, None, segments,
-                            doc_lens, pushdown_max_terms)
+                            doc_lens, pushdown_max_terms,
+                            pushdown_max_qt_rows)
     if grouped is None:
         return spark.createDataFrame([], STATS_SCHEMA)
     kernel = _wand_kernel(k, p.k1, p.b, handle.avgdl, p.doc_block_span,
@@ -378,6 +410,7 @@ def wand_topk(
     doc_lens: DataFrame | None = None,
     doc_filter: DataFrame | None = None,
     pushdown_max_terms: int | None = None,
+    pushdown_max_qt_rows: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to the oracle.
 
@@ -388,7 +421,8 @@ def wand_topk(
     the packed filter."""
     p = handle.params
     grouped = _grouped_hits(spark, handle, queries, doc_filter, segments,
-                            doc_lens, pushdown_max_terms)
+                            doc_lens, pushdown_max_terms,
+                            pushdown_max_qt_rows)
     if grouped is None:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"

@@ -1023,3 +1023,62 @@ def test_embedding_near_dup_random_data_matches_duckdb(spark):
     assert [g[0] for g in got] == [w[0] for w in want]
     for g, w in zip(got, want):
         assert g[1] == pytest.approx(w[1], abs=2e-6), (g, w)
+
+
+def test_minhash_family_pairwise_independence():
+    """The statistical contract the LSH S-curve rests on: for a doc pair
+    with true shingle-Jaccard j, the K signature agreements must behave
+    like K INDEPENDENT Bernoulli(j) draws — so at mid-range j, all-agree /
+    none-agree signatures are rare and the mean agreement tracks j.  A
+    correlated family (e.g. per-shingle constants varied by hash index, an
+    earlier draft) passes every parity test — both engines compute the
+    same biased estimate — but collapses the effective sample count to
+    ~1: most pairs read agreement 0/K or K/K, which measured 4.7× more
+    band candidates AND lost true pairs on the sf0.01 corpus.  This test
+    is the hermetic discriminator: DuckDB-only (Spark parity is covered
+    by test_minhash_signatures_match_duckdb), 90 pairs at j ≈ 0.385."""
+    import random
+
+    import duckdb
+
+    from instructor_embedding_spark.analytics.dedup import (
+        MINHASH_K,
+        minhash_signatures_sql,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    # pair p: doc 2p and 2p+1 share their first 12 tokens, then diverge
+    # for 8 — shared shingles 10, exclusive 8+8, j = 10/26 ≈ 0.385
+    for p in range(90):
+        shared = [f"s{p}_{i}_{rng.randrange(10**6)}" for i in range(12)]
+        ta = [f"a{p}_{i}_{rng.randrange(10**6)}" for i in range(8)]
+        tb = [f"b{p}_{i}_{rng.randrange(10**6)}" for i in range(8)]
+        rows.append((2 * p, " ".join(shared + ta)))
+        rows.append((2 * p + 1, " ".join(shared + tb)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    hs = ", ".join(f"h{i}" for i in range(MINHASH_K))
+    eqs = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K)
+    )
+    agree = [
+        r[0]
+        for r in con.execute(f"""
+WITH sig AS ({minhash_signatures_sql('docs')})
+SELECT {eqs} AS n_agree
+FROM sig a JOIN sig b ON a.doc_id + 1 = b.doc_id AND a.doc_id % 2 = 0
+""").fetchall()
+    ]
+    assert len(agree) == 90
+    mean = sum(agree) / len(agree) / MINHASH_K
+    # true j = 10/26; binomial mean over 90*K draws is tight (±3σ ≈ 0.05)
+    assert 0.28 <= mean <= 0.50, mean
+    # independence: P(0 of 8) ≈ 0.02, P(8 of 8) ≈ 5e-4 → expect ~2 of 90
+    # extreme pairs; a correlated family makes MOST pairs extreme
+    extreme = sum(1 for n in agree if n in (0, MINHASH_K))
+    assert extreme <= 12, (extreme, sorted(agree))

@@ -118,6 +118,49 @@ def test_pushdown_vs_join_path_rank_identity(spark, tmp_path):
     assert _rows(pushed) == _rows(joined)
 
 
+def test_pushdown_with_distributed_qt_rank_identity(spark, tmp_path):
+    """The distinct-term probe bounds the In() predicate, not the
+    (query_id, term) table: when the term set fits the pushdown but the
+    qt rows exceed pushdown_max_qt_rows (the 10^6-queries-over-a-small-
+    vocabulary shape), the scan predicate must be KEPT while qt joins
+    engine-side instead of being collected — rank-identical to both the
+    collect path and the join-only path."""
+    rng = random.Random(7)
+    vocab = [f"tok{j}" for j in range(30)]
+    docs_rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(4, 20))))
+        for i in range(150)
+    ]
+    queries_rows = [
+        (q, " ".join(rng.sample(vocab, rng.randint(1, 3))))
+        for q in range(300)
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, content string")
+    queries = spark.createDataFrame(
+        queries_rows, "query_id long, query_text string"
+    )
+    handle = build_index(
+        spark, docs, str(tmp_path),
+        IndexParams(doc_block_span=64, n_sub_blocks=4),
+        text_col="content",
+    )
+    # qt rows (hundreds) >> cap=0, distinct terms (30) <= max: middle path
+    mid = wand_topk(spark, handle, queries, k=5,
+                    pushdown_max_terms=10 ** 9, pushdown_max_qt_rows=0)
+    plan_mid = mid._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "In(term" in plan_mid, "scan pushdown lost on the qt-join path"
+    collected = wand_topk(spark, handle, queries, k=5,
+                          pushdown_max_terms=10 ** 9,
+                          pushdown_max_qt_rows=10 ** 9)
+    join_only = wand_topk(spark, handle, queries, k=5,
+                          pushdown_max_terms=0)
+    assert _rows(mid) == _rows(collected) == _rows(join_only)
+
+
 def test_negative_pushdown_threshold_clamps_to_join_path(spark, tmp_path):
     """pushdown_max_terms=-1 (a natural guess for 'disable pushdown';
     0 is the documented disable value) must behave like 0, not probe
