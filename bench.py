@@ -43,7 +43,10 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 #: subprocess, so the bench JSON carries an old-vs-new ratio measured
 #: under the SAME host load — separating code deltas from the shared
 #: host's ±30% noise without trusting prose.  Empty ref disables.
-AB_REF = os.environ.get("SPARK_GRAFT_AB_REF", "round3-bench-baseline")
+#: Default is the raw SHA of the round-3 end-of-round snapshot (formerly
+#: the tag ``round3-bench-baseline`` — tags don't survive the round
+#: driver's re-clone, commit SHAs do).
+AB_REF = os.environ.get("SPARK_GRAFT_AB_REF", "f16935d")
 AB_DOCS = int(os.environ.get("SPARK_GRAFT_AB_DOCS", "25000"))
 
 

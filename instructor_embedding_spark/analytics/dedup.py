@@ -133,7 +133,20 @@ def _minhash_ab() -> list[tuple[int, int]]:
     the K minhashes correlated — measured on the sf0.01 corpus it
     inflated band-candidate pairs 31 → 145 and LOST two true
     jaccard ≥ 0.5 pairs, versus 32 candidates / full recall for this
-    family at identical cost."""
+    family at identical cost.
+
+    Candidate-pair COUNTS on a dup-free corpus are NOT comparable
+    across families or seeds: false positives are dominated by which
+    corpus-common shingles happen to draw near-minimal hash values, a
+    heavy-tailed luck-of-the-constants effect.  Measured on the 50k
+    bench corpus (zero true jaccard ≥ 0.5 pairs, so every candidate is
+    an FP): this family 42,735; the r4 md5-per-hash family 10,412; a
+    4-digest-word split variant across seeds 1,456 / 1,520 / 24,386 /
+    45,681 — a 30× seed spread that dwarfs any family effect.  Quality
+    is therefore judged on planted-pair recall + the binomial
+    signature-agreement guard (test_analytics.py's
+    test_minhash_family_pairwise_independence), never on raw smoke
+    pair counts."""
     import random
 
     rng = random.Random(0x5EED)
