@@ -117,12 +117,28 @@ PHRASE_SET: list[tuple[int, str]] = [
     (5, "zzz missing phrase"), # zero hits
 ]
 
+#: unordered NEAR-with-slop fixtures (r5: proximity search rides the
+#: same positions index and the same gated entry — ids offset by 100 so
+#: phrase and proximity results union into one ranked table without a
+#: second registry slot)
+PROXIMITY_SET: list[tuple[int, str]] = [
+    (101, "merge sort"),       # same text as phrase 1: NEAR ⊇ adjacency
+    (102, "sort hash"),        # cross-phrase pair, order-free
+    (103, "fast order"),       # gapped pair (slop bridges "key")
+    (104, "join"),             # single term: matches = covered offsets
+    (105, "zzz nothing"),      # zero hits
+]
+PROXIMITY_SLOP = 2
+
 
 def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     handle = _index_for(spark, sf_dir)
-    return phrase.phrase_topk(
-        spark, handle.positions(spark), PHRASE_SET, k=TOP_K
+    pos = handle.positions(spark)
+    exact = phrase.phrase_topk(spark, pos, PHRASE_SET, k=TOP_K)
+    near = phrase.proximity_topk(
+        spark, pos, PROXIMITY_SET, slop=PROXIMITY_SLOP, k=TOP_K
     )
+    return exact.unionByName(near)
 
 
 def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1218,8 +1234,15 @@ ORDER BY doc_id LIMIT 50
                 "SELECT doc_id FROM documents WHERE lang = 'zh'"
             ),
         ),
-        "phrase_topk": phrase.phrase_topk_sql(
-            "documents", PHRASE_SET, k=TOP_K, text_col="text"
+        "phrase_topk": (
+            "SELECT * FROM ("
+            + phrase.phrase_topk_sql(
+                "documents", PHRASE_SET, k=TOP_K, text_col="text")
+            + ") UNION ALL SELECT * FROM ("
+            + phrase.proximity_topk_sql(
+                "documents", PROXIMITY_SET, slop=PROXIMITY_SLOP,
+                k=TOP_K, text_col="text")
+            + ")"
         ),
         "retrieval_metrics": metrics_sql(
             bm25.bm25_topk_sql("documents", DRIVER_QUERY_SET, k=10,

@@ -227,3 +227,174 @@ ranked AS (
 )
 SELECT phrase_id, rank, doc_id, matches FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------------------- proximity
+
+def _window_cover_count(pos_lists: list[np.ndarray], w: int) -> int:
+    """Number of 1-based window offsets i whose w-token window [i, i+w-1]
+    contains at least one position of EVERY term.
+
+    Interval formulation (doc-length-free): offset i qualifies for term τ
+    iff some position p ∈ P_τ lies in [i, i+w-1], i.e. i ∈ [p-w+1, p];
+    the answer is |∩_τ ∪_{p∈P_τ} [max(p-w+1, 1), p]|.  Per term the
+    intervals share length w, so after sorting they merge in one linear
+    pass; the intersection is a coverage sweep over the merged
+    boundaries.  O(Σ|P_τ| log) per doc, no materialized window range."""
+    n_terms = len(pos_lists)
+    events: list[tuple[int, int]] = []
+    for pos in pos_lists:
+        lo = np.maximum(pos.astype(np.int64) - (w - 1), 1)
+        hi = pos.astype(np.int64)
+        # merge touching/overlapping intervals of this term's union
+        start = prev_hi = None
+        for s, e in zip(lo.tolist(), hi.tolist()):
+            if start is None:
+                start, prev_hi = s, e
+            elif s <= prev_hi + 1:
+                prev_hi = max(prev_hi, e)
+            else:
+                events.append((start, 1))
+                events.append((prev_hi + 1, -1))
+                start, prev_hi = s, e
+        events.append((start, 1))
+        events.append((prev_hi + 1, -1))
+    events.sort()
+    cover = total = 0
+    prev_coord = 0
+    for coord, delta in events:
+        if cover == n_terms:
+            total += coord - prev_coord
+        cover += delta
+        prev_coord = coord
+    return total
+
+
+def _proximity_kernel(term_sets: dict[int, list[str]], slops: dict[int, int]):
+    """One (phrase_id, doc_block) group: window-containment count for each
+    doc that has every query term."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        phrase_id = int(pdf["phrase_id"].iloc[0])
+        terms = term_sets[phrase_id]
+        w = len(terms) + slops[phrase_id]
+        out_docs: list[int] = []
+        out_matches: list[int] = []
+        for doc_id, grp in pdf.groupby("doc_id"):
+            if grp["term"].nunique() != len(terms):
+                continue
+            pos_lists = [
+                # +1: stored positions are 0-based deltas; the window
+                # offset space (and the SQL twin) is 1-based
+                np.cumsum(varint_decode(b), dtype=np.uint64) + np.uint64(1)
+                for b in grp["pos_bytes"]
+            ]
+            m = _window_cover_count(pos_lists, w)
+            if m:
+                out_docs.append(int(doc_id))
+                out_matches.append(m)
+        return pd.DataFrame(
+            {
+                "phrase_id": np.full(len(out_docs), phrase_id, dtype=np.int64),
+                "doc_id": np.asarray(out_docs, dtype=np.int64),
+                "matches": np.asarray(out_matches, dtype=np.int64),
+            }
+        )
+
+    return kernel
+
+
+def proximity_topk(
+    spark: SparkSession,
+    positions: DataFrame,
+    queries: list[tuple[int, str]],
+    slop: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """(phrase_id, rank, doc_id, matches) — unordered NEAR-with-slop over
+    the same positions table phrase search uses.
+
+    A doc matches when all of the query's DISTINCT terms co-occur inside
+    a sliding window of ``len(distinct terms) + slop`` tokens, in any
+    order; ``matches`` counts the qualifying 1-based window offsets (the
+    proximity analog of phrase tf — more/denser co-occurrences rank
+    higher).  slop=0 degenerates to any-order adjacency, so every exact
+    phrase occurrence is also a proximity match (property-tested).
+    Duplicate query tokens collapse: containment cannot require two
+    distinct positions of the same term (and neither can the
+    ``list_has_all`` oracle), so "new new york" ≡ "new york".
+
+    Scale shape is identical to :func:`phrase_topk` — ``In(term, …)``
+    pushdown to the positions scan, broadcast of the tiny query-term
+    table, per-(query, doc_block) Arrow groups, one global top-k window.
+
+    Reference parity: the reference has no positional index at all (its
+    retrieval is dense-vector only); proximity search is part of this
+    engine's fulltext surface alongside phrase adjacency."""
+    term_sets: dict[int, list[str]] = {}
+    slops: dict[int, int] = {}
+    for pid, text in queries:
+        toks = sorted(set(tokenize_py(text)))
+        if toks:
+            term_sets[pid] = toks
+            slops[pid] = slop
+    if not term_sets:
+        return spark.createDataFrame(
+            [], "phrase_id long, rank long, doc_id long, matches long"
+        )
+    pairs = [(pid, t) for pid, ts in term_sets.items() for t in ts]
+    pt = spark.createDataFrame(pairs, "phrase_id long, term string")
+    all_terms = sorted({t for _, t in pairs})
+
+    hits = positions.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(pt), "term"
+    )
+    cand = hits.groupBy("phrase_id", "doc_block").applyInPandas(
+        _proximity_kernel(term_sets, slops), schema=PHRASE_OUT_SCHEMA
+    )
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.col("matches").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("phrase_id", "rank", "doc_id", "matches")
+    )
+
+
+def proximity_topk_sql(table: str, queries: list[tuple[int, str]],
+                       slop: int = 2, k: int = 10, text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """First-principles oracle: count 1-based window offsets whose
+    ``len(distinct terms) + slop`` token slice contains every term
+    (``list_has_all`` over an end-clipped list slice — the same
+    clamp-at-the-edges semantics as the interval kernel)."""
+    branches = []
+    for pid, text in queries:
+        terms = sorted(set(tokenize_py(text)))
+        if not terms:
+            continue
+        w = len(terms) + slop
+        lits = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+        branches.append(
+            f"SELECT {pid} AS phrase_id, doc_id, "
+            f"CAST(len(list_filter(range(1, len(t) + 1), "
+            f"i -> list_has_all(t[i:i + {w - 1}], {lits}))) AS BIGINT) "
+            f"AS matches FROM toks"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {sql_tokens_expr(text_col)} AS t FROM {table}
+),
+counts AS ({union}),
+ranked AS (
+  SELECT phrase_id,
+         CAST(row_number() OVER (
+           PARTITION BY phrase_id ORDER BY matches DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, matches
+  FROM counts WHERE matches > 0
+)
+SELECT phrase_id, rank, doc_id, matches FROM ranked WHERE rank <= {k}
+"""

@@ -48,3 +48,120 @@ def test_phrase_via_index_handle(spark, tmp_path):
     qrels = {r.doc_id for r in datagen.qrels_df(spark, 200).collect()
              if r.query_id == 1}
     assert {r.doc_id for r in res} <= qrels
+
+
+def test_proximity_window_fixture(spark):
+    """Hand-verified NEAR semantics: matches = count of window offsets
+    whose w = n_distinct_terms + slop token window contains all terms."""
+    from instructor_embedding_spark.query.phrase import proximity_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma alpha beta"),
+            (1, "alpha zzz zzz zzz beta"),   # terms 4 apart
+            (2, "beta alpha"),               # reversed — NEAR still matches
+            (3, "alpha alpha"),              # missing beta
+        ],
+        "doc_id long, content string",
+    )
+    pos = build_positions(docs, span=4)
+
+    got = {
+        (r.phrase_id, r.doc_id): r.matches
+        for r in proximity_topk(
+            spark, pos, [(1, "alpha beta")], slop=0, k=10
+        ).collect()
+    }
+    # doc 0: windows [1,2] ("alpha beta") and [4,5]; doc 2: reversed pair
+    assert got == {(1, 0): 2, (1, 2): 1}
+
+    got3 = {
+        (r.phrase_id, r.doc_id): r.matches
+        for r in proximity_topk(
+            spark, pos, [(2, "alpha gamma")], slop=1, k=10
+        ).collect()
+    }
+    # doc 0, w=3: offsets 1,2,3 all cover {alpha, gamma}
+    assert got3 == {(2, 0): 3}
+
+    # slop large enough to bridge the 4-token gap in doc 1 (w = 2 + 3 = 5)
+    far = {
+        (r.phrase_id, r.doc_id): r.matches
+        for r in proximity_topk(
+            spark, pos, [(3, "alpha beta")], slop=3, k=10
+        ).collect()
+    }
+    assert far[(3, 1)] == 1          # exactly one 5-window covers both
+    assert far[(3, 0)] == 4          # dense doc: offsets 1..4
+
+    # duplicate query tokens collapse to the distinct-term query
+    dup = proximity_topk(spark, pos, [(4, "alpha alpha beta")],
+                         slop=0, k=10).collect()
+    base = proximity_topk(spark, pos, [(4, "alpha beta")],
+                          slop=0, k=10).collect()
+    assert sorted(map(tuple, dup)) == sorted(map(tuple, base))
+
+
+def test_proximity_matches_duckdb(spark):
+    """Cross-engine parity on the datagen corpus: the interval-sweep
+    kernel against the first-principles list_has_all slice oracle."""
+    import duckdb
+
+    from instructor_embedding_spark import datagen
+    from instructor_embedding_spark.query.phrase import (
+        proximity_topk,
+        proximity_topk_sql,
+    )
+
+    docs = datagen.corpus(spark, 300, partitions=3).cache()
+    pos = build_positions(docs, span=64)
+    queries = [
+        (1, "parse varint block"),
+        (2, "the and of"),           # stopword-dense, many matches
+        (3, "zzz nothing"),          # zero hits
+        (4, "header"),               # single term: matches == windows
+    ]
+    for slop in (0, 2, 5):
+        sdf = proximity_topk(spark, pos, queries, slop=slop, k=25)
+        got = sorted(tuple(r) for r in sdf.collect())
+        con = duckdb.connect()
+        con.register("documents_pd", docs.toPandas())
+        con.execute("CREATE VIEW documents AS SELECT * FROM documents_pd")
+        duck = con.execute(proximity_topk_sql(
+            "documents", queries, slop=slop, k=25, text_col="content"))
+        assert [d[0] for d in duck.description] == sdf.columns
+        want = sorted(tuple(row) for row in duck.fetchall())
+        assert got == want, f"slop={slop}"
+
+
+def test_proximity_contains_phrase_and_is_slop_monotone(spark):
+    """Two invariants: (a) at slop=0 every exact-phrase occurrence is a
+    proximity match (ordered adjacency ⊆ any-order window), so per-doc
+    proximity matches ≥ phrase matches for distinct-term phrases; (b)
+    per-doc matches are nondecreasing in slop."""
+    from instructor_embedding_spark import datagen
+    from instructor_embedding_spark.query.phrase import proximity_topk
+
+    docs = datagen.corpus(spark, 300, partitions=3)
+    pos = build_positions(docs, span=64)
+    queries = [(1, "parse varint block header"), (2, "sorted run merge")]
+
+    ph = {
+        (r.phrase_id, r.doc_id): r.matches
+        for r in phrase_topk(spark, pos, queries, k=1000).collect()
+    }
+    assert ph, "planted phrases must hit"
+    prox = {}
+    for slop in (0, 1, 3):
+        prox[slop] = {
+            (r.phrase_id, r.doc_id): r.matches
+            for r in proximity_topk(
+                spark, pos, queries, slop=slop, k=1000
+            ).collect()
+        }
+    for key, m in ph.items():
+        assert prox[0].get(key, 0) >= m, key
+    for key, m in prox[0].items():
+        assert prox[1].get(key, 0) >= m >= 1, key
+    for key, m in prox[1].items():
+        assert prox[3].get(key, 0) >= m, key

@@ -337,3 +337,26 @@ def test_no_gated_entry_plans_an_uncapped_cross_join(spark, sf_small_dir):
     graph = cosine_topk(mod._capped_emb(spark, sf_small_dir), k=5)
     bad = _cross_join_children_capped(_formatted(graph))
     assert not bad, "\n".join(bad)
+
+
+def test_proximity_plan_pushes_terms_and_broadcasts(spark, built):
+    """The NEAR path must keep phrase's scale shape: query-term In()
+    pushdown into the positions scan + broadcast of the tiny term table
+    (a regression here silently full-scans the positional index)."""
+    from instructor_embedding_spark.query.phrase import (
+        build_positions,
+        proximity_topk,
+    )
+
+    _, docs = built
+    pos_path = str(docs.sparkSession.conf.get("spark.local.dir", "/tmp"))
+    pos_path = f"{pos_path}/prox_plan_positions"
+    build_positions(docs, span=64).write.mode("overwrite").parquet(pos_path)
+    pos = docs.sparkSession.read.parquet(pos_path)
+    plan = _formatted(proximity_topk(
+        spark, pos,
+        [(1, "parse varint block"), (2, "sorted run")], slop=2, k=10,
+    ))
+    assert "In(term" in plan or "term IN" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
