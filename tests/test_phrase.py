@@ -165,3 +165,38 @@ def test_proximity_contains_phrase_and_is_slop_monotone(spark):
         assert prox[1].get(key, 0) >= m >= 1, key
     for key, m in prox[1].items():
         assert prox[3].get(key, 0) >= m, key
+
+
+def test_window_cover_count_matches_bruteforce():
+    """Property: the interval-sweep kernel equals the brute-force
+    definition (count 1-based offsets i where every term has a position
+    in [i, i+w-1]) on random position sets — the pure-Python analog of
+    the DuckDB list_has_all twin, with no engine in the loop."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from instructor_embedding_spark.query.phrase import _window_cover_count
+
+    pos_set = st.sets(st.integers(min_value=1, max_value=60),
+                      min_size=1, max_size=12)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(pos_set, min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=10),
+    )
+    def check(term_positions, w):
+        pos_lists = [np.array(sorted(s), dtype=np.uint64)
+                     for s in term_positions]
+        got = _window_cover_count(pos_lists, w)
+        hi = max(max(s) for s in term_positions)
+        want = sum(
+            1
+            for i in range(1, hi + 1)
+            if all(any(i <= p <= i + w - 1 for p in s)
+                   for s in term_positions)
+        )
+        assert got == want, (term_positions, w, got, want)
+
+    check()
