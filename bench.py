@@ -550,6 +550,28 @@ def run_smoke_phrase(n_docs: int = 1_000_000) -> dict:
         ),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
+
+    # r5: proximity probe over the SAME 1M positions index.  slop=0 on
+    # the REVERSED marker must return exactly the 30 planted docs
+    # (order-free NEAR catches what exact adjacency can't — phrase on
+    # the reversed text returns zero), and slop=1 (w=3) must addit-
+    # ionally pull in exactly the 20 one-token-gapped decoys.
+    rev = " ".join(reversed(marker.split()))
+    t0 = time.monotonic()
+    near0 = phrase_mod.proximity_topk(
+        spark, pos, [(1, rev)], slop=0, k=100).collect()
+    near1 = phrase_mod.proximity_topk(
+        spark, pos, [(1, rev)], slop=1, k=100).collect()
+    prox_wall = time.monotonic() - t0
+    ids0 = sorted(r.doc_id for r in near0)
+    ids1 = sorted(r.doc_id for r in near1)
+    out["proximity_positions_10x"] = {
+        "docs": n_docs + n_planted + n_decoys,
+        "query_wall_s": round(prox_wall, 2),
+        "slop0_exact_planted": ids0 == expected,
+        "slop1_adds_exactly_decoys": ids1 == list(
+            range(n_docs, n_docs + n_planted + n_decoys)),
+    }
     _merge_smoke_results(out)
     return out
 
