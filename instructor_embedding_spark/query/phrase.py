@@ -237,37 +237,41 @@ def _window_cover_count(pos_lists: list[np.ndarray], w: int) -> int:
 
     Interval formulation (doc-length-free): offset i qualifies for term τ
     iff some position p ∈ P_τ lies in [i, i+w-1], i.e. i ∈ [p-w+1, p];
-    the answer is |∩_τ ∪_{p∈P_τ} [max(p-w+1, 1), p]|.  Per term the
-    intervals share length w, so after sorting they merge in one linear
-    pass; the intersection is a coverage sweep over the merged
-    boundaries.  O(Σ|P_τ| log) per doc, no materialized window range."""
+    the answer is |∩_τ ∪_{p∈P_τ} [max(p-w+1, 1), p]|.  Fully vectorized
+    (stopword-dense terms carry thousands of positions per doc): per
+    term the intervals share length w and positions arrive sorted, so
+    both lo and hi are ascending and the union-merge is a single mask
+    (``lo[1:] > hi[:-1] + 1`` marks merged-run starts, the run's end is
+    its LAST hi because hi ascends); the cross-term intersection is a
+    sweep over the np.sort-ed merged boundaries counting coverage ==
+    n_terms.  O(Σ|P_τ| log) per doc, no materialized window range."""
     n_terms = len(pos_lists)
-    events: list[tuple[int, int]] = []
+    starts_parts: list[np.ndarray] = []
+    ends_parts: list[np.ndarray] = []
     for pos in pos_lists:
         lo = np.maximum(pos.astype(np.int64) - (w - 1), 1)
         hi = pos.astype(np.int64)
-        # merge touching/overlapping intervals of this term's union
-        start = prev_hi = None
-        for s, e in zip(lo.tolist(), hi.tolist()):
-            if start is None:
-                start, prev_hi = s, e
-            elif s <= prev_hi + 1:
-                prev_hi = max(prev_hi, e)
-            else:
-                events.append((start, 1))
-                events.append((prev_hi + 1, -1))
-                start, prev_hi = s, e
-        events.append((start, 1))
-        events.append((prev_hi + 1, -1))
-    events.sort()
-    cover = total = 0
-    prev_coord = 0
-    for coord, delta in events:
-        if cover == n_terms:
-            total += coord - prev_coord
-        cover += delta
-        prev_coord = coord
-    return total
+        new_run = np.empty(lo.size, dtype=bool)
+        new_run[0] = True
+        np.greater(lo[1:], hi[:-1] + 1, out=new_run[1:])
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.append(run_starts[1:], lo.size) - 1
+        starts_parts.append(lo[run_starts])
+        ends_parts.append(hi[run_ends])
+    starts = np.concatenate(starts_parts)
+    ends = np.concatenate(ends_parts) + 1
+    coords = np.concatenate([starts, ends])
+    deltas = np.concatenate([
+        np.ones(starts.size, dtype=np.int64),
+        np.full(ends.size, -1, dtype=np.int64),
+    ])
+    order = np.argsort(coords, kind="stable")
+    coords, deltas = coords[order], deltas[order]
+    cover = np.cumsum(deltas)
+    # span covered by all terms = gap to the NEXT boundary wherever the
+    # running coverage (after this event) equals n_terms
+    full = cover[:-1] == n_terms
+    return int(np.sum((coords[1:] - coords[:-1])[full]))
 
 
 def _proximity_kernel(term_sets: dict[int, list[str]], slops: dict[int, int]):
