@@ -130,6 +130,16 @@ PROXIMITY_SET: list[tuple[int, str]] = [
 ]
 PROXIMITY_SLOP = 2
 
+#: in-order NEAR fixtures (ids 201+): same slop, order now binds — 202
+#: reverses 201's terms so the pair documents the ordered/unordered
+#: contrast inside one gated result
+ORDERED_PROXIMITY_SET: list[tuple[int, str]] = [
+    (201, "merge sort"),       # ordered: chains must go merge → sort
+    (202, "sort merge"),       # reverse order — different chains
+    (203, "fast order"),       # gapped, in order
+    (204, "zzz nothing"),      # zero hits
+]
+
 
 def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     handle = _index_for(spark, sf_dir)
@@ -138,7 +148,10 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = phrase.proximity_topk(
         spark, pos, PROXIMITY_SET, slop=PROXIMITY_SLOP, k=TOP_K
     )
-    return exact.unionByName(near)
+    near_ord = phrase.ordered_proximity_topk(
+        spark, pos, ORDERED_PROXIMITY_SET, slop=PROXIMITY_SLOP, k=TOP_K
+    )
+    return exact.unionByName(near).unionByName(near_ord)
 
 
 def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1241,6 +1254,10 @@ ORDER BY doc_id LIMIT 50
             + ") UNION ALL SELECT * FROM ("
             + phrase.proximity_topk_sql(
                 "documents", PROXIMITY_SET, slop=PROXIMITY_SLOP,
+                k=TOP_K, text_col="text")
+            + ") UNION ALL SELECT * FROM ("
+            + phrase.ordered_proximity_topk_sql(
+                "documents", ORDERED_PROXIMITY_SET, slop=PROXIMITY_SLOP,
                 k=TOP_K, text_col="text")
             + ")"
         ),

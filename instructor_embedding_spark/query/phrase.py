@@ -402,3 +402,165 @@ ranked AS (
 )
 SELECT phrase_id, rank, doc_id, matches FROM ranked WHERE rank <= {k}
 """
+
+
+# ----------------------------------------------------- ordered proximity
+
+def _ordered_chain_count(pos_lists: list[np.ndarray], w: int) -> int:
+    """Number of positions i of term 0 from which an in-order chain
+    i < j_2 < … < j_m ≤ i + w - 1 exists (j_r a position of term r).
+
+    Greedy minimal chain: at each step take the FIRST position of the
+    next term strictly greater than the current one (np.searchsorted
+    side='right').  Greedy minimizes the chain's endpoint, so it
+    succeeds iff any chain exists.  Duplicate terms need no special
+    case — the strict > walks to the next occurrence of the same term.
+    Vectorized over all starts at once."""
+    starts = pos_lists[0].astype(np.int64)
+    cur = starts
+    alive = np.ones(starts.size, dtype=bool)
+    for nxt in pos_lists[1:]:
+        nxt = nxt.astype(np.int64)
+        idx = np.searchsorted(nxt, cur, side="right")
+        ok = idx < nxt.size
+        alive &= ok
+        cur = np.where(ok, nxt[np.minimum(idx, nxt.size - 1)], cur)
+    return int(np.sum(alive & (cur <= starts + (w - 1))))
+
+
+def _ordered_proximity_kernel(term_orders: dict[int, list[str]],
+                              slops: dict[int, int]):
+    """One (phrase_id, doc_block) group: greedy chain count per doc that
+    has every query term."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        phrase_id = int(pdf["phrase_id"].iloc[0])
+        terms = term_orders[phrase_id]
+        w = len(terms) + slops[phrase_id]
+        n_distinct = len(set(terms))
+        out_docs: list[int] = []
+        out_matches: list[int] = []
+        for doc_id, grp in pdf.groupby("doc_id"):
+            if grp["term"].nunique() != n_distinct:
+                continue
+            pos_by_term = {
+                t: (np.cumsum(varint_decode(b), dtype=np.uint64)
+                    + np.uint64(1))
+                for t, b in zip(grp["term"], grp["pos_bytes"])
+            }
+            m = _ordered_chain_count(
+                [pos_by_term[t] for t in terms], w
+            )
+            if m:
+                out_docs.append(int(doc_id))
+                out_matches.append(m)
+        return pd.DataFrame(
+            {
+                "phrase_id": np.full(len(out_docs), phrase_id, dtype=np.int64),
+                "doc_id": np.asarray(out_docs, dtype=np.int64),
+                "matches": np.asarray(out_matches, dtype=np.int64),
+            }
+        )
+
+    return kernel
+
+
+def ordered_proximity_topk(
+    spark: SparkSession,
+    positions: DataFrame,
+    queries: list[tuple[int, str]],
+    slop: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """(phrase_id, rank, doc_id, matches) — in-order NEAR with slop.
+
+    ``matches`` counts positions of the FIRST query term from which all
+    remaining terms occur IN ORDER inside the ``len(terms) + slop``
+    token window (term list keeps duplicates — "batch batch" needs two
+    distinct positions, unlike the unordered operator).  slop=0 pins
+    every chain step to adjacency, so it coincides exactly with
+    :func:`phrase_topk`'s occurrence count — the two independent
+    kernels cross-check each other (invariant-tested).
+
+    Same scale shape as phrase/proximity: term ``In()`` pushdown,
+    broadcast term table, per-(query, doc_block) Arrow groups, one
+    WindowGroupLimit top-k."""
+    term_orders = {pid: tokenize_py(text) for pid, text in queries}
+    term_orders = {p: t for p, t in term_orders.items() if t}
+    slops = {p: slop for p in term_orders}
+    if not term_orders:
+        return spark.createDataFrame(
+            [], "phrase_id long, rank long, doc_id long, matches long"
+        )
+    pairs = [
+        (pid, t) for pid, terms in term_orders.items() for t in set(terms)
+    ]
+    pt = spark.createDataFrame(pairs, "phrase_id long, term string")
+    all_terms = sorted({t for _, t in pairs})
+
+    hits = positions.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(pt), "term"
+    )
+    cand = hits.groupBy("phrase_id", "doc_block").applyInPandas(
+        _ordered_proximity_kernel(term_orders, slops),
+        schema=PHRASE_OUT_SCHEMA,
+    )
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.col("matches").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("phrase_id", "rank", "doc_id", "matches")
+    )
+
+
+def ordered_proximity_topk_sql(table: str, queries: list[tuple[int, str]],
+                               slop: int = 2, k: int = 10,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    """First-principles oracle: a nested list_filter chain — v1 runs over
+    all token positions, each deeper level seeks its term strictly after
+    the previous one and at most ``v1 + w - 1`` (existence, matching the
+    greedy kernel exactly)."""
+    branches = []
+    for pid, text in queries:
+        terms = tokenize_py(text)
+        if not terms:
+            continue
+        m = len(terms)
+        w = m + slop
+        # innermost-out: exists v_m … exists v_2, anchored at v1
+        expr = None
+        for r in range(m - 1, 0, -1):
+            prev = f"v{r}"
+            var = f"v{r + 1}"
+            cond = f"{var} <= len(t) AND t[{var}] = '{terms[r]}'"
+            if expr is not None:
+                cond += f" AND {expr}"
+            expr = (f"len(list_filter(range({prev} + 1, v1 + {w}), "
+                    f"{var} -> {cond})) > 0")
+        head = f"t[v1] = '{terms[0]}'"
+        if expr is not None:
+            head += f" AND {expr}"
+        branches.append(
+            f"SELECT {pid} AS phrase_id, doc_id, "
+            f"CAST(len(list_filter(range(1, len(t) + 1), "
+            f"v1 -> {head})) AS BIGINT) AS matches FROM toks"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {sql_tokens_expr(text_col)} AS t FROM {table}
+),
+counts AS ({union}),
+ranked AS (
+  SELECT phrase_id,
+         CAST(row_number() OVER (
+           PARTITION BY phrase_id ORDER BY matches DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, matches
+  FROM counts WHERE matches > 0
+)
+SELECT phrase_id, rank, doc_id, matches FROM ranked WHERE rank <= {k}
+"""

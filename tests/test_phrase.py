@@ -200,3 +200,106 @@ def test_window_cover_count_matches_bruteforce():
         assert got == want, (term_positions, w, got, want)
 
     check()
+
+
+def test_ordered_proximity_fixture_and_order_sensitivity(spark):
+    """Ordered NEAR must respect term order (unlike the unordered
+    operator) and count chain starts."""
+    from instructor_embedding_spark.query.phrase import (
+        ordered_proximity_topk,
+        proximity_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma alpha beta"),
+            (1, "beta alpha"),                 # reversed only
+            (2, "alpha zzz beta"),             # one-gap, in order
+        ],
+        "doc_id long, content string",
+    )
+    pos = build_positions(docs, span=4)
+    q = [(1, "alpha beta")]
+
+    ordered0 = {
+        (r.phrase_id, r.doc_id): r.matches
+        for r in ordered_proximity_topk(spark, pos, q, slop=0, k=10).collect()
+    }
+    # slop=0: adjacency, in order — doc 1 (reversed) must NOT match
+    assert ordered0 == {(1, 0): 2}
+    unordered0 = {
+        (r.phrase_id, r.doc_id): r.matches
+        for r in proximity_topk(spark, pos, q, slop=0, k=10).collect()
+    }
+    assert (1, 1) in unordered0            # the contrast the op exists for
+
+    ordered1 = {
+        (r.phrase_id, r.doc_id): r.matches
+        for r in ordered_proximity_topk(spark, pos, q, slop=1, k=10).collect()
+    }
+    # doc 2's one-gap pair enters at slop=1; doc 1 still excluded
+    assert ordered1 == {(1, 0): 2, (1, 2): 1}
+
+
+def test_ordered_proximity_slop0_equals_phrase(spark):
+    """The cross-kernel invariant: at slop=0 every chain step is pinned
+    to adjacency, so ordered-proximity matches must equal phrase_topk's
+    occurrence counts doc-for-doc — two independent kernels (isin
+    intersection vs greedy searchsorted chase) checking each other,
+    duplicate-term phrases included."""
+    from instructor_embedding_spark import datagen
+    from instructor_embedding_spark.query.phrase import (
+        ordered_proximity_topk,
+    )
+
+    docs = datagen.corpus(spark, 300, partitions=3)
+    pos = build_positions(docs, span=64)
+    queries = [
+        (1, "parse varint block header"),
+        (2, "sorted run merge"),
+        (3, "the the"),              # duplicate-term chain
+        (4, "block"),                # single term: matches == tf
+    ]
+    ph = {
+        (r.phrase_id, r.doc_id): r.matches
+        for r in phrase_topk(spark, pos, queries, k=1000).collect()
+    }
+    op = {
+        (r.phrase_id, r.doc_id): r.matches
+        for r in ordered_proximity_topk(
+            spark, pos, queries, slop=0, k=1000
+        ).collect()
+    }
+    assert ph and op == ph
+
+
+def test_ordered_proximity_matches_duckdb(spark):
+    """Cross-engine parity: greedy searchsorted chains vs the nested
+    list_filter existence chain."""
+    import duckdb
+
+    from instructor_embedding_spark import datagen
+    from instructor_embedding_spark.query.phrase import (
+        ordered_proximity_topk,
+        ordered_proximity_topk_sql,
+    )
+
+    docs = datagen.corpus(spark, 300, partitions=3).cache()
+    pos = build_positions(docs, span=64)
+    queries = [
+        (1, "parse varint block"),
+        (2, "the and of"),
+        (3, "of and the"),            # same terms, other order
+        (4, "zzz nothing"),
+    ]
+    for slop in (0, 2, 5):
+        sdf = ordered_proximity_topk(spark, pos, queries, slop=slop, k=25)
+        got = sorted(tuple(r) for r in sdf.collect())
+        con = duckdb.connect()
+        con.register("documents_pd", docs.toPandas())
+        con.execute("CREATE VIEW documents AS SELECT * FROM documents_pd")
+        duck = con.execute(ordered_proximity_topk_sql(
+            "documents", queries, slop=slop, k=25, text_col="content"))
+        assert [d[0] for d in duck.description] == sdf.columns
+        want = sorted(tuple(row) for row in duck.fetchall())
+        assert got == want, f"slop={slop}"
