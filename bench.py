@@ -572,6 +572,25 @@ def run_smoke_phrase(n_docs: int = 1_000_000) -> dict:
         "slop1_adds_exactly_decoys": ids1 == list(
             range(n_docs, n_docs + n_planted + n_decoys)),
     }
+
+    # r5: ordered-proximity probe — in-order NEAR at slop=1 must find
+    # planted (adjacent) AND decoys (one-gap, in order) for the marker
+    # as written, and NOTHING for the reversed marker (no doc has the
+    # terms in that order), the exact contrast with the unordered probe.
+    t0 = time.monotonic()
+    ord_fwd = phrase_mod.ordered_proximity_topk(
+        spark, pos, [(1, marker)], slop=1, k=100).collect()
+    ord_rev = phrase_mod.ordered_proximity_topk(
+        spark, pos, [(1, rev)], slop=1, k=100).collect()
+    ord_wall = time.monotonic() - t0
+    ids_fwd = sorted(r.doc_id for r in ord_fwd)
+    out["ordered_proximity_positions_10x"] = {
+        "docs": n_docs + n_planted + n_decoys,
+        "query_wall_s": round(ord_wall, 2),
+        "fwd_slop1_exact_planted_plus_decoys": ids_fwd == list(
+            range(n_docs, n_docs + n_planted + n_decoys)),
+        "reversed_is_empty": not ord_rev,
+    }
     _merge_smoke_results(out)
     return out
 
