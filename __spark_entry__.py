@@ -17,7 +17,13 @@ import os
 
 from instructor_embedding_spark.fixtures import DRIVER_QUERY_SET, TOP_K
 from instructor_embedding_spark.functions.tokenize import sql_tokens_expr
-from instructor_embedding_spark.index.build import IndexParams, build_index
+from instructor_embedding_spark.index.build import (
+    IndexParams,
+    build_index,
+    load_index,
+)
+from instructor_embedding_spark.index import deletes
+from instructor_embedding_spark.index.manifest import ManifestStore
 from instructor_embedding_spark.analytics import (
     clustering,
     dedup,
@@ -95,17 +101,82 @@ def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand.wand_topk(spark, handle, _queries_df(spark), k=TOP_K)
 
 
-def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered retrieval: top-k restricted to lang='zh' docs (global
-    corpus statistics, pinned).  Oracle = brute-force SQL with the same
-    candidate whitelist."""
+#: tombstone-delete fixture: ~1/7 of documents, deterministic and
+#: block-spread.  Query ids 301+ run PRE-compaction (tombstone deny mask,
+#: STALE global stats — the standard engine semantics: deletes leave
+#:  results immediately, df/idf/avgdl refresh at compaction); ids 401+ run
+#: the COMPACTED index (stats refreshed over survivors).  Both union into
+#: the wand_filtered entry so the whole delete lifecycle is oracle-gated
+#: without a second registry slot (same riding pattern as phrase/NEAR).
+DELETE_PRED_SQL = "doc_id % 7 = 3"
+
+
+def _offset_queries(offset: int) -> list[tuple[int, str]]:
+    return [(qid + offset, text) for qid, text in DRIVER_QUERY_SET]
+
+
+def _offset_queries_df(spark: SparkSession, offset: int) -> DataFrame:
+    return spark.createDataFrame(
+        _offset_queries(offset), "query_id long, query_text string"
+    )
+
+
+def _tombstoned_index_for(spark: SparkSession, sf_dir: str):
+    """The shared sf_dir index with the delete fixture tombstoned (written
+    once — tombstones are a side list, invisible to entries that don't
+    opt into them)."""
     handle = _index_for(spark, sf_dir)
+    if deletes.tombstones(spark, handle.index_dir) is None:
+        dead = _docs(spark, sf_dir).filter(F.expr(DELETE_PRED_SQL)).select(
+            "doc_id"
+        )
+        deletes.delete_docs(spark, handle.index_dir, dead)
+    return handle
+
+
+def _compacted_index_for(spark: SparkSession, sf_dir: str):
+    """Compact the tombstoned index (checkpointed like _index_for)."""
+    handle = _tombstoned_index_for(spark, sf_dir)
+    tag = hashlib.sha1(f"{sf_dir}:compacted".encode()).hexdigest()[:10]
+    out_dir = os.path.join(RUNTIME_DIR, f"index_{tag}")
+    m = ManifestStore(out_dir).load("compact")
+    if m and m.get("status") == "complete":
+        return load_index(spark, out_dir)
+    return deletes.compact_deletes(spark, handle, out_dir)
+
+
+def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered retrieval + the delete lifecycle, one gated union:
+
+    - ids 1..9: top-k restricted to lang='zh' docs (whitelist, global
+      corpus statistics, pinned) — oracle is brute-force SQL with the
+      same candidate whitelist;
+    - ids 301+: tombstoned retrieval (deny mask, stale stats) — oracle is
+      the complement whitelist over the full corpus;
+    - ids 401+: the compacted index — oracle recomputes stats over the
+      surviving documents only (index/deletes.py lifecycle);
+    - ids 501+: boolean-AND (conjunctive) retrieval over the full corpus —
+      only docs containing EVERY query term rank (require_all)."""
+    handle = _tombstoned_index_for(spark, sf_dir)
     doc_filter = _docs(spark, sf_dir).filter(F.col("lang") == "zh").select(
         "doc_id"
     )
-    return wand.wand_topk(
+    base = wand.wand_topk(
         spark, handle, _queries_df(spark), k=TOP_K, doc_filter=doc_filter
     )
+    live = wand.wand_topk(
+        spark, handle, _offset_queries_df(spark, 300), k=TOP_K,
+        deny_filter=deletes.tombstones(spark, handle.index_dir),
+    )
+    compacted = _compacted_index_for(spark, sf_dir)
+    fresh = wand.wand_topk(
+        spark, compacted, _offset_queries_df(spark, 400), k=TOP_K
+    )
+    conj = wand.wand_topk(
+        spark, handle, _offset_queries_df(spark, 500), k=TOP_K,
+        require_all=True,
+    )
+    return base.unionByName(live).unionByName(fresh).unionByName(conj)
 
 
 #: exact-adjacency phrase fixtures over the driver documents vocabulary
@@ -1241,11 +1312,36 @@ ORDER BY doc_id LIMIT 50
         "bm25_topk_wand": bm25.bm25_topk_sql(
             "documents", DRIVER_QUERY_SET, k=TOP_K, text_col="text"
         ),
-        "bm25_topk_wand_filtered": bm25.bm25_topk_sql(
-            "documents", DRIVER_QUERY_SET, k=TOP_K, text_col="text",
-            candidate_filter_sql=(
-                "SELECT doc_id FROM documents WHERE lang = 'zh'"
-            ),
+        "bm25_topk_wand_filtered": (
+            "SELECT * FROM ("
+            + bm25.bm25_topk_sql(
+                "documents", DRIVER_QUERY_SET, k=TOP_K, text_col="text",
+                candidate_filter_sql=(
+                    "SELECT doc_id FROM documents WHERE lang = 'zh'"
+                ),
+            )
+            # tombstoned (stale stats) ≡ complement whitelist, full corpus
+            + ") UNION ALL SELECT * FROM ("
+            + bm25.bm25_topk_sql(
+                "documents", _offset_queries(300), k=TOP_K, text_col="text",
+                candidate_filter_sql=(
+                    "SELECT doc_id FROM documents "
+                    f"WHERE NOT ({DELETE_PRED_SQL})"
+                ),
+            )
+            # compacted (fresh stats) ≡ BM25 over the survivors only
+            + ") UNION ALL SELECT * FROM ("
+            + bm25.bm25_topk_sql(
+                f"(SELECT * FROM documents WHERE NOT ({DELETE_PRED_SQL}))",
+                _offset_queries(400), k=TOP_K, text_col="text",
+            )
+            # conjunctive (boolean AND): all query terms required
+            + ") UNION ALL SELECT * FROM ("
+            + bm25.bm25_topk_sql(
+                "documents", _offset_queries(500), k=TOP_K, text_col="text",
+                require_all=True,
+            )
+            + ")"
         ),
         "phrase_topk": (
             "SELECT * FROM ("

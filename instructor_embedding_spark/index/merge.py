@@ -51,9 +51,14 @@ from instructor_embedding_spark.index.manifest import (
 )
 
 
-def _merge_kernel(params: IndexParams, avgdl: float):
+def _merge_kernel(params: IndexParams, avgdl: float, deny: bool = False):
     """One hash partition of (term, doc_block) groups; each group holds one
-    or more encoded runs from the source indexes."""
+    or more encoded runs from the source indexes.
+
+    With ``deny`` each row MAY carry a ``denied_bin`` varint-delta column
+    (the block's tombstoned doc_ids; NULL for clean blocks) — denied
+    postings are dropped after decode, and groups that empty out vanish
+    (the compaction path, index/deletes.py)."""
     span, n_sub, sub_span = (
         params.doc_block_span, params.n_sub_blocks, params.sub_span,
     )
@@ -89,6 +94,8 @@ def _merge_kernel(params: IndexParams, avgdl: float):
         tf_col = pdf["tf_bytes"].to_numpy()
         dls_col = pdf["dls_run"].to_numpy()
         idf_col = pdf["idf_new"].to_numpy()
+        deny_col = pdf["denied_bin"].to_numpy() if deny else None
+        deny_cache: dict[bytes, np.ndarray] = {}
 
         # pass 1: decode + merge per group, accumulate merged arrays; the
         # (re-)encode happens ONCE over the whole partition afterwards
@@ -114,6 +121,20 @@ def _merge_kernel(params: IndexParams, avgdl: float):
                         f"{terms[lo]!r} block {int(blocks[lo])} — sources "
                         "must have disjoint doc_id ranges"
                     )
+            if deny_col is not None and deny_col[lo] is not None:
+                key = bytes(deny_col[lo])
+                if key not in deny_cache:
+                    deny_cache[key] = np.cumsum(
+                        varint_decode(key), dtype=np.uint64
+                    )
+                denied = deny_cache[key]
+                pos = np.searchsorted(denied, d)
+                dead = (pos < denied.size) & (
+                    denied[np.minimum(pos, denied.size - 1)] == d
+                )
+                if dead.all():
+                    continue  # every posting tombstoned: group vanishes
+                d, t, dls = d[~dead], t[~dead], dls[~dead]
             idf = float(idf_col[lo])
             tff = t.astype(np.float64)
             impacts = idf * (
@@ -192,6 +213,112 @@ def _doc_lens_merge_kernel():
     return kernel
 
 
+#: kernel-side dls extraction needs the run's own doc ids and its
+#: source block dls; we pass all source rows for the block
+#: (duplicates per source are disambiguated by searchsorted)
+_RUN_WITH_DLS_SCHEMA = (
+    "term string, doc_block long, idf_new double, doc_bytes binary, "
+    "tf_bytes binary, dls_run binary"
+)
+
+
+def _attach_dls(pdf: pd.DataFrame) -> pd.DataFrame:
+    # column-array iteration (no pandas iterrows — per-row Series
+    # construction is the slow path at millions of runs/partition)
+    ids_cache: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+    rows: dict[str, list] = {
+        "term": [], "doc_block": [], "idf_new": [],
+        "doc_bytes": [], "tf_bytes": [], "dls_run": [],
+    }
+    cols = [
+        pdf[c].to_numpy()
+        for c in ("term", "doc_block", "idf_new", "doc_bytes",
+                  "tf_bytes", "src_ids_bin", "src_dls_bin")
+    ]
+    for term, doc_block, idf_new, doc_b, tf_b, src_ids_b, \
+            src_dls_b in zip(*cols):
+        key = bytes(src_ids_b)
+        if key not in ids_cache:
+            ids_cache[key] = (
+                np.cumsum(varint_decode(key), dtype=np.uint64),
+                varint_decode(bytes(src_dls_b)),
+            )
+        src_ids, src_dls = ids_cache[key]
+        d, _t = decode_postings(bytes(doc_b), bytes(tf_b))
+        pos = np.searchsorted(src_ids, d)
+        # runs from a DIFFERENT source won't align — detect by
+        # membership and skip (each run matches exactly one source)
+        if d.size == 0 or np.any(pos >= src_ids.size) or not (
+            np.array_equal(src_ids[pos], d)
+        ):
+            continue
+        rows["term"].append(term)
+        rows["doc_block"].append(int(doc_block))
+        rows["idf_new"].append(float(idf_new))
+        rows["doc_bytes"].append(bytes(doc_b))
+        rows["tf_bytes"].append(bytes(tf_b))
+        rows["dls_run"].append(varint_encode(src_dls[pos]))
+    return pd.DataFrame(rows) if rows["term"] else pd.DataFrame(
+        {k: pd.Series(
+            [], dtype="float64" if k == "idf_new"
+            else ("int64" if k == "doc_block" else "object"))
+         for k in rows}
+    )
+
+
+def rewrite_segments(
+    spark: SparkSession,
+    segments: DataFrame,
+    dl_union: DataFrame,
+    term_stats: DataFrame,
+    params: IndexParams,
+    avgdl: float,
+    deny_blocks: DataFrame | None = None,
+) -> DataFrame:
+    """Re-encode segment runs under fresh global stats — the shared engine
+    of merge (K sources, no deny) and compaction (1 source + tombstones).
+
+    ``term_stats`` carries the FRESH (term, idf); terms absent from it
+    (df dropped to 0 under deletion) vanish via the inner join.
+    ``dl_union`` is the SOURCE doc_lens — per-(term,block) runs need their
+    docs' dls, derived by joining the source's packed doc_lens rows on
+    doc_block and slicing in the kernel (storing dls alongside postings at
+    build time would be overkill; re-deriving via a doc-level join would
+    re-shuffle).  ``deny_blocks`` is an optional (doc_block, denied_bin)
+    tombstone pack, LEFT-joined so clean blocks pay nothing."""
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dl_all = dl_union.select(
+        "doc_block",
+        F.col("doc_ids_bin").alias("src_ids_bin"),
+        F.col("dls_bin").alias("src_dls_bin"),
+    )
+    joined = segments.join(
+        term_stats.select("term", F.col("idf").alias("idf_new")), "term"
+    )
+    # slice each run's dls out of its source doc_lens row (small
+    # applyInPandas over segment rows joined to the matching source row —
+    # one row per (run, source block))
+    runs = (
+        joined.join(dl_all, "doc_block")
+        .groupBy(
+            F.pmod(F.hash("term", "doc_block"), F.lit(nparts)).alias("part")
+        )
+        .applyInPandas(_attach_dls, schema=_RUN_WITH_DLS_SCHEMA)
+    )
+    if deny_blocks is not None:
+        runs = runs.join(deny_blocks, "doc_block", "left")
+    return (
+        runs.withColumn(
+            "part", F.pmod(F.hash("term", "doc_block"), F.lit(nparts))
+        )
+        .groupBy("part")
+        .applyInPandas(
+            _merge_kernel(params, avgdl, deny=deny_blocks is not None),
+            schema=SEGMENT_SCHEMA,
+        )
+    )
+
+
 def merge_indexes(
     spark: SparkSession,
     sources: list[IndexHandle],
@@ -266,97 +393,10 @@ def merge_indexes(
         seg_union = sources[0].segments(spark)
         for s in sources[1:]:
             seg_union = seg_union.unionByName(s.segments(spark))
-        # per-(term,block) run needs its docs' dls: carried per segment run
-        # by re-deriving from each source's packed doc_lens via a join +
-        # slice kernel would re-shuffle; instead store dls alongside at
-        # build time is overkill — derive dls_run by joining the SOURCE's
-        # doc_lens rows on doc_block and slicing in the kernel.
-        dl_all = dl_union.select(
-            "doc_block",
-            F.col("doc_ids_bin").alias("src_ids_bin"),
-            F.col("dls_bin").alias("src_dls_bin"),
-        )
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-
-        # slice each run's dls out of its source doc_lens row (small
-        # mapInPandas over segment rows joined to the matching source row —
-        # one row per (run, source block))
-        joined = seg_union.join(
-            spark.read.parquet(p_termstats).select(
-                "term", F.col("idf").alias("idf_new")
-            ),
-            "term",
-        )
-
-        # kernel-side dls extraction needs the run's own doc ids and its
-        # source block dls; we pass all source rows for the block
-        # (duplicates per source are disambiguated by searchsorted)
-        run_with_dls_schema = (
-            "term string, doc_block long, idf_new double, doc_bytes binary, "
-            "tf_bytes binary, dls_run binary"
-        )
-
-        def attach_dls(pdf: pd.DataFrame) -> pd.DataFrame:
-            # column-array iteration (no pandas iterrows — per-row Series
-            # construction is the slow path at millions of runs/partition)
-            ids_cache: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
-            rows: dict[str, list] = {
-                "term": [], "doc_block": [], "idf_new": [],
-                "doc_bytes": [], "tf_bytes": [], "dls_run": [],
-            }
-            cols = [
-                pdf[c].to_numpy()
-                for c in ("term", "doc_block", "idf_new", "doc_bytes",
-                          "tf_bytes", "src_ids_bin", "src_dls_bin")
-            ]
-            for term, doc_block, idf_new, doc_b, tf_b, src_ids_b, \
-                    src_dls_b in zip(*cols):
-                key = bytes(src_ids_b)
-                if key not in ids_cache:
-                    ids_cache[key] = (
-                        np.cumsum(varint_decode(key), dtype=np.uint64),
-                        varint_decode(bytes(src_dls_b)),
-                    )
-                src_ids, src_dls = ids_cache[key]
-                d, _t = decode_postings(bytes(doc_b), bytes(tf_b))
-                pos = np.searchsorted(src_ids, d)
-                # runs from a DIFFERENT source won't align — detect by
-                # membership and skip (each run matches exactly one source)
-                if d.size == 0 or np.any(pos >= src_ids.size) or not (
-                    np.array_equal(src_ids[pos], d)
-                ):
-                    continue
-                rows["term"].append(term)
-                rows["doc_block"].append(int(doc_block))
-                rows["idf_new"].append(float(idf_new))
-                rows["doc_bytes"].append(bytes(doc_b))
-                rows["tf_bytes"].append(bytes(tf_b))
-                rows["dls_run"].append(varint_encode(src_dls[pos]))
-            return pd.DataFrame(rows) if rows["term"] else pd.DataFrame(
-                {k: pd.Series(
-                    [], dtype="float64" if k == "idf_new"
-                    else ("int64" if k == "doc_block" else "object"))
-                 for k in rows}
-            )
-
-        runs = (
-            joined.join(dl_all, "doc_block")
-            .groupBy(
-                F.pmod(F.hash("term", "doc_block"), F.lit(nparts)).alias(
-                    "part"
-                )
-            )
-            .applyInPandas(
-                lambda pdf: attach_dls(pdf), schema=run_with_dls_schema
-            )
-        )
         p_segments = os.path.join(out_dir, "segments")
-        merged = (
-            runs.withColumn(
-                "part", F.pmod(F.hash("term", "doc_block"), F.lit(nparts))
-            )
-            .groupBy("part")
-            .applyInPandas(_merge_kernel(params, avgdl), schema=SEGMENT_SCHEMA)
+        merged = rewrite_segments(
+            spark, seg_union, dl_union,
+            spark.read.parquet(p_termstats), params, avgdl,
         )
         merged.sortWithinPartitions("term").write.mode("overwrite").parquet(
             p_segments
@@ -371,6 +411,7 @@ def merge_indexes(
         )
 
         if merge_positions:
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
             pos_union = sources[0].positions(spark)
             for s in sources[1:]:
                 pos_union = pos_union.unionByName(s.positions(spark))

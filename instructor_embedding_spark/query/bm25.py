@@ -116,12 +116,19 @@ def bm25_topk(
     id_col: str = "doc_id",
     use_pandas_udf: bool = False,
     doc_filter: DataFrame | None = None,
+    require_all: bool = False,
 ) -> DataFrame:
     """End-to-end brute-force BM25 top-k: (query_id, rank, doc_id, score).
 
     The query-term table is tiny relative to the tf table, so the term
     equi-join broadcasts (the inverted-index engine replaces this join's
     probe side with pre-built segments; semantics are identical).
+
+    ``require_all`` switches OR semantics (any query term matches) to
+    boolean AND: only docs containing EVERY query term rank, scored by
+    the same BM25 sum.  tf is unique per (doc, term) and qt is distinct
+    per (query, term), so the per-(query, doc) row count IS the matched
+    distinct-term count — no extra distinct pass.
     """
     toks = tokenized(docs, text_col, id_col, use_pandas_udf)
     stats = corpus_stats(toks)
@@ -134,8 +141,14 @@ def bm25_topk(
         tf.join(ts.select("term", "idf"), "term")
         .join(F.broadcast(qt), "term")
         .groupBy("query_id", "doc_id")
-        .agg(F.sum(contrib).alias("score_raw"))
+        .agg(F.sum(contrib).alias("score_raw"),
+             F.count(F.lit(1)).alias("matched"))
     )
+    if require_all:
+        nt = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+        scored = scored.join(F.broadcast(nt), "query_id").filter(
+            F.col("matched") == F.col("n_terms")
+        )
     if doc_filter is not None:
         # filtered retrieval: predicate narrows candidates AFTER scoring
         # with global stats (pinned semantics, matches the WAND engine)
@@ -310,21 +323,29 @@ def bm25_topk_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
     candidate_filter_sql: str | None = None,
+    require_all: bool = False,
 ) -> str:
     """DuckDB oracle SQL computing exactly :func:`bm25_topk`.
 
     ``queries_values`` is inlined as a VALUES list so the oracle is
     self-contained over the pre-registered parquet views.
+    ``require_all`` mirrors the boolean-AND mode: scored rows keep only
+    (query, doc) groups whose matched-term count equals the query's
+    distinct-term count.
     """
     vals = ", ".join(
         "({}, '{}')".format(qid, text.replace("'", "''"))
         for qid, text in queries_values
     )
-    filt = (
-        f"WHERE doc_id IN ({candidate_filter_sql})"
-        if candidate_filter_sql
-        else ""
-    )
+    conds = []
+    if candidate_filter_sql:
+        conds.append(f"doc_id IN ({candidate_filter_sql})")
+    if require_all:
+        conds.append(
+            "matched = (SELECT count(*) FROM qt "
+            "WHERE qt.query_id = scored.query_id)"
+        )
+    filt = ("WHERE " + " AND ".join(conds)) if conds else ""
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id, {sql_tokens_expr(text_col)} AS tokens FROM {table}
@@ -349,7 +370,8 @@ scored AS (
            ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
            * tf.tf * ({K1} + 1.0)
            / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
-         ) AS score_raw
+         ) AS score_raw,
+         count(*) AS matched
   FROM qt
   JOIN tf USING (term)
   JOIN df USING (term)

@@ -64,7 +64,8 @@ _EMPTY_STATS = pd.DataFrame(
 
 
 def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
-                 filtered: bool = False, stats: bool = False):
+                 filtered: bool = False, stats: bool = False,
+                 deny: bool = False, require_all: bool = False):
     """applyInPandas kernel for one (query_id, doc_block) group.
 
     With ``filtered`` the group carries an ``allowed_bin`` varint-delta
@@ -72,6 +73,22 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
     outside it are dropped AFTER scoring — block-max upper bounds over the
     unfiltered postings remain true bounds for the filtered subset, so
     pruning stays exact.
+
+    With ``deny`` the group MAY carry a ``denied_bin`` varint-delta column
+    (the tombstoned doc_ids for this block — NULL when the block has no
+    deletions, the common case); denied candidates are dropped by the same
+    post-scoring mask, BEFORE the θ update and the per-group top-k cut, so
+    the group's survivors are exact over live docs.  Same exactness
+    argument as the whitelist: the block-max bounds are maxima over a
+    superset of the live postings, so they remain true bounds.
+
+    With ``require_all`` (boolean AND, conjunctive retrieval) the group
+    carries an ``n_terms`` column (the query's distinct-term count);
+    only docs matched by EVERY query term survive, scored by the same
+    BM25 sum.  Two extra prunes, both exact: a group with fewer term
+    rows than n_terms can't contain a conjunctive match at all (terms
+    missing from the whole block), and the disjunctive sub-block upper
+    bound remains a true bound for the conjunctive subset.
 
     With ``stats`` the kernel does the SAME scoring/pruning work but
     emits one (query_id, doc_block, sub_total, sub_scored) row instead of
@@ -88,6 +105,21 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
             allowed = np.cumsum(
                 varint_decode(pdf["allowed_bin"].iloc[0]), dtype=np.uint64
             ).astype(np.int64)
+        denied = None
+        if deny:
+            dbin = pdf["denied_bin"].iloc[0]
+            if dbin is not None:
+                denied = np.cumsum(
+                    varint_decode(dbin), dtype=np.uint64
+                ).astype(np.int64)
+
+        n_terms = 0
+        if require_all:
+            n_terms = int(pdf["n_terms"].iloc[0])
+            if len(pdf) < n_terms:
+                # some query term has NO postings in this block — no doc
+                # here can match conjunctively; skip all decode/scoring
+                return _EMPTY_STATS if stats else _EMPTY
 
         # Decode the block's packed doc lengths once.
         dl_doc_ids = np.cumsum(
@@ -131,6 +163,8 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                 break
             n_scored += 1
             scores = np.zeros(sub_span, dtype=np.float64)
+            counts = np.zeros(sub_span, dtype=np.int64) if require_all \
+                else None
             sub_base = base + j * sub_span
             touched = False
             for idf, doc_ids, tfs, offsets, _ in terms:
@@ -148,9 +182,15 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                 )
                 idx = (d - np.uint64(sub_base)).astype(np.int64)
                 scores[idx] += imp
+                if counts is not None:
+                    counts[idx] += 1
             if not touched:
                 continue
             nz = np.flatnonzero(scores)
+            if counts is not None:
+                # conjunctive: a doc lives in exactly one sub-block, so
+                # its in-sub-block matched-term count is its global one
+                nz = nz[counts[nz] == n_terms]
             if nz.size == 0:
                 continue
             docs_here = nz.astype(np.int64) + sub_base
@@ -163,6 +203,14 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                 if not keep.any():
                     continue
                 docs_here, svals = docs_here[keep], svals[keep]
+            if denied is not None:
+                pos = np.searchsorted(denied, docs_here)
+                dead = (pos < denied.size) & (
+                    denied[np.minimum(pos, denied.size - 1)] == docs_here
+                )
+                if dead.all():
+                    continue
+                docs_here, svals = docs_here[~dead], svals[~dead]
             cand_docs.append(docs_here)
             cand_scores.append(svals)
             # update running kth-best threshold
@@ -214,11 +262,13 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
     return kernel
 
 
-_FILTER_PACK_SCHEMA = "doc_block long, allowed_bin binary"
+def _pack_filter(doc_filter: DataFrame, span: int,
+                 out_col: str = "allowed_bin") -> DataFrame:
+    """(doc_id) set → one varint-delta row per doc_block.
 
-
-def _pack_filter(doc_filter: DataFrame, span: int) -> DataFrame:
-    """(doc_id) whitelist → one varint-delta row per doc_block."""
+    Shared by the whitelist (``allowed_bin``) and the tombstone deny-list
+    (``denied_bin``): both ship a sorted per-block id set into the kernel
+    as one compressed binary column."""
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(pdf["doc_id"].to_numpy().astype(np.uint64))
         gaps = np.empty_like(ids)
@@ -229,7 +279,7 @@ def _pack_filter(doc_filter: DataFrame, span: int) -> DataFrame:
         return pd.DataFrame(
             {
                 "doc_block": [int(pdf["doc_block"].iloc[0])],
-                "allowed_bin": [varint_encode(gaps)],
+                out_col: [varint_encode(gaps)],
             }
         )
 
@@ -238,7 +288,7 @@ def _pack_filter(doc_filter: DataFrame, span: int) -> DataFrame:
             "doc_id", (F.col("doc_id") / span).cast("long").alias("doc_block")
         )
         .groupBy("doc_block")
-        .applyInPandas(pack, schema=_FILTER_PACK_SCHEMA)
+        .applyInPandas(pack, schema=f"doc_block long, {out_col} binary")
     )
 
 
@@ -273,6 +323,8 @@ def _grouped_hits(
     doc_lens: DataFrame | None,
     pushdown_max_terms: int | None = None,
     pushdown_max_qt_rows: int | None = None,
+    deny_filter: DataFrame | None = None,
+    require_all: bool = False,
 ) -> DataFrame | None:
     """Shared scatter construction for the scoring and stats kernels:
     tokenized query terms joined against the segment scan and packed doc
@@ -367,6 +419,24 @@ def _grouped_hits(
         grouped = grouped.join(
             _pack_filter(doc_filter, p.doc_block_span), "doc_block"
         )
+    if deny_filter is not None:
+        # LEFT join: blocks with no deletions (the common case at any
+        # realistic delete rate) carry a NULL denied_bin and skip the mask;
+        # an inner join here would wrongly DROP every clean block.
+        grouped = grouped.join(
+            _pack_filter(deny_filter, p.doc_block_span, "denied_bin"),
+            "doc_block", "left",
+        )
+    if require_all:
+        # per-query distinct-term count for the conjunctive kernel; qt is
+        # unpersisted above, so this tiny aggregate re-tokenizes the query
+        # batch once (same documented trade-off as the join path)
+        nt = (
+            query_terms(queries, p.use_pandas_udf_tokenizer)
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_terms"))
+        )
+        grouped = grouped.join(F.broadcast(nt), "query_id")
     return grouped
 
 
@@ -411,25 +481,40 @@ def wand_topk(
     doc_filter: DataFrame | None = None,
     pushdown_max_terms: int | None = None,
     pushdown_max_qt_rows: int | None = None,
+    deny_filter: DataFrame | None = None,
+    require_all: bool = False,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to the oracle.
+
+    ``require_all`` switches to boolean-AND (conjunctive) retrieval: only
+    docs containing EVERY query term rank, same BM25 scoring — blocks
+    missing any query term are skipped before decode (the strongest prune
+    in the conjunctive path).
 
     ``doc_filter`` (a DataFrame with a doc_id column) restricts results to
     that whitelist — filtered retrieval with GLOBAL corpus statistics
     (standard semantics: the predicate narrows candidates, not df/avgdl).
     Blocks with no allowed docs drop out of the plan via the inner join on
-    the packed filter."""
+    the packed filter.
+
+    ``deny_filter`` is the complement: doc_ids to EXCLUDE (tombstoned
+    deletes, index/deletes.py) — also global stats (standard engine
+    semantics: deleted docs leave results immediately, df/avgdl refresh at
+    compaction).  Unlike the whitelist it LEFT-joins, so untouched blocks
+    pay nothing."""
     p = handle.params
     grouped = _grouped_hits(spark, handle, queries, doc_filter, segments,
                             doc_lens, pushdown_max_terms,
-                            pushdown_max_qt_rows)
+                            pushdown_max_qt_rows, deny_filter, require_all)
     if grouped is None:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"
         )
 
     kernel = _wand_kernel(k, p.k1, p.b, handle.avgdl, p.doc_block_span,
-                          filtered=doc_filter is not None)
+                          filtered=doc_filter is not None,
+                          deny=deny_filter is not None,
+                          require_all=require_all)
     candidates = grouped.groupBy("query_id", "doc_block").applyInPandas(
         kernel, schema=WAND_SCHEMA
     )
