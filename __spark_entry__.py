@@ -43,7 +43,7 @@ from instructor_embedding_spark.metrics.ranking import (
     summary_metrics,
 )
 from instructor_embedding_spark.multimodal import binary_ops
-from instructor_embedding_spark.query import bm25, phrase, wand
+from instructor_embedding_spark.query import bm25, phrase, prefix, snippet, wand
 from instructor_embedding_spark.shipping import ensure_shipped
 
 #: ks for the retrieval_metrics entry (reference defaults, D3, minus 100
@@ -110,6 +110,18 @@ def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: without a second registry slot (same riding pattern as phrase/NEAR).
 DELETE_PRED_SQL = "doc_id % 7 = 3"
 
+#: prefix-query fixture (ids 601+): literal prefixes (no LIKE wildcards)
+#: against the sf documents vocabulary — 601/602 common stems, 603 a
+#: no-match, 604 a TWO-prefix query (rows share the id; a term matched by
+#: both prefixes must score once).
+PREFIX_SET: list[tuple[int, str]] = [
+    (601, "mer"),
+    (602, "so"),
+    (603, "zzqqx"),
+    (604, "fa"),
+    (604, "jo"),
+]
+
 
 def _offset_queries(offset: int) -> list[tuple[int, str]]:
     return [(qid + offset, text) for qid, text in DRIVER_QUERY_SET]
@@ -156,7 +168,10 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ids 401+: the compacted index — oracle recomputes stats over the
       surviving documents only (index/deletes.py lifecycle);
     - ids 501+: boolean-AND (conjunctive) retrieval over the full corpus —
-      only docs containing EVERY query term rank (require_all)."""
+      only docs containing EVERY query term rank (require_all);
+    - ids 601+: prefix (wildcard) retrieval — dictionary expansion capped
+      per (query, prefix) in ascending term order, disjunctive BM25 over
+      the expansion (query/prefix.py)."""
     handle = _tombstoned_index_for(spark, sf_dir)
     doc_filter = _docs(spark, sf_dir).filter(F.col("lang") == "zh").select(
         "doc_id"
@@ -176,7 +191,11 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, handle, _offset_queries_df(spark, 500), k=TOP_K,
         require_all=True,
     )
-    return base.unionByName(live).unionByName(fresh).unionByName(conj)
+    pfx = prefix.prefix_topk(spark, handle, PREFIX_SET, k=TOP_K)
+    return (
+        base.unionByName(live).unionByName(fresh).unionByName(conj)
+        .unionByName(pfx)
+    )
 
 
 #: exact-adjacency phrase fixtures over the driver documents vocabulary
@@ -212,7 +231,28 @@ ORDERED_PROXIMITY_SET: list[tuple[int, str]] = [
 ]
 
 
+#: snippet (best-window highlight) fixtures, ids 301+ — same vocabulary
+#: as the phrase/proximity sets so the display-layer kernels cross-check
+#: over identical term sets; 304 is a guaranteed zero-hit probe.  Rides
+#: the phrase_topk entry (same positions index) with a widened schema:
+#: span rows carry NULL covered/snippet_start, snippet rows NULL score.
+SNIPPET_SET: list[tuple[int, str]] = [
+    (301, "merge sort"),
+    (302, "fast key order"),
+    (303, "batch"),
+    (304, "zzqqxv"),
+]
+SNIPPET_WINDOW = 12
+
+
 def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positions-index surface in one ranked table: exact phrase (ids
+    1+), unordered NEAR (101+), ordered NEAR (201+), best-window snippet
+    offsets (301+, query/snippet.py — leftmost SNIPPET_WINDOW-token span
+    covering the most distinct query terms; oracle is a first-principles
+    every-start scan of the token arrays).  Snippet rows reuse the
+    ``matches`` column for coverage (same meaning: distinct query terms
+    hit) and add ``snippet_start``; span rows carry it NULL."""
     handle = _index_for(spark, sf_dir)
     pos = handle.positions(spark)
     exact = phrase.phrase_topk(spark, pos, PHRASE_SET, k=TOP_K)
@@ -222,7 +262,21 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_ord = phrase.ordered_proximity_topk(
         spark, pos, ORDERED_PROXIMITY_SET, slop=PROXIMITY_SLOP, k=TOP_K
     )
-    return exact.unionByName(near).unionByName(near_ord)
+    snip = snippet.snippet_topk(
+        spark, pos, SNIPPET_SET, window=SNIPPET_WINDOW, k=TOP_K
+    )
+    cols = ["phrase_id", "rank", "doc_id", "matches", "snippet_start"]
+    spans = (
+        exact.unionByName(near).unionByName(near_ord)
+        .withColumn("snippet_start", F.lit(None).cast("long"))
+        .select(*cols)
+    )
+    return spans.unionByName(
+        snip.select(
+            F.col("query_id").alias("phrase_id"), "rank", "doc_id",
+            F.col("covered").alias("matches"), "snippet_start",
+        )
+    )
 
 
 def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1341,19 +1395,32 @@ ORDER BY doc_id LIMIT 50
                 "documents", _offset_queries(500), k=TOP_K, text_col="text",
                 require_all=True,
             )
+            # prefix (wildcard) retrieval: capped dictionary expansion
+            + ") UNION ALL SELECT * FROM ("
+            + prefix.prefix_topk_sql(
+                "documents", PREFIX_SET, k=TOP_K, text_col="text",
+            )
             + ")"
         ),
         "phrase_topk": (
-            "SELECT * FROM ("
+            "SELECT phrase_id, rank, doc_id, matches,"
+            " CAST(NULL AS BIGINT) AS snippet_start FROM ("
             + phrase.phrase_topk_sql(
                 "documents", PHRASE_SET, k=TOP_K, text_col="text")
-            + ") UNION ALL SELECT * FROM ("
+            + ") UNION ALL SELECT phrase_id, rank, doc_id, matches,"
+            " CAST(NULL AS BIGINT) AS snippet_start FROM ("
             + phrase.proximity_topk_sql(
                 "documents", PROXIMITY_SET, slop=PROXIMITY_SLOP,
                 k=TOP_K, text_col="text")
-            + ") UNION ALL SELECT * FROM ("
+            + ") UNION ALL SELECT phrase_id, rank, doc_id, matches,"
+            " CAST(NULL AS BIGINT) AS snippet_start FROM ("
             + phrase.ordered_proximity_topk_sql(
                 "documents", ORDERED_PROXIMITY_SET, slop=PROXIMITY_SLOP,
+                k=TOP_K, text_col="text")
+            + ") UNION ALL SELECT query_id AS phrase_id, rank, doc_id,"
+            " covered AS matches, snippet_start FROM ("
+            + snippet.snippet_topk_sql(
+                "documents", SNIPPET_SET, window=SNIPPET_WINDOW,
                 k=TOP_K, text_col="text")
             + ")"
         ),

@@ -324,6 +324,7 @@ def bm25_topk_sql(
     id_col: str = "doc_id",
     candidate_filter_sql: str | None = None,
     require_all: bool = False,
+    neg_queries_values: list[tuple[int, str]] | None = None,
 ) -> str:
     """DuckDB oracle SQL computing exactly :func:`bm25_topk`.
 
@@ -332,18 +333,39 @@ def bm25_topk_sql(
     ``require_all`` mirrors the boolean-AND mode: scored rows keep only
     (query, doc) groups whose matched-term count equals the query's
     distinct-term count.
+    ``neg_queries_values`` mirrors MUST_NOT: a (query, doc) is dropped
+    when the doc contains ANY of that query's prohibited terms
+    (tokenized identically to the positive side).
     """
     vals = ", ".join(
         "({}, '{}')".format(qid, text.replace("'", "''"))
         for qid, text in queries_values
     )
     conds = []
+    neg_ctes = ""
     if candidate_filter_sql:
         conds.append(f"doc_id IN ({candidate_filter_sql})")
     if require_all:
         conds.append(
             "matched = (SELECT count(*) FROM qt "
             "WHERE qt.query_id = scored.query_id)"
+        )
+    if neg_queries_values:
+        nvals = ", ".join(
+            "({}, '{}')".format(qid, text.replace("'", "''"))
+            for qid, text in neg_queries_values
+        )
+        neg_ctes = f""",
+nq(query_id, query_text) AS (VALUES {nvals}),
+nqt AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, unnest({sql_tokens_expr('query_text')}) AS term
+        FROM nq)
+)"""
+        conds.append(
+            "NOT EXISTS (SELECT 1 FROM nqt JOIN tf ntf USING (term) "
+            "WHERE nqt.query_id = scored.query_id "
+            "AND ntf.doc_id = scored.doc_id)"
         )
     filt = ("WHERE " + " AND ".join(conds)) if conds else ""
     return f"""
@@ -363,7 +385,7 @@ qtok AS (SELECT query_id, {sql_tokens_expr('query_text')} AS tokens FROM q),
 qt AS (
   SELECT DISTINCT query_id, term
   FROM (SELECT query_id, unnest(tokens) AS term FROM qtok)
-),
+){neg_ctes},
 scored AS (
   SELECT qt.query_id, tf.doc_id,
          sum(

@@ -1,0 +1,266 @@
+"""Multi-term (dictionary-expansion) queries: prefix (``merg*``) and
+fuzzy (``hashe~1``) expand against the term dictionary and retrieve
+disjunctively over the expansion.
+
+The Lucene MultiTermQuery-rewrite analog for this engine: the expansion
+is a pure term-dictionary scan (term_stats — tiny next to postings),
+capped at ``max_expansions`` terms per (query, pattern) under a pinned,
+engine-independent order (prefix: ascending term; fuzzy: ascending
+(edit distance, term) — Lucene's default rewrites cap similarly but by
+an internal order; ours is deterministic so the DuckDB twin can
+reproduce it exactly).  The expanded (query_id, term) set then drives
+the UNCHANGED block-max WAND machinery via ``qt_override`` — scoring is
+the plain BM25 sum over matched expanded terms, each with its own idf.
+
+Scale shape: term_stats is orders of magnitude smaller than segments
+(one row per distinct term); the prefix probe broadcasts the tiny
+pattern table into a join against it (a dictionary scan, not a postings
+scan — fuzzy even gets a HASH join on the shared first-``prefix_len``
+key plus a length-difference prune before any edit-distance is
+computed, both JVM-side); the capped expansion flows into the same
+In() pushdown → broadcast join → per-block kernel pipeline as
+hand-written queries.
+
+Reference parity: the reference has no lexical index at all;
+prefix/fuzzy search is part of this engine's fulltext surface
+(SURVEY.md §2.5 graft core) alongside phrase/proximity/conjunctive
+retrieval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from instructor_embedding_spark.index.build import IndexHandle
+from instructor_embedding_spark.query.bm25 import K1, B, SCORE_DECIMALS
+from instructor_embedding_spark.functions.tokenize import sql_tokens_expr
+
+DEFAULT_MAX_EXPANSIONS = 64
+
+
+def expand_prefixes(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    prefixes: list[tuple[int, str]],
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> DataFrame:
+    """(query_id, term): every dictionary term starting with the query's
+    prefix, capped at ``max_expansions`` per (query, prefix) in ascending
+    term order, distinct per query (a term matched by two of a query's
+    prefixes scores once)."""
+    pt = spark.createDataFrame(prefixes, "query_id long, prefix string")
+    w = Window.partitionBy("query_id", "prefix").orderBy("term")
+    return (
+        term_stats.select("term")
+        .join(F.broadcast(pt), F.col("term").startswith(F.col("prefix")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_expansions)
+        .select("query_id", "term")
+        .distinct()
+    )
+
+
+def prefix_topk(
+    spark: SparkSession,
+    handle: IndexHandle,
+    prefixes: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    **kwargs,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — BM25 top-k where each query is a
+    list of (query_id, prefix) rows (a query may carry several prefixes);
+    rank-identical to :func:`prefix_topk_sql`."""
+    from instructor_embedding_spark.query.wand import wand_topk
+
+    qt = expand_prefixes(spark, handle.term_stats(spark), prefixes,
+                         max_expansions)
+    return wand_topk(spark, handle, queries=None, k=k, qt_override=qt,
+                     **kwargs)
+
+
+def _vals(pairs: list[tuple[int, str]]) -> str:
+    return ", ".join(
+        "({}, '{}')".format(qid, p.replace("'", "''")) for qid, p in pairs
+    )
+
+
+def _expansion_bm25_sql(
+    table: str,
+    expansion_ctes: str,
+    k: int,
+    text_col: str,
+    id_col: str,
+) -> str:
+    """Shared DuckDB BM25 body over a caller-supplied expansion:
+    ``expansion_ctes`` must define CTEs ending in ``qt(query_id, term)``
+    (it may reference the ``df`` dictionary CTE); ranking/rounding/
+    tie-break are identical to every other retrieval twin."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {sql_tokens_expr(text_col)} AS tokens FROM {table}
+),
+dl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+{expansion_ctes},
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM qt
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id,
+         round(score_raw, {SCORE_DECIMALS}) AS score
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+def prefix_topk_sql(
+    table: str,
+    prefixes: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> str:
+    """DuckDB oracle: same expansion rule (per-(query, prefix) ascending
+    term cap, distinct per query) over a first-principles df dictionary,
+    then the standard BM25 ranking."""
+    ctes = f"""qp(query_id, prefix) AS (VALUES {_vals(prefixes)}),
+expanded AS (
+  SELECT query_id, term,
+         row_number() OVER (
+           PARTITION BY query_id, prefix ORDER BY term
+         ) AS rn
+  FROM qp JOIN df ON df.term LIKE prefix || '%'
+),
+qt AS (
+  SELECT DISTINCT query_id, term FROM expanded WHERE rn <= {max_expansions}
+)"""
+    return _expansion_bm25_sql(table, ctes, k, text_col, id_col)
+
+
+# ------------------------------------------------------------------ fuzzy
+
+DEFAULT_MAX_EDITS = 1
+DEFAULT_PREFIX_LEN = 1
+
+
+def expand_fuzzy(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    queries: list[tuple[int, str]],
+    max_edits: int = DEFAULT_MAX_EDITS,
+    prefix_len: int = DEFAULT_PREFIX_LEN,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> DataFrame:
+    """(query_id, term): every dictionary term within ``max_edits``
+    Levenshtein edits of the query term AND sharing its first
+    ``prefix_len`` characters (the Lucene FuzzyQuery prefixLength guard —
+    here also the join key: Catalyst plans an equi hash join on the
+    shared prefix, then prunes by length difference before the edit-
+    distance kernel runs, all JVM-side).  Capped at ``max_expansions``
+    per (query, qterm) in ascending (distance, term) order — nearest
+    variants survive the cap first — distinct per query.
+
+    ASCII contract: Spark's ``levenshtein`` counts UTF-16 code units,
+    DuckDB's counts utf8proc graphemes; identical for ASCII-ish text
+    (the tokenizer's output alphabet), same caveat as fuzzy.py's
+    LCS-ratio twin."""
+    qt = spark.createDataFrame(queries, "query_id long, qterm string")
+    w = Window.partitionBy("query_id", "qterm").orderBy("dist", "term")
+    return (
+        term_stats.select("term")
+        .join(
+            F.broadcast(qt),
+            F.substring("term", 1, prefix_len)
+            == F.substring("qterm", 1, prefix_len),
+        )
+        .filter(F.abs(F.length("term") - F.length("qterm")) <= max_edits)
+        # threshold form: returns -1 when distance exceeds max_edits and
+        # bails out of the DP early — the dictionary-scan fast path
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.col("qterm"), max_edits)
+        )
+        .filter(F.col("dist") >= 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_expansions)
+        .select("query_id", "term")
+        .distinct()
+    )
+
+
+def fuzzy_topk(
+    spark: SparkSession,
+    handle: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_edits: int = DEFAULT_MAX_EDITS,
+    prefix_len: int = DEFAULT_PREFIX_LEN,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    **kwargs,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — BM25 top-k where each query is a
+    (query_id, term) row retrieved through its fuzzy expansion;
+    rank-identical to :func:`fuzzy_topk_sql`."""
+    from instructor_embedding_spark.query.wand import wand_topk
+
+    qt = expand_fuzzy(spark, handle.term_stats(spark), queries, max_edits,
+                      prefix_len, max_expansions)
+    return wand_topk(spark, handle, queries=None, k=k, qt_override=qt,
+                     **kwargs)
+
+
+def fuzzy_topk_sql(
+    table: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_edits: int = DEFAULT_MAX_EDITS,
+    prefix_len: int = DEFAULT_PREFIX_LEN,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> str:
+    """DuckDB oracle: same expansion rule (shared first-``prefix_len``
+    chars, length-difference prune, levenshtein <= max_edits, per-(query,
+    qterm) (distance, term) cap, distinct per query) over a first-
+    principles df dictionary, then the standard BM25 ranking."""
+    ctes = f"""qp(query_id, qterm) AS (VALUES {_vals(queries)}),
+expanded AS (
+  SELECT query_id, term,
+         row_number() OVER (
+           PARTITION BY query_id, qterm
+           ORDER BY levenshtein(df.term, qterm), term
+         ) AS rn
+  FROM qp JOIN df
+    ON substr(df.term, 1, {prefix_len}) = substr(qterm, 1, {prefix_len})
+   AND abs(length(df.term) - length(qterm)) <= {max_edits}
+   AND levenshtein(df.term, qterm) <= {max_edits}
+),
+qt AS (
+  SELECT DISTINCT query_id, term FROM expanded WHERE rn <= {max_expansions}
+)"""
+    return _expansion_bm25_sql(table, ctes, k, text_col, id_col)

@@ -65,7 +65,8 @@ _EMPTY_STATS = pd.DataFrame(
 
 def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                  filtered: bool = False, stats: bool = False,
-                 deny: bool = False, require_all: bool = False):
+                 deny: bool = False, require_all: bool = False,
+                 boolean_not: bool = False):
     """applyInPandas kernel for one (query_id, doc_block) group.
 
     With ``filtered`` the group carries an ``allowed_bin`` varint-delta
@@ -90,6 +91,17 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
     missing from the whole block), and the disjunctive sub-block upper
     bound remains a true bound for the conjunctive subset.
 
+    With ``boolean_not`` (MUST_NOT, Lucene BooleanQuery prohibited
+    clauses) the group MAY carry rows flagged ``neg`` — postings of the
+    query's prohibited terms, shipped into the same group by the
+    ordinary term join.  Every doc in a flagged row's postings is
+    excluded by the same pre-θ mask as the deny-list, and flagged rows
+    are dropped BEFORE the upper-bound sums, so block-max pruning never
+    counts prohibited impact.  A term that is both required and
+    prohibited for one query excludes all its docs (the prohibited
+    clause wins, standard boolean semantics); its leftover sub_max
+    contribution only loosens bounds, never breaks them.
+
     With ``stats`` the kernel does the SAME scoring/pruning work but
     emits one (query_id, doc_block, sub_total, sub_scored) row instead of
     candidates — the observability surface for how much the block-max
@@ -112,6 +124,18 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                 denied = np.cumsum(
                     varint_decode(dbin), dtype=np.uint64
                 ).astype(np.int64)
+        if boolean_not:
+            neg_rows = pdf[pdf["neg"]]
+            pdf = pdf[~pdf["neg"]]
+            if len(neg_rows):
+                ex_parts = [denied] if denied is not None else []
+                for _, row in neg_rows.iterrows():
+                    nd, _ = decode_postings(row["doc_bytes"],
+                                            row["tf_bytes"])
+                    ex_parts.append(nd.astype(np.int64))
+                denied = np.unique(np.concatenate(ex_parts))
+            if not len(pdf):
+                return _EMPTY_STATS if stats else _EMPTY
 
         n_terms = 0
         if require_all:
@@ -325,6 +349,8 @@ def _grouped_hits(
     pushdown_max_qt_rows: int | None = None,
     deny_filter: DataFrame | None = None,
     require_all: bool = False,
+    qt_override: DataFrame | None = None,
+    neg_queries: DataFrame | None = None,
 ) -> DataFrame | None:
     """Shared scatter construction for the scoring and stats kernels:
     tokenized query terms joined against the segment scan and packed doc
@@ -369,7 +395,24 @@ def _grouped_hits(
     # tokenizer.  A limit(0) probe would collect [] even for non-empty
     # queries and silently drop all results — the clamp above plus
     # limit(max+1) >= 1 guarantee the emptiness test is meaningful.
-    qt = query_terms(queries, p.use_pandas_udf_tokenizer).persist()
+    # ``qt_override`` bypasses query tokenization entirely — the caller
+    # supplies the (query_id, term) table directly (prefix/wildcard
+    # expansion, query/prefix.py); everything downstream is identical.
+    # ``neg_queries`` (MUST_NOT) tokenizes through the same path and
+    # unions in flagged rows: the prohibited terms' postings must reach
+    # the kernel group to build its exclusion set, so they ride the
+    # ordinary term join (and the same In() pushdown) with neg=true.
+    qt = (
+        qt_override if qt_override is not None
+        else query_terms(queries, p.use_pandas_udf_tokenizer)
+    )
+    boolean_not = neg_queries is not None
+    if boolean_not:
+        qt = qt.withColumn("neg", F.lit(False)).unionByName(
+            query_terms(neg_queries, p.use_pandas_udf_tokenizer)
+            .withColumn("neg", F.lit(True))
+        )
+    qt = qt.persist()
     try:
         probe = (
             qt.select("term").distinct().limit(max_terms + 1).collect()
@@ -380,6 +423,8 @@ def _grouped_hits(
             "term", "doc_block", "idf", "doc_bytes", "tf_bytes",
             "sub_offsets", "sub_max",
         )
+        qt_schema = ("query_id long, term string, neg boolean"
+                     if boolean_not else "query_id long, term string")
         if len(probe) <= max_terms:
             # pushdown path: probe holds the FULL distinct term set
             term_list = sorted(r["term"] for r in probe)
@@ -387,10 +432,8 @@ def _grouped_hits(
             if qt.limit(max_qt_rows + 1).count() <= max_qt_rows:
                 # bounded row set: inline it as a LocalRelation so the
                 # join broadcasts without a shuffle or a size estimate
-                qt_rows = [(r["query_id"], r["term"]) for r in qt.collect()]
-                local_qt = spark.createDataFrame(
-                    qt_rows, "query_id long, term string"
-                )
+                qt_rows = [tuple(r) for r in qt.collect()]
+                local_qt = spark.createDataFrame(qt_rows, qt_schema)
                 hits = pruned.join(F.broadcast(local_qt), "term")
             else:
                 # distinct terms fit the In() predicate but the
@@ -432,7 +475,8 @@ def _grouped_hits(
         # unpersisted above, so this tiny aggregate re-tokenizes the query
         # batch once (same documented trade-off as the join path)
         nt = (
-            query_terms(queries, p.use_pandas_udf_tokenizer)
+            (qt_override if qt_override is not None
+             else query_terms(queries, p.use_pandas_udf_tokenizer))
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n_terms"))
         )
@@ -483,6 +527,8 @@ def wand_topk(
     pushdown_max_qt_rows: int | None = None,
     deny_filter: DataFrame | None = None,
     require_all: bool = False,
+    qt_override: DataFrame | None = None,
+    neg_queries: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to the oracle.
 
@@ -490,6 +536,18 @@ def wand_topk(
     docs containing EVERY query term rank, same BM25 scoring — blocks
     missing any query term are skipped before decode (the strongest prune
     in the conjunctive path).
+
+    ``qt_override`` replaces query tokenization with a caller-supplied
+    distinct (query_id, term) table (prefix expansion etc.); ``queries``
+    is ignored when it is given.
+
+    ``neg_queries`` (query_id, query_text) adds MUST_NOT clauses: a doc
+    containing ANY of a query's prohibited terms never ranks for that
+    query, scoring over the positive terms is otherwise unchanged (Lucene
+    BooleanQuery prohibited-clause semantics).  Prohibited terms' postings
+    ship into the kernel groups through the same pruned term join and
+    build a per-block exclusion mask applied before every θ update, so
+    block-max pruning stays exact.
 
     ``doc_filter`` (a DataFrame with a doc_id column) restricts results to
     that whitelist — filtered retrieval with GLOBAL corpus statistics
@@ -505,7 +563,8 @@ def wand_topk(
     p = handle.params
     grouped = _grouped_hits(spark, handle, queries, doc_filter, segments,
                             doc_lens, pushdown_max_terms,
-                            pushdown_max_qt_rows, deny_filter, require_all)
+                            pushdown_max_qt_rows, deny_filter, require_all,
+                            qt_override, neg_queries)
     if grouped is None:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"
@@ -514,7 +573,8 @@ def wand_topk(
     kernel = _wand_kernel(k, p.k1, p.b, handle.avgdl, p.doc_block_span,
                           filtered=doc_filter is not None,
                           deny=deny_filter is not None,
-                          require_all=require_all)
+                          require_all=require_all,
+                          boolean_not=neg_queries is not None)
     candidates = grouped.groupBy("query_id", "doc_block").applyInPandas(
         kernel, schema=WAND_SCHEMA
     )
