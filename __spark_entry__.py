@@ -122,6 +122,35 @@ PREFIX_SET: list[tuple[int, str]] = [
     (604, "jo"),
 ]
 
+#: fuzzy-query fixture (ids 701+): per-row (query_id, qterm) like the
+#: prefix set — 701 a one-edit typo of a dictionary term, 702 an exact
+#: term (the distance-0 self plus its 1-edit neighborhood all expand),
+#: 703 nothing within one edit, 704 a TWO-term fuzzy query whose
+#: expansions may overlap (shared terms must score once).
+FUZZY_SET: list[tuple[int, str]] = [
+    (701, "merg"),
+    (702, "hash"),
+    (703, "zzqqxv"),
+    (704, "batch"),
+    (704, "sortt"),
+]
+
+#: MUST_NOT fixture (ids 801+): positive query + per-query prohibited
+#: terms.  801 prunes a real co-occurring term, 802's prohibition never
+#: matches (ranking must equal the plain query), 803 prohibits one of
+#: its OWN required terms — boolean semantics say the prohibition wins,
+#: so only docs matching "key" but not "batch" may rank.
+NOT_POS_SET: list[tuple[int, str]] = [
+    (801, "merge sort"),
+    (802, "hash join"),
+    (803, "batch key"),
+]
+NOT_NEG_SET: list[tuple[int, str]] = [
+    (801, "hash"),
+    (802, "zzqqx"),
+    (803, "batch"),
+]
+
 
 def _offset_queries(offset: int) -> list[tuple[int, str]]:
     return [(qid + offset, text) for qid, text in DRIVER_QUERY_SET]
@@ -171,7 +200,11 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
       only docs containing EVERY query term rank (require_all);
     - ids 601+: prefix (wildcard) retrieval — dictionary expansion capped
       per (query, prefix) in ascending term order, disjunctive BM25 over
-      the expansion (query/prefix.py)."""
+      the expansion (query/prefix.py);
+    - ids 701+: fuzzy (edit-distance ≤ 1) retrieval — same dictionary-
+      expansion pipeline, (distance, term)-capped (query/prefix.py);
+    - ids 801+: MUST_NOT (prohibited clauses) — docs containing any
+      prohibited term excluded inside the WAND kernel's pre-θ mask."""
     handle = _tombstoned_index_for(spark, sf_dir)
     doc_filter = _docs(spark, sf_dir).filter(F.col("lang") == "zh").select(
         "doc_id"
@@ -192,9 +225,18 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         require_all=True,
     )
     pfx = prefix.prefix_topk(spark, handle, PREFIX_SET, k=TOP_K)
+    fz = prefix.fuzzy_topk(spark, handle, FUZZY_SET, k=TOP_K)
+    neg = wand.wand_topk(
+        spark, handle,
+        spark.createDataFrame(NOT_POS_SET, "query_id long, query_text string"),
+        k=TOP_K,
+        neg_queries=spark.createDataFrame(
+            NOT_NEG_SET, "query_id long, query_text string"
+        ),
+    )
     return (
         base.unionByName(live).unionByName(fresh).unionByName(conj)
-        .unionByName(pfx)
+        .unionByName(pfx).unionByName(fz).unionByName(neg)
     )
 
 
@@ -1399,6 +1441,17 @@ ORDER BY doc_id LIMIT 50
             + ") UNION ALL SELECT * FROM ("
             + prefix.prefix_topk_sql(
                 "documents", PREFIX_SET, k=TOP_K, text_col="text",
+            )
+            # fuzzy retrieval: (distance, term)-capped expansion
+            + ") UNION ALL SELECT * FROM ("
+            + prefix.fuzzy_topk_sql(
+                "documents", FUZZY_SET, k=TOP_K, text_col="text",
+            )
+            # MUST_NOT: drop (query, doc) on any prohibited-term hit
+            + ") UNION ALL SELECT * FROM ("
+            + bm25.bm25_topk_sql(
+                "documents", NOT_POS_SET, k=TOP_K, text_col="text",
+                neg_queries_values=NOT_NEG_SET,
             )
             + ")"
         ),
