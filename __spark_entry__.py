@@ -151,6 +151,13 @@ NOT_NEG_SET: list[tuple[int, str]] = [
     (803, "batch"),
 ]
 
+#: minimum_should_match floor for the msm fixture (ids 901+): reuses the
+#: standard query set, so msm=2 is strictly between OR and AND on the
+#: 3-term queries, equals require_all on the 2-term ones, and returns
+#: nothing for the all-stopword (0-term) and duplicate-term (1 distinct
+#: term) edge queries.
+MSM_FLOOR = 2
+
 
 def _offset_queries(offset: int) -> list[tuple[int, str]]:
     return [(qid + offset, text) for qid, text in DRIVER_QUERY_SET]
@@ -204,7 +211,9 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ids 701+: fuzzy (edit-distance ≤ 1) retrieval — same dictionary-
       expansion pipeline, (distance, term)-capped (query/prefix.py);
     - ids 801+: MUST_NOT (prohibited clauses) — docs containing any
-      prohibited term excluded inside the WAND kernel's pre-θ mask."""
+      prohibited term excluded inside the WAND kernel's pre-θ mask;
+    - ids 901+: minimum_should_match=2 (Lucene BooleanQuery msm) — only
+      docs matching ≥2 DISTINCT query terms rank, scores unchanged."""
     handle = _tombstoned_index_for(spark, sf_dir)
     doc_filter = _docs(spark, sf_dir).filter(F.col("lang") == "zh").select(
         "doc_id"
@@ -234,9 +243,14 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             NOT_NEG_SET, "query_id long, query_text string"
         ),
     )
+    msm = wand.wand_topk(
+        spark, handle, _offset_queries_df(spark, 900), k=TOP_K,
+        min_should_match=MSM_FLOOR,
+    )
     return (
         base.unionByName(live).unionByName(fresh).unionByName(conj)
         .unionByName(pfx).unionByName(fz).unionByName(neg)
+        .unionByName(msm)
     )
 
 
@@ -1452,6 +1466,12 @@ ORDER BY doc_id LIMIT 50
             + bm25.bm25_topk_sql(
                 "documents", NOT_POS_SET, k=TOP_K, text_col="text",
                 neg_queries_values=NOT_NEG_SET,
+            )
+            # minimum_should_match: >= MSM_FLOOR distinct terms per doc
+            + ") UNION ALL SELECT * FROM ("
+            + bm25.bm25_topk_sql(
+                "documents", _offset_queries(900), k=TOP_K, text_col="text",
+                min_should_match=MSM_FLOOR,
             )
             + ")"
         ),

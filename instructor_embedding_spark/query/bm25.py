@@ -117,6 +117,7 @@ def bm25_topk(
     use_pandas_udf: bool = False,
     doc_filter: DataFrame | None = None,
     require_all: bool = False,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """End-to-end brute-force BM25 top-k: (query_id, rank, doc_id, score).
 
@@ -149,6 +150,10 @@ def bm25_topk(
         scored = scored.join(F.broadcast(nt), "query_id").filter(
             F.col("matched") == F.col("n_terms")
         )
+    elif min_should_match is not None and min_should_match > 1:
+        # Lucene BooleanQuery minimum_should_match: at least this many
+        # DISTINCT query terms per (query, doc); msm=1 is plain OR
+        scored = scored.filter(F.col("matched") >= min_should_match)
     if doc_filter is not None:
         # filtered retrieval: predicate narrows candidates AFTER scoring
         # with global stats (pinned semantics, matches the WAND engine)
@@ -325,6 +330,7 @@ def bm25_topk_sql(
     candidate_filter_sql: str | None = None,
     require_all: bool = False,
     neg_queries_values: list[tuple[int, str]] | None = None,
+    min_should_match: int | None = None,
 ) -> str:
     """DuckDB oracle SQL computing exactly :func:`bm25_topk`.
 
@@ -350,6 +356,8 @@ def bm25_topk_sql(
             "matched = (SELECT count(*) FROM qt "
             "WHERE qt.query_id = scored.query_id)"
         )
+    elif min_should_match is not None and min_should_match > 1:
+        conds.append(f"matched >= {int(min_should_match)}")
     if neg_queries_values:
         nvals = ", ".join(
             "({}, '{}')".format(qid, text.replace("'", "''"))

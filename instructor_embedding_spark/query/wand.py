@@ -66,7 +66,8 @@ _EMPTY_STATS = pd.DataFrame(
 def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                  filtered: bool = False, stats: bool = False,
                  deny: bool = False, require_all: bool = False,
-                 boolean_not: bool = False):
+                 boolean_not: bool = False,
+                 min_match: int | None = None):
     """applyInPandas kernel for one (query_id, doc_block) group.
 
     With ``filtered`` the group carries an ``allowed_bin`` varint-delta
@@ -137,13 +138,19 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
             if not len(pdf):
                 return _EMPTY_STATS if stats else _EMPTY
 
-        n_terms = 0
+        # ``need``: the per-doc distinct-matched-term floor.  require_all
+        # reads the query's term count from the shipped n_terms column;
+        # minimum_should_match is a batch-wide literal (Lucene's
+        # BooleanQuery msm generalizes both: msm=1 is plain OR, msm=n is
+        # AND).  Either way, a block holding fewer distinct query-term
+        # rows than the floor can't contain a match — skip before decode.
+        need = 0
         if require_all:
-            n_terms = int(pdf["n_terms"].iloc[0])
-            if len(pdf) < n_terms:
-                # some query term has NO postings in this block — no doc
-                # here can match conjunctively; skip all decode/scoring
-                return _EMPTY_STATS if stats else _EMPTY
+            need = int(pdf["n_terms"].iloc[0])
+        elif min_match is not None:
+            need = min_match
+        if need and len(pdf) < need:
+            return _EMPTY_STATS if stats else _EMPTY
 
         # Decode the block's packed doc lengths once.
         dl_doc_ids = np.cumsum(
@@ -187,7 +194,9 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                 break
             n_scored += 1
             scores = np.zeros(sub_span, dtype=np.float64)
-            counts = np.zeros(sub_span, dtype=np.int64) if require_all \
+            # need <= 1 is plain OR: every scored doc matched >= 1 term
+            # (idf > 0 always), so the count pass would filter nothing
+            counts = np.zeros(sub_span, dtype=np.int64) if need > 1 \
                 else None
             sub_base = base + j * sub_span
             touched = False
@@ -212,9 +221,9 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                 continue
             nz = np.flatnonzero(scores)
             if counts is not None:
-                # conjunctive: a doc lives in exactly one sub-block, so
-                # its in-sub-block matched-term count is its global one
-                nz = nz[counts[nz] == n_terms]
+                # a doc lives in exactly one sub-block, so its
+                # in-sub-block matched-term count is its global one
+                nz = nz[counts[nz] >= need]
             if nz.size == 0:
                 continue
             docs_here = nz.astype(np.int64) + sub_base
@@ -529,6 +538,7 @@ def wand_topk(
     require_all: bool = False,
     qt_override: DataFrame | None = None,
     neg_queries: DataFrame | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to the oracle.
 
@@ -536,6 +546,13 @@ def wand_topk(
     docs containing EVERY query term rank, same BM25 scoring — blocks
     missing any query term are skipped before decode (the strongest prune
     in the conjunctive path).
+
+    ``min_should_match`` (Lucene BooleanQuery msm) keeps only docs
+    matching at least that many DISTINCT query terms — msm=1 is plain OR,
+    msm = the query's term count is ``require_all``; blocks carrying
+    fewer distinct query-term rows than the floor skip before decode.
+    Mutually exclusive with ``require_all`` (which reads the floor
+    per-query instead of batch-wide).
 
     ``qt_override`` replaces query tokenization with a caller-supplied
     distinct (query_id, term) table (prefix expansion etc.); ``queries``
@@ -560,6 +577,13 @@ def wand_topk(
     semantics: deleted docs leave results immediately, df/avgdl refresh at
     compaction).  Unlike the whitelist it LEFT-joins, so untouched blocks
     pay nothing."""
+    if min_should_match is not None:
+        if require_all:
+            raise ValueError(
+                "min_should_match and require_all are mutually exclusive"
+            )
+        if min_should_match < 1:
+            raise ValueError("min_should_match must be >= 1")
     p = handle.params
     grouped = _grouped_hits(spark, handle, queries, doc_filter, segments,
                             doc_lens, pushdown_max_terms,
@@ -574,7 +598,8 @@ def wand_topk(
                           filtered=doc_filter is not None,
                           deny=deny_filter is not None,
                           require_all=require_all,
-                          boolean_not=neg_queries is not None)
+                          boolean_not=neg_queries is not None,
+                          min_match=min_should_match)
     candidates = grouped.groupBy("query_id", "doc_block").applyInPandas(
         kernel, schema=WAND_SCHEMA
     )
