@@ -158,6 +158,21 @@ NOT_NEG_SET: list[tuple[int, str]] = [
 #: term) edge queries.
 MSM_FLOOR = 2
 
+#: per-term boost fixture (ids 1001+, Lucene ``term^boost``): 1001
+#: boosts a real term up 3×, 1002 damps one to 0.25×, 1003 boosts a term
+#: its query does NOT contain (must be a no-op — the join is FROM the
+#: query-term side).
+BOOST_QUERY_SET: list[tuple[int, str]] = [
+    (1001, "window merge sort"),
+    (1002, "fast hash join"),
+    (1003, "customer filter"),
+]
+BOOST_SET: list[tuple[int, str, float]] = [
+    (1001, "sort", 3.0),
+    (1002, "join", 0.25),
+    (1003, "zzqqx", 5.0),
+]
+
 
 def _offset_queries(offset: int) -> list[tuple[int, str]]:
     return [(qid + offset, text) for qid, text in DRIVER_QUERY_SET]
@@ -213,7 +228,10 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ids 801+: MUST_NOT (prohibited clauses) — docs containing any
       prohibited term excluded inside the WAND kernel's pre-θ mask;
     - ids 901+: minimum_should_match=2 (Lucene BooleanQuery msm) — only
-      docs matching ≥2 DISTINCT query terms rank, scores unchanged."""
+      docs matching ≥2 DISTINCT query terms rank, scores unchanged;
+    - ids 1001+: per-term query boost (``term^boost``) — listed terms'
+      contributions scale by the boost, block-max bounds scale with
+      them, matching unchanged."""
     handle = _tombstoned_index_for(spark, sf_dir)
     doc_filter = _docs(spark, sf_dir).filter(F.col("lang") == "zh").select(
         "doc_id"
@@ -247,10 +265,20 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, handle, _offset_queries_df(spark, 900), k=TOP_K,
         min_should_match=MSM_FLOOR,
     )
+    bst = wand.wand_topk(
+        spark, handle,
+        spark.createDataFrame(
+            BOOST_QUERY_SET, "query_id long, query_text string"
+        ),
+        k=TOP_K,
+        term_boosts=spark.createDataFrame(
+            BOOST_SET, "query_id long, term string, boost double"
+        ),
+    )
     return (
         base.unionByName(live).unionByName(fresh).unionByName(conj)
         .unionByName(pfx).unionByName(fz).unionByName(neg)
-        .unionByName(msm)
+        .unionByName(msm).unionByName(bst)
     )
 
 
@@ -1472,6 +1500,12 @@ ORDER BY doc_id LIMIT 50
             + bm25.bm25_topk_sql(
                 "documents", _offset_queries(900), k=TOP_K, text_col="text",
                 min_should_match=MSM_FLOOR,
+            )
+            # per-term boost: listed terms' contributions scale
+            + ") UNION ALL SELECT * FROM ("
+            + bm25.bm25_topk_sql(
+                "documents", BOOST_QUERY_SET, k=TOP_K, text_col="text",
+                boosts_values=BOOST_SET,
             )
             + ")"
         ),

@@ -118,6 +118,7 @@ def bm25_topk(
     doc_filter: DataFrame | None = None,
     require_all: bool = False,
     min_should_match: int | None = None,
+    term_boosts: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end brute-force BM25 top-k: (query_id, rank, doc_id, score).
 
@@ -130,6 +131,14 @@ def bm25_topk(
     the same BM25 sum.  tf is unique per (doc, term) and qt is distinct
     per (query, term), so the per-(query, doc) row count IS the matched
     distinct-term count — no extra distinct pass.
+
+    ``term_boosts`` is a (query_id, term, boost) table of query-time
+    per-term boosts (Lucene ``term^boost``): each listed term's score
+    contribution is multiplied by its boost; unlisted (query, term)
+    pairs default to 1.0, and boosts for terms the query doesn't contain
+    are ignored (the join is FROM the query-term side).  Boosts must be
+    > 0 — matching is unchanged (a boosted term still counts once toward
+    ``matched``), only the score scales.
     """
     toks = tokenized(docs, text_col, id_col, use_pandas_udf)
     stats = corpus_stats(toks)
@@ -138,6 +147,15 @@ def bm25_topk(
     qt = query_terms(queries, use_pandas_udf)
 
     contrib = bm25_score_col(F.col("tf"), F.col("dl"), F.col("idf"), stats.avgdl)
+    if term_boosts is not None:
+        qt = qt.join(
+            term_boosts.select(
+                "query_id", "term", F.col("boost").cast("double").alias("boost")
+            ),
+            ["query_id", "term"],
+            "left",
+        ).withColumn("boost", F.coalesce(F.col("boost"), F.lit(1.0)))
+        contrib = contrib * F.col("boost")
     scored = (
         tf.join(ts.select("term", "idf"), "term")
         .join(F.broadcast(qt), "term")
@@ -331,6 +349,7 @@ def bm25_topk_sql(
     require_all: bool = False,
     neg_queries_values: list[tuple[int, str]] | None = None,
     min_should_match: int | None = None,
+    boosts_values: list[tuple[int, str, float]] | None = None,
 ) -> str:
     """DuckDB oracle SQL computing exactly :func:`bm25_topk`.
 
@@ -342,6 +361,8 @@ def bm25_topk_sql(
     ``neg_queries_values`` mirrors MUST_NOT: a (query, doc) is dropped
     when the doc contains ANY of that query's prohibited terms
     (tokenized identically to the positive side).
+    ``boosts_values`` mirrors ``term_boosts``: (query_id, term, boost)
+    triples LEFT-joined onto the query-term table, defaulting to 1.0.
     """
     vals = ", ".join(
         "({}, '{}')".format(qid, text.replace("'", "''"))
@@ -376,6 +397,16 @@ nqt AS (
             "AND ntf.doc_id = scored.doc_id)"
         )
     filt = ("WHERE " + " AND ".join(conds)) if conds else ""
+    boost_cte, boost_join, boost_factor = "", "", ""
+    if boosts_values:
+        bvals = ", ".join(
+            "({}, '{}', {!r})".format(qid, term.replace("'", "''"), float(b))
+            for qid, term, b in boosts_values
+        )
+        boost_cte = f",\nqb(query_id, term, boost) AS (VALUES {bvals})"
+        boost_join = ("  LEFT JOIN qb ON qb.query_id = qt.query_id "
+                      "AND qb.term = qt.term\n")
+        boost_factor = "\n           * coalesce(qb.boost, 1.0)"
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id, {sql_tokens_expr(text_col)} AS tokens FROM {table}
@@ -393,20 +424,20 @@ qtok AS (SELECT query_id, {sql_tokens_expr('query_text')} AS tokens FROM q),
 qt AS (
   SELECT DISTINCT query_id, term
   FROM (SELECT query_id, unnest(tokens) AS term FROM qtok)
-){neg_ctes},
+){neg_ctes}{boost_cte},
 scored AS (
   SELECT qt.query_id, tf.doc_id,
          sum(
            ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
            * tf.tf * ({K1} + 1.0)
-           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)){boost_factor}
          ) AS score_raw,
          count(*) AS matched
   FROM qt
   JOIN tf USING (term)
   JOIN df USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN stats
+{boost_join}  CROSS JOIN stats
   GROUP BY qt.query_id, tf.doc_id
 ),
 ranked AS (

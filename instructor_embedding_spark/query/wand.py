@@ -67,7 +67,8 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                  filtered: bool = False, stats: bool = False,
                  deny: bool = False, require_all: bool = False,
                  boolean_not: bool = False,
-                 min_match: int | None = None):
+                 min_match: int | None = None,
+                 boosted: bool = False):
     """applyInPandas kernel for one (query_id, doc_block) group.
 
     With ``filtered`` the group carries an ``allowed_bin`` varint-delta
@@ -167,14 +168,28 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
             offsets = np.asarray(row["sub_offsets"], dtype=np.int64)
             sub_max = np.asarray(row["sub_max"], dtype=np.float64)
             n_sub = sub_max.size
-            terms.append((float(row["idf"]), doc_ids, tfs, offsets, sub_max))
+            bst = 1.0
+            if boosted:
+                # boost scales the term's contribution AND its block-max
+                # upper bound exactly (both are linear in the boost), so
+                # θ pruning stays admissible for any boost > 0
+                bst = float(row["boost"])
+                if not bst > 0.0:
+                    raise ValueError(
+                        f"term boost must be > 0, got {bst!r} for "
+                        f"term {row['term']!r}"
+                    )
+                sub_max = sub_max * bst
+            terms.append(
+                (float(row["idf"]), doc_ids, tfs, offsets, sub_max, bst)
+            )
         if not terms:
             return _EMPTY_STATS if stats else _EMPTY
 
         # Upper bound per sub-block = Σ_t sub_max[t][j]; process in
         # descending-UB order, stop once UB < kth-best (strict).
         ub = np.zeros(n_sub, dtype=np.float64)
-        for _, _, _, _, sm in terms:
+        for _, _, _, _, sm, _ in terms:
             ub += sm
         order = np.argsort(-ub, kind="stable")
 
@@ -200,7 +215,7 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                 else None
             sub_base = base + j * sub_span
             touched = False
-            for idf, doc_ids, tfs, offsets, _ in terms:
+            for idf, doc_ids, tfs, offsets, _, bst in terms:
                 lo, hi = int(offsets[j]), int(offsets[j + 1])
                 if hi <= lo:
                     continue
@@ -213,6 +228,8 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                     tf * (k1 + 1.0)
                     / (tf + k1 * (1.0 - b + b * dl / avgdl))
                 )
+                if bst != 1.0:
+                    imp = imp * bst
                 idx = (d - np.uint64(sub_base)).astype(np.int64)
                 scores[idx] += imp
                 if counts is not None:
@@ -360,6 +377,7 @@ def _grouped_hits(
     require_all: bool = False,
     qt_override: DataFrame | None = None,
     neg_queries: DataFrame | None = None,
+    term_boosts: DataFrame | None = None,
 ) -> DataFrame | None:
     """Shared scatter construction for the scoring and stats kernels:
     tokenized query terms joined against the segment scan and packed doc
@@ -421,6 +439,17 @@ def _grouped_hits(
             query_terms(neg_queries, p.use_pandas_udf_tokenizer)
             .withColumn("neg", F.lit(True))
         )
+    if term_boosts is not None:
+        # per-(query, term) boost rides the qt table into the kernel
+        # groups; unlisted pairs (and MUST_NOT rows) default to 1.0
+        qt = qt.join(
+            term_boosts.select(
+                "query_id", "term",
+                F.col("boost").cast("double").alias("boost"),
+            ),
+            ["query_id", "term"],
+            "left",
+        ).withColumn("boost", F.coalesce(F.col("boost"), F.lit(1.0)))
     qt = qt.persist()
     try:
         probe = (
@@ -434,6 +463,8 @@ def _grouped_hits(
         )
         qt_schema = ("query_id long, term string, neg boolean"
                      if boolean_not else "query_id long, term string")
+        if term_boosts is not None:
+            qt_schema += ", boost double"
         if len(probe) <= max_terms:
             # pushdown path: probe holds the FULL distinct term set
             term_list = sorted(r["term"] for r in probe)
@@ -539,6 +570,7 @@ def wand_topk(
     qt_override: DataFrame | None = None,
     neg_queries: DataFrame | None = None,
     min_should_match: int | None = None,
+    term_boosts: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to the oracle.
 
@@ -557,6 +589,15 @@ def wand_topk(
     ``qt_override`` replaces query tokenization with a caller-supplied
     distinct (query_id, term) table (prefix expansion etc.); ``queries``
     is ignored when it is given.
+
+    ``term_boosts`` is a (query_id, term, boost) table of query-time
+    per-term boosts (Lucene ``term^boost``, boost > 0): the listed
+    term's contribution AND its block-max upper bound scale by the boost
+    — both are linear in it, so θ pruning stays admissible — while
+    matching (require_all / min_should_match counts) is unchanged.
+    Unlisted (query, term) pairs default to 1.0.  The kernel raises on a
+    non-positive boost (a zero boost would also break the "every scored
+    doc matched ≥1 term" invariant the msm fast path relies on).
 
     ``neg_queries`` (query_id, query_text) adds MUST_NOT clauses: a doc
     containing ANY of a query's prohibited terms never ranks for that
@@ -588,7 +629,7 @@ def wand_topk(
     grouped = _grouped_hits(spark, handle, queries, doc_filter, segments,
                             doc_lens, pushdown_max_terms,
                             pushdown_max_qt_rows, deny_filter, require_all,
-                            qt_override, neg_queries)
+                            qt_override, neg_queries, term_boosts)
     if grouped is None:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"
@@ -599,7 +640,8 @@ def wand_topk(
                           deny=deny_filter is not None,
                           require_all=require_all,
                           boolean_not=neg_queries is not None,
-                          min_match=min_should_match)
+                          min_match=min_should_match,
+                          boosted=term_boosts is not None)
     candidates = grouped.groupBy("query_id", "doc_block").applyInPandas(
         kernel, schema=WAND_SCHEMA
     )
