@@ -43,7 +43,14 @@ from instructor_embedding_spark.metrics.ranking import (
     summary_metrics,
 )
 from instructor_embedding_spark.multimodal import binary_ops
-from instructor_embedding_spark.query import bm25, phrase, prefix, snippet, wand
+from instructor_embedding_spark.query import (
+    bm25,
+    facets,
+    phrase,
+    prefix,
+    snippet,
+    wand,
+)
 from instructor_embedding_spark.shipping import ensure_shipped
 
 #: ks for the retrieval_metrics entry (reference defaults, D3, minus 100
@@ -231,7 +238,12 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
       docs matching ≥2 DISTINCT query terms rank, scores unchanged;
     - ids 1001+: per-term query boost (``term^boost``) — listed terms'
       contributions scale by the boost, block-max bounds scale with
-      them, matching unchanged."""
+      them, matching unchanged;
+    - ids 1101+: search_after deep paging — page 1's last (score,
+      doc_id) per query becomes the cursor and the entry returns page 2
+      (ranks restart at 1); the oracle is ranks k+1..2k of the full
+      ranking, rank-shifted, which the stitching property guarantees
+      equal."""
     handle = _tombstoned_index_for(spark, sf_dir)
     doc_filter = _docs(spark, sf_dir).filter(F.col("lang") == "zh").select(
         "doc_id"
@@ -275,10 +287,24 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             BOOST_SET, "query_id long, term string, boost double"
         ),
     )
+    # search_after paging: page 1's last hit per query (a k×|queries|
+    # collect — the interactive paging pattern) cursors page 2
+    pq = _offset_queries_df(spark, 1100)
+    best: dict[int, tuple] = {}
+    for r in wand.wand_topk(spark, handle, pq, k=TOP_K).collect():
+        if r.query_id not in best or r.rank > best[r.query_id][0]:
+            best[r.query_id] = (r.rank, r.score, r.doc_id)
+    page2 = wand.wand_topk(
+        spark, handle, pq, k=TOP_K,
+        search_after=spark.createDataFrame(
+            [(q, s, d) for q, (_, s, d) in best.items()],
+            "query_id long, after_score double, after_doc long",
+        ),
+    )
     return (
         base.unionByName(live).unionByName(fresh).unionByName(conj)
         .unionByName(pfx).unionByName(fz).unionByName(neg)
-        .unionByName(msm).unionByName(bst)
+        .unionByName(msm).unionByName(bst).unionByName(page2)
     )
 
 
@@ -1011,9 +1037,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _neardup_emb(s, d), threshold=NEARDUP_THRESHOLD,
             n=_neardup_n(s, d)
         ),
-        # similarity search (embeddings table)
-        "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
-            _capped_emb(s, d), k=10
+        # similarity search (embeddings table) — the two exact
+        # brute-force metrics share one entry (r5: merged to free a
+        # registry slot for search_facets; same capped fixture, a
+        # `metric` tag column distinguishes the halves)
+        "ann_exact_topk": lambda s, d: (
+            similarity.cosine_topk(_capped_emb(s, d), k=10)
+            .select(
+                "vec_id", "rank", "neighbor_id",
+                F.col("cosine").alias("score"),
+                F.lit("cosine").alias("metric"),
+            )
+            .unionByName(
+                similarity.euclidean_topk(_capped_emb(s, d), k=10)
+                .select(
+                    "vec_id", "rank", "neighbor_id",
+                    F.col("dist").alias("score"),
+                    F.lit("euclidean").alias("metric"),
+                )
+            )
+        ),
+        # faceted search: per-query (lang bucket, count, best score)
+        # over the FULL matching set — scan → score → hash aggregate,
+        # no top-k window (the Elasticsearch terms-agg analog)
+        "search_facets": lambda s, d: facets.facet_counts(
+            _docs(s, d), _queries_df(s), "lang", text_col="text"
         ),
         # the 100-TB-viable bucketed paths, oracle-gated as first-class
         # entries (the crossJoin twins above stay as the exact baselines)
@@ -1167,9 +1215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bitext_pairs_eval"] = _q_bitext_pairs_eval
     out["beir_roundtrip_agg"] = _q_beir_roundtrip_agg
     out["proj_filter_chain"] = _q_proj_filter_chain
-    out["ann_euclidean_topk"] = lambda s, d: similarity.euclidean_topk(
-        _capped_emb(s, d), k=10
-    )
     for name, sql in RELATIONAL_SQL.items():
         out[name] = _rel_query(sql)
     return out
@@ -1294,7 +1339,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": dedup.embedding_near_dup_pairs_sql(
             _NEARDUP_EMB_SQL, threshold=NEARDUP_THRESHOLD
         ),
-        "ann_cosine_topk": similarity.cosine_topk_sql(_CAPPED_EMB_SQL, k=10),
+        "ann_exact_topk": (
+            "SELECT vec_id, rank, neighbor_id, cosine AS score,"
+            " 'cosine' AS metric FROM ("
+            + similarity.cosine_topk_sql(_CAPPED_EMB_SQL, k=10)
+            + ") UNION ALL SELECT vec_id, rank, neighbor_id,"
+            " dist AS score, 'euclidean' AS metric FROM ("
+            + similarity.euclidean_topk_sql(_CAPPED_EMB_SQL, k=10)
+            + ")"
+        ),
+        "search_facets": facets.facet_counts_sql(
+            "documents", DRIVER_QUERY_SET, "lang", text_col="text"
+        ),
         "ann_lsh_cosine_topk": similarity.lsh_cosine_topk_sql(
             "embeddings", k=10
         ),
@@ -1438,9 +1494,6 @@ SELECT doc_id, substr(titled_text, 1, 40) AS head40,
 FROM base WHERE n_tokens > 10 AND n_tokens <= 256
 ORDER BY doc_id LIMIT 50
 """,
-        "ann_euclidean_topk": similarity.euclidean_topk_sql(
-            _CAPPED_EMB_SQL, k=10
-        ),
     }
     out.update(RELATIONAL_SQL)  # same SQL string both engines
     out.update({
@@ -1507,7 +1560,15 @@ ORDER BY doc_id LIMIT 50
                 "documents", BOOST_QUERY_SET, k=TOP_K, text_col="text",
                 boosts_values=BOOST_SET,
             )
-            + ")"
+            # search_after page 2 ≡ ranks k+1..2k of the full ranking,
+            # rank-shifted (the paging stitch property)
+            + f") UNION ALL SELECT query_id, rank - {TOP_K} AS rank,"
+            " doc_id, score FROM ("
+            + bm25.bm25_topk_sql(
+                "documents", _offset_queries(1100), k=2 * TOP_K,
+                text_col="text",
+            )
+            + f") WHERE rank > {TOP_K}"
         ),
         "phrase_topk": (
             "SELECT phrase_id, rank, doc_id, matches,"

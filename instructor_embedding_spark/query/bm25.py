@@ -119,6 +119,7 @@ def bm25_topk(
     require_all: bool = False,
     min_should_match: int | None = None,
     term_boosts: DataFrame | None = None,
+    search_after: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end brute-force BM25 top-k: (query_id, rank, doc_id, score).
 
@@ -139,6 +140,11 @@ def bm25_topk(
     are ignored (the join is FROM the query-term side).  Boosts must be
     > 0 — matching is unchanged (a boosted term still counts once toward
     ``matched``), only the score scales.
+
+    ``search_after`` is a (query_id, after_score, after_doc) cursor table
+    for deep paging: only docs STRICTLY after the cursor in
+    (round(score, 6) DESC, doc_id ASC) order rank, and ranks restart at 1
+    per page.  Queries absent from the table get their first page.
     """
     toks = tokenized(docs, text_col, id_col, use_pandas_udf)
     stats = corpus_stats(toks)
@@ -177,6 +183,23 @@ def bm25_topk(
         # with global stats (pinned semantics, matches the WAND engine)
         scored = scored.join(
             doc_filter.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+    if search_after is not None:
+        cur = search_after.select(
+            "query_id",
+            F.col("after_score").cast("double").alias("after_score"),
+            F.col("after_doc").cast("long").alias("after_doc"),
+        )
+        r6 = F.round(F.col("score_raw"), SCORE_DECIMALS)
+        scored = (
+            scored.join(F.broadcast(cur), "query_id", "left")
+            .filter(
+                F.col("after_score").isNull()
+                | (r6 < F.col("after_score"))
+                | ((r6 == F.col("after_score"))
+                   & (F.col("doc_id") > F.col("after_doc")))
+            )
+            .drop("after_score", "after_doc")
         )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score_raw"), SCORE_DECIMALS).desc(), F.col("doc_id").asc()
@@ -350,6 +373,7 @@ def bm25_topk_sql(
     neg_queries_values: list[tuple[int, str]] | None = None,
     min_should_match: int | None = None,
     boosts_values: list[tuple[int, str, float]] | None = None,
+    cursors_values: list[tuple[int, float, int]] | None = None,
 ) -> str:
     """DuckDB oracle SQL computing exactly :func:`bm25_topk`.
 
@@ -363,6 +387,8 @@ def bm25_topk_sql(
     (tokenized identically to the positive side).
     ``boosts_values`` mirrors ``term_boosts``: (query_id, term, boost)
     triples LEFT-joined onto the query-term table, defaulting to 1.0.
+    ``cursors_values`` mirrors ``search_after``: (query_id, after_score,
+    after_doc) page cursors; queries without a cursor get page one.
     """
     vals = ", ".join(
         "({}, '{}')".format(qid, text.replace("'", "''"))
@@ -396,6 +422,23 @@ nqt AS (
             "WHERE nqt.query_id = scored.query_id "
             "AND ntf.doc_id = scored.doc_id)"
         )
+    cursor_cte = ""
+    if cursors_values:
+        cvals = ", ".join(
+            "({}, {!r}, {})".format(qid, float(s), did)
+            for qid, s, did in cursors_values
+        )
+        cursor_cte = (
+            f",\ncur(query_id, after_score, after_doc) AS (VALUES {cvals})"
+        )
+        # strictly after the cursor in (round(score,6) DESC, doc_id ASC)
+        # order; TRUE (first page) when the query has no cursor row
+        conds.append(
+            "coalesce((SELECT round(scored.score_raw, 6) < c.after_score "
+            "OR (round(scored.score_raw, 6) = c.after_score "
+            "AND scored.doc_id > c.after_doc) "
+            "FROM cur c WHERE c.query_id = scored.query_id), TRUE)"
+        )
     filt = ("WHERE " + " AND ".join(conds)) if conds else ""
     boost_cte, boost_join, boost_factor = "", "", ""
     if boosts_values:
@@ -424,7 +467,7 @@ qtok AS (SELECT query_id, {sql_tokens_expr('query_text')} AS tokens FROM q),
 qt AS (
   SELECT DISTINCT query_id, term
   FROM (SELECT query_id, unnest(tokens) AS term FROM qtok)
-){neg_ctes}{boost_cte},
+){neg_ctes}{boost_cte}{cursor_cte},
 scored AS (
   SELECT qt.query_id, tf.doc_id,
          sum(

@@ -68,7 +68,8 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                  deny: bool = False, require_all: bool = False,
                  boolean_not: bool = False,
                  min_match: int | None = None,
-                 boosted: bool = False):
+                 boosted: bool = False,
+                 paged: bool = False):
     """applyInPandas kernel for one (query_id, doc_block) group.
 
     With ``filtered`` the group carries an ``allowed_bin`` varint-delta
@@ -103,6 +104,18 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
     prohibited for one query excludes all its docs (the prohibited
     clause wins, standard boolean semantics); its leftover sub_max
     contribution only loosens bounds, never breaks them.
+
+    With ``paged`` (search_after deep paging) the group carries
+    ``after_score``/``after_doc`` columns — the (round(score, 6),
+    doc_id) cursor of the previous page's last hit (NULL = first page).
+    Docs PROVABLY ranked at-or-before the cursor (np-rounded score ≥
+    cursor + 2 quanta — np.round and the gather's F.round differ by at
+    most one quantum) are dropped before the θ update; only docs
+    PROVABLY after it (≤ cursor − 2 quanta) count toward k and θ, so
+    pruning is admissible for the page; the ambiguous band (score ties
+    with the cursor, where the doc_id tie-break decides) is carried to
+    the gather as a safety superset and resolved there by the exact
+    F.round cursor predicate.
 
     With ``stats`` the kernel does the SAME scoring/pruning work but
     emits one (query_id, doc_block, sub_total, sub_scored) row instead of
@@ -153,6 +166,16 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
         if need and len(pdf) < need:
             return _EMPTY_STATS if stats else _EMPTY
 
+        # search_after cursor (NULL/NaN = first page, no cursor filter).
+        # Only the score reaches the kernel: the doc_id tie-break on
+        # cursor-score ties is resolved by the exact F.round predicate in
+        # the gather, which sees the full ambiguous band (kept below).
+        after_score = None
+        if paged:
+            a = pdf["after_score"].iloc[0]
+            if a is not None and not pd.isna(a):
+                after_score = float(a)
+
         # Decode the block's packed doc lengths once.
         dl_doc_ids = np.cumsum(
             varint_decode(pdf["doc_ids_bin"].iloc[0]), dtype=np.uint64
@@ -196,6 +219,8 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
         sub_span = span // n_sub
         cand_docs: list[np.ndarray] = []
         cand_scores: list[np.ndarray] = []
+        maybe_docs: list[np.ndarray] = []
+        maybe_scores: list[np.ndarray] = []
         theta = -np.inf
         kth_count = 0
         # Prune slack: final ranking compares round(score, 6), so a doc with
@@ -261,6 +286,21 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                 if dead.all():
                     continue
                 docs_here, svals = docs_here[~dead], svals[~dead]
+            if after_score is not None:
+                # cursor split: docs ≥ cursor + 2 quanta are provably
+                # at-or-before it under EITHER rounding rule — drop; the
+                # ±2-quantum band (cursor-score ties) goes to the gather
+                # uncut and uncounted; only provably-after docs feed k/θ
+                r_here = np.round(svals, SCORE_DECIMALS)
+                drop = r_here >= after_score + 2.0 * quantum
+                band = ~drop & (r_here > after_score - 2.0 * quantum)
+                if band.any():
+                    maybe_docs.append(docs_here[band])
+                    maybe_scores.append(svals[band])
+                keep = ~(drop | band)
+                if not keep.any():
+                    continue
+                docs_here, svals = docs_here[keep], svals[keep]
             cand_docs.append(docs_here)
             cand_scores.append(svals)
             # update running kth-best threshold
@@ -283,6 +323,16 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
                 }
             )
         if not cand_docs:
+            if maybe_docs:
+                # only cursor-band docs survived: ship them all — the
+                # gather's exact predicate decides which are truly after
+                return pd.DataFrame(
+                    {
+                        "query_id": query_id,
+                        "doc_id": np.concatenate(maybe_docs),
+                        "score_raw": np.concatenate(maybe_scores),
+                    }
+                )
             return _EMPTY
         docs = np.concatenate(cand_docs)
         scores = np.concatenate(cand_scores)
@@ -301,11 +351,17 @@ def _wand_kernel(k: int, k1: float, b: float, avgdl: float, span: int,
             sel = order[r[order] >= kth - 2.5 * quantum]
         else:
             sel = order
+        out_docs, out_scores = docs[sel], scores[sel]
+        if maybe_docs:
+            # cursor-band docs ride along uncut (they never displace a
+            # provably-after candidate from the top-k band above)
+            out_docs = np.concatenate([out_docs, *maybe_docs])
+            out_scores = np.concatenate([out_scores, *maybe_scores])
         return pd.DataFrame(
             {
                 "query_id": query_id,
-                "doc_id": docs[sel],
-                "score_raw": scores[sel],
+                "doc_id": out_docs,
+                "score_raw": out_scores,
             }
         )
 
@@ -378,6 +434,7 @@ def _grouped_hits(
     qt_override: DataFrame | None = None,
     neg_queries: DataFrame | None = None,
     term_boosts: DataFrame | None = None,
+    search_after: DataFrame | None = None,
 ) -> DataFrame | None:
     """Shared scatter construction for the scoring and stats kernels:
     tokenized query terms joined against the segment scan and packed doc
@@ -521,6 +578,19 @@ def _grouped_hits(
             .agg(F.count(F.lit(1)).alias("n_terms"))
         )
         grouped = grouped.join(F.broadcast(nt), "query_id")
+    if search_after is not None:
+        # per-query page cursor: LEFT join so cursor-less (first-page)
+        # queries carry a NULL after_score into the kernel
+        grouped = grouped.join(
+            F.broadcast(
+                search_after.select(
+                    "query_id",
+                    F.col("after_score").cast("double").alias("after_score"),
+                )
+            ),
+            "query_id",
+            "left",
+        )
     return grouped
 
 
@@ -571,6 +641,7 @@ def wand_topk(
     neg_queries: DataFrame | None = None,
     min_should_match: int | None = None,
     term_boosts: DataFrame | None = None,
+    search_after: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to the oracle.
 
@@ -598,6 +669,17 @@ def wand_topk(
     Unlisted (query, term) pairs default to 1.0.  The kernel raises on a
     non-positive boost (a zero boost would also break the "every scored
     doc matched ≥1 term" invariant the msm fast path relies on).
+
+    ``search_after`` is a (query_id, after_score, after_doc) cursor table
+    for deep paging: results are the next ``k`` hits STRICTLY after the
+    cursor in (round(score, 6) DESC, doc_id ASC) order — pass the
+    previous page's last emitted (score, doc_id) verbatim.  Queries
+    absent from the table get their first page.  Ranks restart at 1 per
+    page (Elasticsearch search_after semantics).  The kernel drops docs
+    provably before the cursor and counts only provably-after docs
+    toward k/θ, so block-max pruning stays admissible per page; the
+    exact cursor predicate is re-applied here with F.round before the
+    final rank window.
 
     ``neg_queries`` (query_id, query_text) adds MUST_NOT clauses: a doc
     containing ANY of a query's prohibited terms never ranks for that
@@ -629,7 +711,8 @@ def wand_topk(
     grouped = _grouped_hits(spark, handle, queries, doc_filter, segments,
                             doc_lens, pushdown_max_terms,
                             pushdown_max_qt_rows, deny_filter, require_all,
-                            qt_override, neg_queries, term_boosts)
+                            qt_override, neg_queries, term_boosts,
+                            search_after)
     if grouped is None:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"
@@ -641,10 +724,30 @@ def wand_topk(
                           require_all=require_all,
                           boolean_not=neg_queries is not None,
                           min_match=min_should_match,
-                          boosted=term_boosts is not None)
+                          boosted=term_boosts is not None,
+                          paged=search_after is not None)
     candidates = grouped.groupBy("query_id", "doc_block").applyInPandas(
         kernel, schema=WAND_SCHEMA
     )
+    if search_after is not None:
+        # exact cursor predicate under the gather's own rounding rule —
+        # resolves the kernel's ambiguous band and the doc_id tie-break
+        cur = search_after.select(
+            "query_id",
+            F.col("after_score").cast("double").alias("after_score"),
+            F.col("after_doc").cast("long").alias("after_doc"),
+        )
+        r6 = F.round(F.col("score_raw"), SCORE_DECIMALS)
+        candidates = (
+            candidates.join(F.broadcast(cur), "query_id", "left")
+            .filter(
+                F.col("after_score").isNull()
+                | (r6 < F.col("after_score"))
+                | ((r6 == F.col("after_score"))
+                   & (F.col("doc_id") > F.col("after_doc")))
+            )
+            .drop("after_score", "after_doc")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score_raw"), SCORE_DECIMALS).desc(),
         F.col("doc_id").asc(),

@@ -1,0 +1,105 @@
+"""Faceted search: per-query (facet bucket, count, best score) over the
+FULL matching set — counts must equal the brute-force retrieval's match
+set grouped by the facet, with no top-k truncation."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from instructor_embedding_spark import datagen
+from instructor_embedding_spark.query.bm25 import bm25_topk
+from instructor_embedding_spark.query.facets import (
+    facet_counts,
+    facet_counts_sql,
+)
+
+QUERIES = [
+    (1, "merge sort window"),
+    (2, "fast hash join"),
+    (3, "a of the"),        # all stopwords: no buckets at all
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = datagen.corpus(spark, 240, partitions=4)
+    # deterministic 3-way facet over doc_id
+    return base.withColumn(
+        "lang",
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return spark.createDataFrame(QUERIES, "query_id long, query_text string")
+
+
+def test_facet_counts_match_full_retrieval_groupby(spark, corpus, queries):
+    got = facet_counts(corpus, queries, "lang", text_col="content")
+    want = (
+        bm25_topk(corpus, queries, k=10 ** 9, text_col="content")
+        .join(corpus.select("doc_id", "lang"), "doc_id")
+        .groupBy("query_id", F.col("lang").alias("facet"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.max("score").alias("top_score"))
+    )
+    assert _rows(got.select("query_id", "facet", "n_docs", "top_score")) == \
+        _rows(want.select("query_id", "facet", "n_docs", "top_score"))
+    assert got.count() > 0
+    # stopword-only query produces no buckets
+    assert got.filter("query_id = 3").count() == 0
+
+
+def test_facet_msm_floor(spark, corpus, queries):
+    got = facet_counts(corpus, queries, "lang", text_col="content",
+                       min_should_match=2)
+    want = (
+        bm25_topk(corpus, queries, k=10 ** 9, text_col="content",
+                  min_should_match=2)
+        .join(corpus.select("doc_id", "lang"), "doc_id")
+        .groupBy("query_id", F.col("lang").alias("facet"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    assert _rows(got.select("query_id", "facet", "n_docs")) == \
+        _rows(want.select("query_id", "facet", "n_docs"))
+    # the msm floor strictly shrinks at least one bucket
+    full = facet_counts(corpus, queries, "lang", text_col="content")
+    assert got.agg(F.sum("n_docs")).collect()[0][0] < \
+        full.agg(F.sum("n_docs")).collect()[0][0]
+
+
+def test_facets_match_duckdb_twin(spark, corpus, queries):
+    pdf = corpus.select("doc_id", "content", "lang").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    sql = facet_counts_sql("docs", QUERIES, "lang", text_col="content")
+    want = sorted(
+        (int(q), f, int(n), round(float(s), 6))
+        for q, f, n, s in con.execute(sql).fetchall()
+    )
+    got = sorted(
+        (q, f, n, round(s, 6))
+        for q, f, n, s in _rows(
+            facet_counts(corpus, queries, "lang", text_col="content")
+        )
+    )
+    assert got == want
+    assert got
+
+
+def test_facet_plan_has_no_sort(spark, corpus, queries):
+    """The facet plan must be scan → score → hash aggregate: no per-query
+    window/global sort anywhere (the scale property facets exist for)."""
+    plan = facet_counts(corpus, queries, "lang", text_col="content") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

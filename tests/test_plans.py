@@ -327,8 +327,7 @@ def test_no_gated_entry_plans_an_uncapped_cross_join(spark, sf_small_dir):
 
     mod = _entry_mod()
     qs = mod.queries()
-    for name in ("ann_cosine_topk", "ann_euclidean_topk", "knn_classify",
-                 "bitext_pairs_eval"):
+    for name in ("ann_exact_topk", "knn_classify", "bitext_pairs_eval"):
         plan = _formatted(qs[name](spark, sf_small_dir))
         bad = _cross_join_children_capped(plan)
         assert not bad, f"{name}: " + "\n".join(bad)
