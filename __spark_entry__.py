@@ -46,6 +46,7 @@ from instructor_embedding_spark.multimodal import binary_ops
 from instructor_embedding_spark.query import (
     bm25,
     facets,
+    modes,
     phrase,
     prefix,
     snippet,
@@ -181,8 +182,100 @@ BOOST_SET: list[tuple[int, str, float]] = [
 ]
 
 
+#: search_modes fixtures: per-mode query-id offsets keep the five mode
+#: lineages disjoint inside one union entry (mlt uses seed doc_ids).
+MODES_SYNONYM_SET: list[tuple[str, str]] = [
+    ("sort", "order"), ("join", "merge"), ("scan", "read"),
+]
+#: n_chars range filter band — interquartile at every driver sf, so the
+#: filter bites without emptying any query's hit list.
+MODES_RANGE: tuple[int, int] = (150, 420)
+MODES_MLT_SEEDS = 3
+#: dl histogram bucket width for the facets entry (tokens).
+FACET_HISTO_INTERVAL = 16
+
+
+def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five search modes over one corpus, mode-tagged into one union:
+    field collapsing on ``source``, sort-by-``n_chars``, an n_chars
+    range filter, Lucene SynonymQuery blending, and more-like-this from
+    the three smallest doc_ids (query_id = seed doc_id).
+
+    The collapse/sort/range halves are served from the compressed index
+    (``wand.scored_matches_from_index`` decodes the full match set;
+    parity with the brute-force base is gated by the shared SQL oracle,
+    which scores from first principles).  Synonym blending and MLT stay
+    on the brute-force base — they need per-term df / per-doc tf tables,
+    which at index scale would come from term_stats + a seed-doc decode."""
+    docs = _docs(spark, sf_dir)
+    handle = _index_for(spark, sf_dir)
+    seeds = docs.select("doc_id").orderBy("doc_id").limit(MODES_MLT_SEEDS)
+    m_collapse = wand.scored_matches_from_index(
+        spark, handle, _offset_queries_df(spark, 2000)
+    )
+    m_sort = wand.scored_matches_from_index(
+        spark, handle, _offset_queries_df(spark, 2100)
+    )
+    m_range = wand.scored_matches_from_index(
+        spark, handle, _offset_queries_df(spark, 2200)
+    )
+    parts = [
+        modes.collapse_over(
+            m_collapse,
+            docs.select("doc_id", F.col("source").alias("grp")), k=TOP_K
+        ).withColumn("mode", F.lit("collapse_source")),
+        modes.sort_over(
+            m_sort,
+            docs.select("doc_id", F.col("n_chars").alias("sort_key")),
+            k=TOP_K
+        ).withColumn("mode", F.lit("sort_nchars")),
+        modes.range_over(
+            m_range,
+            docs.filter(
+                (F.col("n_chars") >= MODES_RANGE[0])
+                & (F.col("n_chars") < MODES_RANGE[1])
+            ).select("doc_id"),
+            k=TOP_K
+        ).withColumn("mode", F.lit("range_nchars")),
+        modes.synonym_topk(
+            docs, _offset_queries_df(spark, 2300), MODES_SYNONYM_SET,
+            k=TOP_K
+        ).withColumn("mode", F.lit("synonym")),
+        modes.mlt_topk(docs, seeds, k=TOP_K).withColumn(
+            "mode", F.lit("mlt")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _offset_queries(offset: int) -> list[tuple[int, str]]:
     return [(qid + offset, text) for qid, text in DRIVER_QUERY_SET]
+
+
+def _modes_sql() -> str:
+    tagged = [
+        ("collapse_source", modes.collapse_topk_sql(
+            "documents", _offset_queries(2000), "source", k=TOP_K)),
+        ("sort_nchars", modes.sort_topk_sql(
+            "documents", _offset_queries(2100), "n_chars", k=TOP_K)),
+        ("range_nchars", modes.range_topk_sql(
+            "documents", _offset_queries(2200), "n_chars",
+            *MODES_RANGE, k=TOP_K)),
+        ("synonym", modes.synonym_topk_sql(
+            "documents", _offset_queries(2300), MODES_SYNONYM_SET,
+            k=TOP_K)),
+        ("mlt", modes.mlt_topk_sql(
+            "documents",
+            f"SELECT doc_id FROM documents ORDER BY doc_id "
+            f"LIMIT {MODES_MLT_SEEDS}",
+            k=TOP_K)),
+    ]
+    return " UNION ALL ".join(
+        f"SELECT *, '{tag}' AS mode FROM ({sql})" for tag, sql in tagged
+    )
 
 
 def _offset_queries_df(spark: SparkSession, offset: int) -> DataFrame:
@@ -1057,12 +1150,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         ),
-        # faceted search: per-query (lang bucket, count, best score)
-        # over the FULL matching set — scan → score → hash aggregate,
-        # no top-k window (the Elasticsearch terms-agg analog)
-        "search_facets": lambda s, d: facets.facet_counts(
-            _docs(s, d), _queries_df(s), "lang", text_col="text"
+        # faceted search over the FULL matching set — scan → score →
+        # hash aggregate, no top-k window (the Elasticsearch terms-agg
+        # analog, with a dl stats sub-agg); the histogram half buckets
+        # the same match set by doc length (ES histogram agg).  Both
+        # halves are served from the COMPRESSED INDEX (match set decoded
+        # via scored_matches_from_index: term In() pushdown + broadcast
+        # qt join; histogram dl comes straight off packed doc_lens) and
+        # gated against the first-principles brute-force SQL oracle.
+        "search_facets": lambda s, d: facets.facet_counts_from_index(
+            s, _index_for(s, d), _queries_df(s),
+            _docs(s, d).select("doc_id", F.col("lang").alias("facet")),
+        ).withColumn("kind", F.lit("terms_lang")).unionByName(
+            facets.facet_histogram_from_index(
+                s, _index_for(s, d), _queries_df(s), FACET_HISTO_INTERVAL,
+            ).withColumn("kind", F.lit("histo_dl"))
         ),
+        # result-shaping / query-expansion search modes (collapse, sort,
+        # range, Lucene SynonymQuery blending, more-like-this), one
+        # mode-tagged union over the shared scored match set
+        "search_modes": _q_search_modes,
         # the 100-TB-viable bucketed paths, oracle-gated as first-class
         # entries (the crossJoin twins above stay as the exact baselines)
         "ann_lsh_cosine_topk": lambda s, d: similarity.lsh_cosine_topk(
@@ -1107,10 +1214,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_fingerprints": lambda s, d: text_stats.doc_fingerprints(
             _docs(s, d)
         ),
-        # M14: deterministic sentence split over a derived punctuated text
-        # (the raw corpus has no terminators; the derivation is identical
-        # in both engines)
-        "text_sentences": lambda s, d: text_stats.sentences(
+        # M14 + M13 in one kind-tagged union (r5: merged to free a
+        # registry slot for search_modes): deterministic sentence split
+        # over a derived punctuated text, plus the whole-word alias
+        # expansion chain (idx=0, first 60 chars)
+        "text_sentence_alias": lambda s, d: text_stats.sentences(
             _docs(s, d).select(
                 "doc_id",
                 F.concat(
@@ -1119,12 +1227,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("ptext"),
             ),
             text_col="ptext",
-        ),
-        # M13: whole-word alias expansion chain
-        "text_alias_expand": lambda s, d: text_stats.expand_aliases(
-            _docs(s, d), "text"
         ).select(
-            "doc_id", F.substring("expanded", 1, 60).alias("head60")
+            "doc_id", F.lit("sentence").alias("kind"),
+            F.col("sent_idx").alias("idx"), F.col("sentence").alias("val"),
+        ).unionByName(
+            text_stats.expand_aliases(_docs(s, d), "text").select(
+                "doc_id", F.lit("alias").alias("kind"),
+                F.lit(0).cast("long").alias("idx"),
+                F.substring("expanded", 1, 60).alias("val"),
+            )
         ),
         # M15: oracle-gated (r3: the prefix-max LCS recurrence as a
         # recursive CTE with integer list state — see rouge_l_sql)
@@ -1227,7 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: way.  Prefix → category map; select_queries() is the filter chain.
 QUERY_CATEGORY_PREFIXES: dict[str, tuple[str, ...]] = {
     "retrieval": ("bm25_", "phrase_", "retrieval_", "rerank_", "budgeted_",
-                  "fuzzy_"),
+                  "fuzzy_", "search_"),
     "index": ("tokenize_", "term_"),
     "dedup": ("dedup_",),
     "similarity": ("ann_", "knn_", "embedding_", "pooling_", "fast_votek"),
@@ -1348,9 +1459,17 @@ def oracle_sql() -> dict[str, str]:
             + similarity.euclidean_topk_sql(_CAPPED_EMB_SQL, k=10)
             + ")"
         ),
-        "search_facets": facets.facet_counts_sql(
-            "documents", DRIVER_QUERY_SET, "lang", text_col="text"
+        "search_facets": (
+            "SELECT *, 'terms_lang' AS kind FROM ("
+            + facets.facet_counts_sql(
+                "documents", DRIVER_QUERY_SET, "lang", text_col="text")
+            + ") UNION ALL SELECT *, 'histo_dl' AS kind FROM ("
+            + facets.facet_histogram_sql(
+                "documents", DRIVER_QUERY_SET, FACET_HISTO_INTERVAL,
+                text_col="text")
+            + ")"
         ),
+        "search_modes": _modes_sql(),
         "ann_lsh_cosine_topk": similarity.lsh_cosine_topk_sql(
             "embeddings", k=10
         ),
@@ -1388,15 +1507,19 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", n=BITEXT_N, offset=BITEXT_OFFSET
         ),
         "beir_roundtrip_agg": _BEIR_ROUNDTRIP_SQL,
-        "text_alias_expand": (
-            "SELECT doc_id, substr(expanded, 1, 60) AS head60 FROM ("
+        "text_sentence_alias": (
+            "SELECT doc_id, 'sentence' AS kind, sent_idx AS idx, "
+            "sentence AS val FROM ("
+            + text_stats.sentences_sql(
+                "SELECT doc_id, text || '. ' || lang || '! ' || source "
+                "|| '?' AS ptext FROM documents",
+                text_col="ptext",
+            )
+            + ") UNION ALL SELECT doc_id, 'alias' AS kind, "
+            "CAST(0 AS BIGINT) AS idx, substr(expanded, 1, 60) AS val "
+            "FROM ("
             + text_stats.expand_aliases_sql("documents", "text")
             + ")"
-        ),
-        "text_sentences": text_stats.sentences_sql(
-            "SELECT doc_id, text || '. ' || lang || '! ' || source || '?' "
-            "AS ptext FROM documents",
-            text_col="ptext",
         ),
         "pair_threshold_sweep": pairs.threshold_sweep_sql(_PAIRS_SQL),
         "stat_corr_chars_tokens": pairs.corr_both_sql(

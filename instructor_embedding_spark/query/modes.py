@@ -1,0 +1,565 @@
+"""Result-shaping and query-expansion search modes over the BM25 match
+set: field collapsing, sort-by-field, numeric range filtering, synonym-
+blended scoring, and more-like-this.
+
+These are the standard engine companions to plain top-k retrieval (the
+reference evaluates retrieval only — RetrievalEvaluator.py scores
+Dict[qid, Dict[docid, score]] — every production fulltext store layers
+exactly these five on the same scored match set).  Each mode is a pure
+DataFrame composition over the shared brute-force scoring base from
+:mod:`instructor_embedding_spark.query.bm25` with a line-for-line DuckDB
+twin, so the driver gate hash-checks every mode.
+
+Scale notes (the shapes that survive 100 TB):
+
+- Every mode starts from the same ``scored`` aggregate — one shuffle by
+  (query_id, doc_id) with map-side partial aggregation; the query-term
+  join broadcasts.
+- ``collapse_topk`` is two stacked rank-filters; Spark rewrites both
+  ``row_number() <= n`` windows into WindowGroupLimit (per-partition
+  group-top-n BEFORE the shuffle), so the collapse moves O(groups)
+  rows, not O(matches).
+- ``sort_topk`` / ``range_topk`` reorder or pre-filter the match set
+  with a doc-attribute join that broadcasts the (tiny) attribute
+  projection ONLY if the attribute table is small; here it is the full
+  documents projection, so the join shuffles on doc_id — the same key
+  the scored aggregate already produced, which AQE coalesces.
+- ``synonym_topk`` adds one extra (query, doc, group) pre-aggregate;
+  the synonym table and the per-group df table are broadcast.
+- ``mlt_topk`` turns seed docs into query terms with a top-m window
+  over the seeds' tf rows (rows ∝ |seeds| × terms-per-doc, tiny), then
+  reuses the ordinary scoring base.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from instructor_embedding_spark.functions.tokenize import sql_tokens_expr
+from instructor_embedding_spark.query.bm25 import (
+    B,
+    K1,
+    SCORE_DECIMALS,
+    bm25_score_col,
+    corpus_stats,
+    query_terms,
+    term_stats,
+    tf_table,
+    tokenized,
+)
+
+__all__ = [
+    "collapse_topk", "collapse_topk_sql",
+    "sort_topk", "sort_topk_sql",
+    "range_topk", "range_topk_sql",
+    "synonym_topk", "synonym_topk_sql",
+    "mlt_topk", "mlt_topk_sql",
+    "MLT_MAX_TERMS",
+    "collapse_over",
+    "sort_over",
+    "range_over",
+]
+
+#: More-like-this: max seed terms kept (Lucene MoreLikeThis
+#: maxQueryTerms analog; the reference never exposes MLT — this is the
+#: engine-side companion feature).
+MLT_MAX_TERMS = 5
+
+
+# ---------------------------------------------------------------------------
+# shared Spark scoring base
+
+
+def _scored_base(docs: DataFrame, queries: DataFrame, text_col: str,
+                 id_col: str):
+    """((query_id, doc_id, score_raw) match set, stats) — the OR-semantics
+    brute-force BM25 aggregate every mode starts from (bm25.bm25_topk's
+    core, without the top-k window)."""
+    toks = tokenized(docs, text_col, id_col)
+    stats = corpus_stats(toks)
+    tf = tf_table(toks)
+    ts = term_stats(tf, stats)
+    qt = query_terms(queries)
+    contrib = bm25_score_col(
+        F.col("tf"), F.col("dl"), F.col("idf"), stats.avgdl
+    )
+    scored = (
+        tf.join(ts.select("term", "idf"), "term")
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score_raw"))
+    )
+    return scored, stats, tf, ts
+
+
+def _r6():
+    # built lazily: Column construction needs an active SparkContext
+    return F.round(F.col("score_raw"), SCORE_DECIMALS)
+
+
+def _final(df: DataFrame) -> DataFrame:
+    return df.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        _r6().alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared SQL scoring base
+
+
+def _vals(pairs) -> str:
+    return ", ".join(
+        "({}, '{}')".format(qid, text.replace("'", "''"))
+        for qid, text in pairs
+    )
+
+
+def _base_ctes(table: str, text_col: str, id_col: str) -> str:
+    """toks → dl → stats → tf → df — the corpus-side CTE chain shared by
+    every twin (identical to bm25.bm25_topk_sql's prefix)."""
+    return f"""toks AS (
+  SELECT {id_col} AS doc_id, {sql_tokens_expr(text_col)} AS tokens FROM {table}
+),
+dl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)"""
+
+
+def _scored_ctes(queries_values) -> str:
+    """q → qt → scored — the query-side chain for the plain-OR modes."""
+    return f"""q(query_id, query_text) AS (VALUES {_vals(queries_values)}),
+qt AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, unnest({sql_tokens_expr('query_text')}) AS term
+        FROM q)
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM qt
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+)"""
+
+
+# ---------------------------------------------------------------------------
+# field collapsing (Elasticsearch `collapse`, Lucene CollapsingCollector)
+
+
+def collapse_over(matches: DataFrame, groups: DataFrame,
+                  k: int = 10) -> DataFrame:
+    """Collapse any (query_id, doc_id, score_raw) match set — brute-force
+    or index-decoded (wand.scored_matches_from_index) — against a
+    (doc_id, grp) doc-values projection."""
+    within = Window.partitionBy("query_id", "grp").orderBy(
+        _r6().desc(), F.col("doc_id").asc()
+    )
+    overall = Window.partitionBy("query_id").orderBy(
+        _r6().desc(), F.col("doc_id").asc()
+    )
+    return _final(
+        matches.join(groups, "doc_id")
+        .withColumn("rn", F.row_number().over(within))
+        .filter(F.col("rn") == 1)
+        .withColumn("rank", F.row_number().over(overall))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def collapse_topk(docs: DataFrame, queries: DataFrame, group_col: str,
+                  k: int = 10, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(query_id, rank, doc_id, score) — top-k hits with at most ONE hit
+    per ``group_col`` value: each group is represented by its best doc
+    in the pinned (round(score, 6) DESC, doc_id ASC) order, then the
+    representatives rank normally."""
+    scored, _, _, _ = _scored_base(docs, queries, text_col, id_col)
+    grp = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp")
+    )
+    return collapse_over(scored, grp, k)
+
+
+def collapse_topk_sql(table: str, queries_values, group_col: str,
+                      k: int = 10, text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    return f"""
+WITH {_base_ctes(table, text_col, id_col)},
+{_scored_ctes(queries_values)},
+best AS (
+  SELECT s.query_id, s.doc_id, s.score_raw,
+         row_number() OVER (
+           PARTITION BY s.query_id, d.{group_col}
+           ORDER BY round(s.score_raw, {SCORE_DECIMALS}) DESC, s.doc_id ASC
+         ) AS rn
+  FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, round(score_raw, {SCORE_DECIMALS}) AS score
+  FROM best WHERE rn = 1
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# sort-by-field (Elasticsearch `sort`: order hits by a doc value, not score)
+
+
+def sort_over(matches: DataFrame, attrs: DataFrame, k: int = 10,
+              ascending: bool = False) -> DataFrame:
+    """Sort any match set by a (doc_id, sort_key) doc-values column."""
+    key = F.col("sort_key").asc() if ascending else F.col("sort_key").desc()
+    w = Window.partitionBy("query_id").orderBy(key, F.col("doc_id").asc())
+    return _final(
+        matches.join(attrs, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sort_topk(docs: DataFrame, queries: DataFrame, sort_col: str,
+              k: int = 10, text_col: str = "text",
+              id_col: str = "doc_id", ascending: bool = False) -> DataFrame:
+    """(query_id, rank, doc_id, score) — the match set ordered by a
+    stored doc attribute (``sort_col`` DESC by default, doc_id ASC
+    tiebreak) instead of relevance; BM25 score still reported."""
+    scored, _, _, _ = _scored_base(docs, queries, text_col, id_col)
+    attr = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(sort_col).alias("sort_key")
+    )
+    return sort_over(scored, attr, k, ascending)
+
+
+def sort_topk_sql(table: str, queries_values, sort_col: str, k: int = 10,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ascending: bool = False) -> str:
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+WITH {_base_ctes(table, text_col, id_col)},
+{_scored_ctes(queries_values)},
+ranked AS (
+  SELECT s.query_id,
+         CAST(row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY d.{sort_col} {direction}, s.doc_id ASC
+         ) AS BIGINT) AS rank,
+         s.doc_id, round(s.score_raw, {SCORE_DECIMALS}) AS score
+  FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# numeric range filter (doc-values range query over a stored field)
+
+
+def range_topk(docs: DataFrame, queries: DataFrame, attr_col: str,
+               lo: int, hi: int, k: int = 10, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(query_id, rank, doc_id, score) — BM25 top-k restricted to docs
+    with ``lo <= attr_col < hi`` (Lucene LongPoint.newRangeQuery inside
+    a BooleanQuery FILTER clause: matching narrows, scoring and corpus
+    stats are unchanged — same pinned semantics as ``doc_filter``).
+
+    Index-backed equivalent: ``wand.wand_topk(doc_filter=docs.filter(
+    range_pred).select("doc_id"))`` — the allowed-set is packed into
+    per-block sorted arrays and applied INSIDE the block-max kernel, so
+    at index scale the range filter prunes postings work rather than
+    post-filtering (tests assert this brute-force form equals
+    ``bm25_topk(doc_filter=)``, which is rank-identical to the WAND
+    path by the existing filtered-retrieval parity suite)."""
+    scored, _, _, _ = _scored_base(docs, queries, text_col, id_col)
+    keep = docs.filter(
+        (F.col(attr_col) >= lo) & (F.col(attr_col) < hi)
+    ).select(F.col(id_col).alias("doc_id"))
+    return range_over(scored, keep, k)
+
+
+def range_over(matches: DataFrame, keep: DataFrame, k: int = 10) -> DataFrame:
+    """BM25-order top-k of any match set restricted to the ``keep``
+    (doc_id) whitelist — the post-hoc twin of wand_topk(doc_filter=),
+    for callers who already hold a decoded match set."""
+    w = Window.partitionBy("query_id").orderBy(_r6().desc(), F.col("doc_id"))
+    return _final(
+        matches.join(keep, "doc_id", "left_semi")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def range_topk_sql(table: str, queries_values, attr_col: str, lo: int,
+                   hi: int, k: int = 10, text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    return f"""
+WITH {_base_ctes(table, text_col, id_col)},
+{_scored_ctes(queries_values)},
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, round(score_raw, {SCORE_DECIMALS}) AS score
+  FROM scored
+  WHERE doc_id IN (SELECT {id_col} FROM {table}
+                   WHERE {attr_col} >= {int(lo)} AND {attr_col} < {int(hi)})
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# synonym-blended scoring (Lucene SynonymQuery)
+
+
+def synonym_topk(docs: DataFrame, queries: DataFrame,
+                 synonyms: list[tuple[str, str]], k: int = 10,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(query_id, rank, doc_id, score) — each query term and its listed
+    synonyms score as ONE pseudo-term (Lucene SynonymQuery semantics:
+    term frequencies of the group SUM inside a single BM25 saturation,
+    document frequency is the MAX over the group's members — not the
+    union — so the blend never out-scores its rarest member's idf).
+
+    ``synonyms`` is a list of (term, alternative) pairs: a query term
+    equal to ``term`` also matches ``alternative``.  Terms without
+    synonyms score exactly as in plain BM25 (a 1-member group).
+    """
+    spark = docs.sparkSession
+    toks = tokenized(docs, text_col, id_col)
+    stats = corpus_stats(toks)
+    tf = tf_table(toks)
+    ts = term_stats(tf, stats)
+    qt = query_terms(queries)
+
+    syn = spark.createDataFrame(synonyms, "term string, alt string")
+    members = (
+        qt.select("query_id", F.col("term").alias("canon"),
+                  F.col("term").alias("mterm"))
+        .unionByName(
+            qt.join(F.broadcast(syn), "term")
+            .select("query_id", F.col("term").alias("canon"),
+                    F.col("alt").alias("mterm"))
+        )
+        .distinct()
+    )
+    # per-(query, group) blended df: max over members present in the
+    # corpus (members with no postings have no df row and drop out,
+    # matching Lucene's docFreq=0 terms contributing nothing to max)
+    gdf = (
+        members.join(ts.select(F.col("term").alias("mterm"), "df"), "mterm")
+        .groupBy("query_id", "canon")
+        .agg(F.max("df").alias("dfb"))
+        .withColumn(
+            "idfb",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(stats.n_docs)) - F.col("dfb") + F.lit(0.5))
+                / (F.col("dfb") + F.lit(0.5))
+            ),
+        )
+    )
+    blended = (
+        tf.join(F.broadcast(members),
+                tf["term"] == members["mterm"])
+        .groupBy("query_id", "doc_id", "dl", "canon")
+        .agg(F.sum("tf").alias("tfb"))
+    )
+    contrib = bm25_score_col(
+        F.col("tfb"), F.col("dl"), F.col("idfb"), stats.avgdl
+    )
+    scored = (
+        blended.join(F.broadcast(gdf), ["query_id", "canon"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(_r6().desc(), F.col("doc_id"))
+    return _final(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def synonym_topk_sql(table: str, queries_values,
+                     synonyms: list[tuple[str, str]], k: int = 10,
+                     text_col: str = "text", id_col: str = "doc_id") -> str:
+    svals = ", ".join(
+        "('{}', '{}')".format(t.replace("'", "''"), a.replace("'", "''"))
+        for t, a in synonyms
+    )
+    return f"""
+WITH {_base_ctes(table, text_col, id_col)},
+q(query_id, query_text) AS (VALUES {_vals(queries_values)}),
+qt AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, unnest({sql_tokens_expr('query_text')}) AS term
+        FROM q)
+),
+syn(term, alt) AS (VALUES {svals}),
+members AS (
+  SELECT query_id, term AS canon, term AS mterm FROM qt
+  UNION
+  SELECT qt.query_id, qt.term AS canon, syn.alt AS mterm
+  FROM qt JOIN syn USING (term)
+),
+gdf AS (
+  SELECT m.query_id, m.canon, max(df.df) AS dfb
+  FROM members m JOIN df ON df.term = m.mterm
+  GROUP BY m.query_id, m.canon
+),
+blended AS (
+  SELECT m.query_id, tf.doc_id, dl.dl, m.canon, sum(tf.tf) AS tfb
+  FROM members m
+  JOIN tf ON tf.term = m.mterm
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY m.query_id, tf.doc_id, dl.dl, m.canon
+),
+scored AS (
+  SELECT b.query_id, b.doc_id,
+         sum(
+           ln(1 + (stats.n - g.dfb + 0.5) / (g.dfb + 0.5))
+           * b.tfb * ({K1} + 1.0)
+           / (b.tfb + {K1} * (1.0 - {B} + {B} * b.dl / stats.avgdl))
+         ) AS score_raw
+  FROM blended b
+  JOIN gdf g ON g.query_id = b.query_id AND g.canon = b.canon
+  CROSS JOIN stats
+  GROUP BY b.query_id, b.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, round(score_raw, {SCORE_DECIMALS}) AS score
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# more-like-this (Lucene MoreLikeThis: seed doc → top tf·idf terms → BM25)
+
+
+def mlt_topk(docs: DataFrame, seeds: DataFrame, k: int = 10,
+             max_terms: int = MLT_MAX_TERMS, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(query_id, rank, doc_id, score) — for each seed doc (``seeds`` is
+    a 1-column (doc_id) table), select its ``max_terms`` most
+    characteristic terms by round(tf·idf, 6) (term ASC tiebreak — the
+    deterministic Lucene MoreLikeThis interestingness order), then run
+    ordinary OR-semantics BM25 with those terms, excluding the seed
+    itself.  query_id = the seed's doc_id."""
+    toks = tokenized(docs, text_col, id_col)
+    stats = corpus_stats(toks)
+    tf = tf_table(toks)
+    ts = term_stats(tf, stats)
+
+    seed_ids = seeds.select(F.col(seeds.columns[0]).alias("seed_id"))
+    wt = F.round(F.col("tf") * F.col("idf"), SCORE_DECIMALS)
+    sel = Window.partitionBy("query_id").orderBy(
+        F.col("weight").desc(), F.col("term").asc()
+    )
+    qt = (
+        tf.join(F.broadcast(seed_ids),
+                tf["doc_id"] == seed_ids["seed_id"], "left_semi")
+        .join(ts.select("term", "idf"), "term")
+        .select(F.col("doc_id").alias("query_id"), "term",
+                wt.alias("weight"))
+        .withColumn("rn", F.row_number().over(sel))
+        .filter(F.col("rn") <= max_terms)
+        .select("query_id", "term")
+    )
+    contrib = bm25_score_col(
+        F.col("tf"), F.col("dl"), F.col("idf"), stats.avgdl
+    )
+    scored = (
+        tf.join(ts.select("term", "idf"), "term")
+        .join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))  # exclude the seed
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(_r6().desc(), F.col("doc_id"))
+    return _final(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def mlt_topk_sql(table: str, seeds_sql: str, k: int = 10,
+                 max_terms: int = MLT_MAX_TERMS, text_col: str = "text",
+                 id_col: str = "doc_id") -> str:
+    """``seeds_sql`` is a subquery yielding one doc_id column."""
+    return f"""
+WITH {_base_ctes(table, text_col, id_col)},
+seed_terms AS (
+  SELECT tf.doc_id AS query_id, tf.term,
+         round(tf.tf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)),
+               {SCORE_DECIMALS}) AS weight
+  FROM tf
+  JOIN df USING (term)
+  CROSS JOIN stats
+  WHERE tf.doc_id IN ({seeds_sql})
+),
+qt AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY weight DESC, term ASC
+           ) AS rn
+    FROM seed_terms
+  ) WHERE rn <= {int(max_terms)}
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM qt
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id <> qt.query_id
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, round(score_raw, {SCORE_DECIMALS}) AS score
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""

@@ -760,3 +760,77 @@ def wand_topk(
             F.round(F.col("score_raw"), SCORE_DECIMALS).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# full match-set decode (the index-backed source for facets / result-
+# shaping modes, which aggregate over EVERY matching doc — no top-k, so
+# block-max pruning does not apply; the win over the brute-force base is
+# that postings come from the compressed segments instead of a
+# re-tokenize of the corpus, and the term In() pushdown still skips
+# every row group holding no query term)
+
+MATCHSET_SCHEMA = "query_id long, doc_id long, dl long, score_raw double"
+
+
+def _matchset_kernel(k1: float, b: float, avgdl: float, span: int):
+    """applyInPandas kernel for one (query_id, doc_block) group: decode
+    every query-term posting in the block and emit the complete scored
+    match set (query_id, doc_id, dl, score_raw)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = int(pdf["query_id"].iloc[0])
+        base = int(pdf["doc_block"].iloc[0]) * span
+        block_docs = np.cumsum(
+            varint_decode(pdf["doc_ids_bin"].iloc[0]), dtype=np.uint64
+        ).astype(np.int64)
+        dl_vals = varint_decode(pdf["dls_bin"].iloc[0]).astype(np.float64)
+        scores = np.zeros(span, dtype=np.float64)
+        hit = np.zeros(span, dtype=bool)
+        for i in range(len(pdf)):
+            d, tfs = decode_postings(pdf["doc_bytes"].iloc[i],
+                                     pdf["tf_bytes"].iloc[i])
+            d = d.astype(np.int64)
+            tf = tfs.astype(np.float64)
+            dl = dl_vals[np.searchsorted(block_docs, d)]
+            idf = float(pdf["idf"].iloc[i])
+            slot = d - base
+            scores[slot] += (
+                idf * tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            )
+            hit[slot] = True
+        nz = np.flatnonzero(hit)
+        docs = nz + base
+        dls = dl_vals[np.searchsorted(block_docs, docs)].astype(np.int64)
+        return pd.DataFrame(
+            {"query_id": query_id, "doc_id": docs, "dl": dls,
+             "score_raw": scores[nz]}
+        )
+
+    return kernel
+
+
+def scored_matches_from_index(
+    spark: SparkSession,
+    handle: IndexHandle,
+    queries: DataFrame,
+    segments: DataFrame | None = None,
+    doc_lens: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, dl, score_raw) — the complete OR-semantics BM25
+    match set decoded from the compressed segments: same scatter
+    construction as :func:`wand_topk` (term In() pushdown, broadcast
+    query-term join, packed doc_lens per block), with a decode-everything
+    kernel instead of the pruning one.  score_raw agrees with the
+    brute-force base to the pinned round-6 quantum (same rank-identity
+    argument as wand_topk vs bm25_topk)."""
+    p = handle.params
+    grouped = _grouped_hits(spark, handle, queries, None, segments,
+                            doc_lens)
+    if grouped is None:
+        return spark.createDataFrame([], MATCHSET_SCHEMA)
+    kernel = _matchset_kernel(p.k1, p.b, handle.avgdl, p.doc_block_span)
+    return grouped.groupBy("query_id", "doc_block").applyInPandas(
+        kernel, schema=MATCHSET_SCHEMA
+    )

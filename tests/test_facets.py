@@ -78,23 +78,45 @@ def test_facet_msm_floor(spark, corpus, queries):
         full.agg(F.sum("n_docs")).collect()[0][0]
 
 
+def _norm(rows):
+    return sorted(
+        (int(q), f, int(n), round(float(s), 6), int(lo), int(hi),
+         round(float(av), 6))
+        for q, f, n, s, lo, hi, av in rows
+    )
+
+
 def test_facets_match_duckdb_twin(spark, corpus, queries):
     pdf = corpus.select("doc_id", "content", "lang").toPandas()
     con = duckdb.connect()
     con.register("docs", pdf)
     sql = facet_counts_sql("docs", QUERIES, "lang", text_col="content")
-    want = sorted(
-        (int(q), f, int(n), round(float(s), 6))
-        for q, f, n, s in con.execute(sql).fetchall()
-    )
-    got = sorted(
-        (q, f, n, round(s, 6))
-        for q, f, n, s in _rows(
-            facet_counts(corpus, queries, "lang", text_col="content")
-        )
-    )
+    want = _norm(con.execute(sql).fetchall())
+    got = _norm(_rows(facet_counts(corpus, queries, "lang",
+                                   text_col="content")))
     assert got == want
     assert got
+
+
+def test_facet_histogram_matches_twin_and_partitions_matchset(
+        spark, corpus, queries):
+    from instructor_embedding_spark.query.facets import (
+        facet_histogram, facet_histogram_sql,
+    )
+    pdf = corpus.select("doc_id", "content").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    got_df = facet_histogram(corpus, queries, 16, text_col="content")
+    got = _norm(_rows(got_df))
+    want = _norm(con.execute(facet_histogram_sql(
+        "docs", QUERIES, 16, text_col="content")).fetchall())
+    assert got == want
+    assert len({f for _, f, *_ in got}) > 1  # >1 length bucket
+    # histogram buckets partition the match set: counts sum to match size
+    full = facet_counts(corpus, queries, "lang", text_col="content")
+    assert got_df.groupBy("query_id").agg(
+        F.sum("n_docs").alias("n")).collect() == \
+        full.groupBy("query_id").agg(F.sum("n_docs").alias("n")).collect()
 
 
 def test_facet_plan_has_no_sort(spark, corpus, queries):

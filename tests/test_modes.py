@@ -1,0 +1,249 @@
+"""Search modes (collapse / sort / range / synonym / more-like-this):
+semantics properties plus line-for-line DuckDB twin parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from instructor_embedding_spark import datagen
+from instructor_embedding_spark.query.bm25 import bm25_topk
+from instructor_embedding_spark.query import modes
+
+QUERIES = [
+    (1, "merge sort window"),
+    (2, "fast hash join"),
+    (3, "a of the"),  # all stopwords: empty everywhere
+]
+
+SYNONYMS = [("sort", "order"), ("join", "merge")]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = datagen.corpus(spark, 240, partitions=4)
+    return base.withColumn(
+        "grp",
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    ).withColumn("n_chars", F.length("content")).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return spark.createDataFrame(QUERIES, "query_id long, query_text string")
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    pdf = corpus.select("doc_id", "content", "grp", "n_chars").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    return con
+
+
+def _twin(con, sql):
+    return sorted(
+        (int(q), int(r), int(d), round(float(s), 6))
+        for q, r, d, s in con.execute(sql).fetchall()
+    )
+
+
+# ---------------------------------------------------------------------------
+# collapse
+
+
+def test_collapse_one_hit_per_group(spark, corpus, queries):
+    got = modes.collapse_topk(corpus, queries, "grp", k=10,
+                              text_col="content")
+    joined = got.join(corpus.select("doc_id", "grp"), "doc_id")
+    per_group = joined.groupBy("query_id", "grp").count()
+    assert per_group.filter("count > 1").count() == 0
+    # each representative is its group's best-scoring doc
+    full = bm25_topk(corpus, queries, k=10 ** 9, text_col="content") \
+        .join(corpus.select("doc_id", "grp"), "doc_id")
+    best = (
+        full.groupBy("query_id", "grp")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                            F.col("doc_id"))).alias("m"))
+        .select("query_id", "grp", F.col("m.doc_id").alias("doc_id"))
+    )
+    assert _rows(joined.select("query_id", "grp", "doc_id")) == \
+        _rows(best.join(joined.select("query_id", "grp"),
+                        ["query_id", "grp"], "left_semi")
+              .select("query_id", "grp", "doc_id"))
+
+
+def test_collapse_matches_twin(spark, corpus, queries, oracle):
+    got = _rows(modes.collapse_topk(corpus, queries, "grp", k=10,
+                                    text_col="content"))
+    want = _twin(oracle, modes.collapse_topk_sql(
+        "docs", QUERIES, "grp", k=10, text_col="content"))
+    assert [(q, r, d, round(s, 6)) for q, r, d, s in got] == want
+    assert got  # non-degenerate
+    assert not [r for r in got if r[0] == 3]  # stopword query empty
+
+
+# ---------------------------------------------------------------------------
+# sort-by-field
+
+
+def test_sort_orders_by_field_not_score(spark, corpus, queries, oracle):
+    got = modes.sort_topk(corpus, queries, "n_chars", k=10,
+                          text_col="content")
+    # rank order must follow (n_chars DESC, doc_id ASC)
+    joined = got.join(corpus.select("doc_id", "n_chars"), "doc_id") \
+        .orderBy("query_id", "rank").collect()
+    for a, b in zip(joined, joined[1:]):
+        if a.query_id == b.query_id:
+            assert (a.n_chars, -a.doc_id) >= (b.n_chars, -b.doc_id)
+    want = _twin(oracle, modes.sort_topk_sql(
+        "docs", QUERIES, "n_chars", k=10, text_col="content"))
+    assert [(q, r, d, round(s, 6)) for q, r, d, s in _rows(got)] == want
+
+
+def test_sort_membership_is_the_match_set(spark, corpus, queries):
+    # sorted hits are drawn from the same OR match set as relevance top-k
+    full = bm25_topk(corpus, queries, k=10 ** 9, text_col="content")
+    got = modes.sort_topk(corpus, queries, "n_chars", k=10 ** 9,
+                          text_col="content")
+    assert _rows(got.select("query_id", "doc_id")) == \
+        _rows(full.select("query_id", "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# range filter
+
+
+def test_range_matches_doc_filter_semantics(spark, corpus, queries, oracle):
+    lo, hi = 200, 600
+    keep = corpus.filter((F.col("n_chars") >= lo) & (F.col("n_chars") < hi)) \
+        .select("doc_id")
+    want_df = bm25_topk(corpus, queries, k=10, text_col="content",
+                        doc_filter=keep)
+    got = modes.range_topk(corpus, queries, "n_chars", lo, hi, k=10,
+                           text_col="content")
+    assert _rows(got) == _rows(want_df)
+    want = _twin(oracle, modes.range_topk_sql(
+        "docs", QUERIES, "n_chars", lo, hi, k=10, text_col="content"))
+    assert [(q, r, d, round(s, 6)) for q, r, d, s in _rows(got)] == want
+    # the filter actually bites: some full-set hit is outside the range
+    n_full = bm25_topk(corpus, queries, k=10, text_col="content").count()
+    assert got.count() < n_full
+
+
+# ---------------------------------------------------------------------------
+# synonym blending
+
+
+def test_synonym_matches_twin_and_expands_matches(spark, corpus, queries,
+                                                  oracle):
+    got = modes.synonym_topk(corpus, queries, SYNONYMS, k=10,
+                             text_col="content")
+    want = _twin(oracle, modes.synonym_topk_sql(
+        "docs", QUERIES, SYNONYMS, k=10, text_col="content"))
+    assert [(q, r, d, round(s, 6)) for q, r, d, s in _rows(got)] == want
+    assert want
+
+
+def test_synonym_blend_sums_tf_max_df(spark):
+    """Hand-computable fixture: 'sort'~'order'.  A doc with only 'order'
+    matches a 'sort' query; a doc with both blends tf inside ONE
+    saturation (score strictly below two independent terms' sum)."""
+    docs = spark.createDataFrame(
+        [(1, "sort sort alpha"), (2, "order beta"), (3, "sort order"),
+         (4, "gamma delta")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, "sort")],
+                               "query_id long, query_text string")
+    got = {r.doc_id: r.score
+           for r in modes.synonym_topk(docs, qs, [("sort", "order")],
+                                       k=10).collect()}
+    assert set(got) == {1, 2, 3}  # doc 2 matches via the synonym
+    import math
+    # blended stats: df = max(df_sort, df_order) = 2, n=4, avgdl from docs
+    n, avgdl = 4.0, (3 + 2 + 2 + 2) / 4.0
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def sat(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert got[1] == pytest.approx(idf * sat(2, 3), abs=2e-6)
+    assert got[2] == pytest.approx(idf * sat(1, 2), abs=2e-6)
+    assert got[3] == pytest.approx(idf * sat(2, 2), abs=2e-6)
+    # one saturation over tf=2, NOT two independent tf=1 contributions
+    assert got[3] < 2 * idf * sat(1, 2)
+
+
+def test_synonym_without_synonyms_is_plain_bm25(spark, corpus, queries):
+    got = modes.synonym_topk(corpus, queries, [("zzznone", "zzzalt")],
+                             k=10, text_col="content")
+    want = bm25_topk(corpus, queries, k=10, text_col="content")
+    assert _rows(got) == _rows(want)
+
+
+# ---------------------------------------------------------------------------
+# more-like-this
+
+
+def test_mlt_excludes_seed_and_matches_twin(spark, corpus, oracle):
+    seeds = corpus.select("doc_id").orderBy("doc_id").limit(3)
+    got = modes.mlt_topk(corpus, seeds, k=10, text_col="content")
+    rows = _rows(got)
+    assert rows
+    for q, _, d, _ in rows:
+        assert d != q  # the seed never retrieves itself
+    want = _twin(oracle, modes.mlt_topk_sql(
+        "docs", "SELECT doc_id FROM docs ORDER BY doc_id LIMIT 3", k=10,
+        text_col="content"))
+    assert [(q, r, d, round(s, 6)) for q, r, d, s in rows] == want
+
+
+def test_mlt_seed_terms_are_top_tfidf(spark, corpus):
+    """The seed's query terms are its max_terms best tf·idf terms —
+    retrieval with those terms hand-fed through bm25_topk agrees."""
+    from instructor_embedding_spark.query.bm25 import (
+        corpus_stats, term_stats, tf_table, tokenized,
+    )
+    toks = tokenized(corpus, "content")
+    stats = corpus_stats(toks)
+    tf = tf_table(toks)
+    ts = term_stats(tf, stats)
+    seed = corpus.select("doc_id").orderBy("doc_id").limit(1)
+    sid = seed.collect()[0][0]
+    top = (
+        tf.filter(F.col("doc_id") == sid)
+        .join(ts.select("term", "idf"), "term")
+        .withColumn("w", F.round(F.col("tf") * F.col("idf"), 6))
+        .orderBy(F.col("w").desc(), F.col("term").asc())
+        .limit(modes.MLT_MAX_TERMS)
+        .select("term").collect()
+    )
+    terms = " ".join(r.term for r in top)
+    qs = corpus.sparkSession.createDataFrame(
+        [(int(sid), terms)], "query_id long, query_text string")
+    from pyspark.sql import Window
+    want = (
+        bm25_topk(corpus, qs, k=10 ** 9, text_col="content")
+        .filter(F.col("doc_id") != sid)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            ).cast("long"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    got = modes.mlt_topk(corpus, seed, k=10, text_col="content") \
+        .filter(F.col("query_id") == sid)
+    assert _rows(got) == _rows(want.select("query_id", "rank", "doc_id",
+                                           "score"))

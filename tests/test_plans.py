@@ -359,3 +359,33 @@ def test_proximity_plan_pushes_terms_and_broadcasts(spark, built):
     assert "In(term" in plan or "term IN" in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_modes_plans_are_windowgrouplimit_and_broadcast(spark, built):
+    """The search-modes plans keep the scale shapes: query-term join
+    broadcasts, every top-k / collapse rank filter is rewritten to
+    WindowGroupLimit (per-partition group-top-n before the shuffle), and
+    nothing plans a cartesian product."""
+    from instructor_embedding_spark.query import modes
+
+    _, docs = built
+    qs = datagen.queries_df(spark)
+    plans = {
+        "collapse": _formatted(
+            modes.collapse_topk(docs, qs, "lang", k=10, text_col="content")),
+        "sort": _formatted(
+            modes.sort_topk(docs, qs, "path", k=10, text_col="content")),
+        "synonym": _formatted(
+            modes.synonym_topk(docs, qs, [("sort", "order")], k=10,
+                               text_col="content")),
+        "mlt": _formatted(
+            modes.mlt_topk(docs, docs.select("doc_id").orderBy("doc_id")
+                           .limit(2), k=10, text_col="content")),
+    }
+    for name, plan in plans.items():
+        assert "BroadcastHashJoin" in plan, name
+        assert "WindowGroupLimit" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # collapse's BOTH stacked rank filters must group-limit early
+    assert plans["collapse"].count("WindowGroupLimit") >= 2
