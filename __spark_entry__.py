@@ -50,6 +50,7 @@ from instructor_embedding_spark.query import (
     phrase,
     prefix,
     snippet,
+    suggest,
     wand,
 )
 from instructor_embedding_spark.shipping import ensure_shipped
@@ -142,6 +143,40 @@ FUZZY_SET: list[tuple[int, str]] = [
     (704, "batch"),
     (704, "sortt"),
 ]
+
+#: wildcard-query fixture (ids 1201+): glob patterns (Lucene
+#: WildcardQuery) against the vocabulary — 1201 a pure-prefix glob
+#: (must rank exactly like the 601 prefix query), 1202 a single-char
+#: hole, 1203 a mid-star, 1204 a no-match probe.
+WILDCARD_SET: list[tuple[int, str]] = [
+    (1201, "mer*"),
+    (1202, "s?rt"),
+    (1203, "b*ch"),
+    (1204, "zz*qx"),
+]
+
+#: term-suggester fixture: the SAME inputs run under all three ES
+#: suggest modes (tagged), so the gated result documents the mode
+#: contrast.  The synthetic vocabulary's terms are pairwise >= 3 edits
+#: apart, so the fixture widens max_edits to 3 (default stays 2) to
+#: make every mode branch observable: 1301 one-edit typos; 1302 "data"
+#: is IN the dictionary with the low-df neighbor "dup" — always keeps
+#: it, missing drops the query, popular drops the less-frequent
+#: suggestion; 1306 "dup" is the mirror — its neighbor "data" is MORE
+#: frequent, so popular keeps what missing drops (the full three-way
+#: separation); 1303 no candidates; 1304 two equal-distance candidates
+#: (df-desc tie-break visible); 1305 mixed distances (distance-first
+#: ordering visible).
+SUGGEST_SET: list[tuple[int, str]] = [
+    (1301, "merg"),
+    (1301, "sortt"),
+    (1302, "data"),
+    (1303, "zzqqxv"),
+    (1304, "sma"),
+    (1305, "sprt"),
+    (1306, "dup"),
+]
+SUGGEST_MAX_EDITS = 3
 
 #: MUST_NOT fixture (ids 801+): positive query + per-query prohibited
 #: terms.  801 prunes a real co-occurring term, 802's prohibition never
@@ -336,7 +371,10 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc_id) per query becomes the cursor and the entry returns page 2
       (ranks restart at 1); the oracle is ranks k+1..2k of the full
       ranking, rank-shifted, which the stitching property guarantees
-      equal."""
+      equal;
+    - ids 1201+: wildcard (glob) retrieval — LIKE-translated dictionary
+      expansion (leading wildcard rejected), capped ascending-term,
+      through the unchanged WAND machinery."""
     handle = _tombstoned_index_for(spark, sf_dir)
     doc_filter = _docs(spark, sf_dir).filter(F.col("lang") == "zh").select(
         "doc_id"
@@ -358,6 +396,7 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pfx = prefix.prefix_topk(spark, handle, PREFIX_SET, k=TOP_K)
     fz = prefix.fuzzy_topk(spark, handle, FUZZY_SET, k=TOP_K)
+    wc = prefix.wildcard_topk(spark, handle, WILDCARD_SET, k=TOP_K)
     neg = wand.wand_topk(
         spark, handle,
         spark.createDataFrame(NOT_POS_SET, "query_id long, query_text string"),
@@ -396,7 +435,7 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         base.unionByName(live).unionByName(fresh).unionByName(conj)
-        .unionByName(pfx).unionByName(fz).unionByName(neg)
+        .unionByName(pfx).unionByName(fz).unionByName(wc).unionByName(neg)
         .unionByName(msm).unionByName(bst).unionByName(page2)
     )
 
@@ -934,22 +973,46 @@ FROM a JOIN q USING (bucket) CROSS JOIN p
 """
 
 
-def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """token_counts + M7 min-max over n_chars WITHOUT a doc_id join
-    shuffle: n_chars rides the token_counts projection (extra_cols) and
-    the global (min, max) is a 1-row broadcast crossJoined on — one wide
-    scan plus one n_chars-pruned agg branch, zero shuffles (the earlier
-    join-on-doc_id formulation scanned documents three times and
-    shuffled every row for a 2-value broadcast)."""
+def _q_search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term suggestion over the index's term dictionary: SUGGEST_SET
+    under all three ES suggest modes (always / missing / popular) in one
+    mode-tagged union.  Dictionary-only — term_stats is one row per
+    distinct term, orders of magnitude smaller than postings; the
+    suggest set broadcasts into a first-char hash join with a
+    length-band prune before the threshold-form edit-distance kernel."""
+    handle = _index_for(spark, sf_dir)
+    ts = handle.term_stats(spark)
+    parts = [
+        suggest.term_suggest(spark, ts, SUGGEST_SET,
+                             max_edits=SUGGEST_MAX_EDITS, mode=m)
+        .withColumn("mode", F.lit(m))
+        for m in suggest.MODES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_scores + token_counts + M7 min-max over n_chars as ONE
+    per-doc projection chain WITHOUT a doc_id join shuffle (r5: the two
+    former entries merged to free a registry slot for search_suggest):
+    token-count columns and n_chars ride the scan (extra_cols), the
+    global (min, max) is a 1-row broadcast crossJoined on, and the
+    quality family is computed over the SAME projection via its own
+    extra_cols passthrough — one wide scan plus one n_chars-pruned agg
+    branch, zero shuffles (a join-on-doc_id formulation would scan
+    documents three times and shuffle every row)."""
     d = _docs(spark, sf_dir)
     stats = d.agg(
         F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
     )
-    return (
-        text_stats.token_counts(d, extra_cols=("n_chars",))
+    counted = (
+        text_stats.token_counts(d, extra_cols=("n_chars", "text"))
         .crossJoin(F.broadcast(stats))
         .select(
-            "doc_id", "ws_tokens", "bpe_ish_tokens", "chars",
+            "doc_id", "text", "ws_tokens", "bpe_ish_tokens", "chars",
             F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
             .otherwise(
                 F.round(
@@ -960,6 +1023,29 @@ def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .alias("n_chars_norm"),
         )
+    )
+    return text_stats.quality_scores(
+        counted,
+        extra_cols=("ws_tokens", "bpe_ish_tokens", "chars", "n_chars_norm"),
+    )
+
+
+def _text_doc_profile_sql() -> str:
+    """The merged text_doc_profile oracle: quality twin ⋈ token-count
+    twin (+ the broadcast 1-row min-max).  The join is oracle-side
+    only; the Spark plan stays a single projection chain."""
+    return (
+        "WITH q AS ("
+        + text_stats.quality_scores_sql("documents")
+        + "), t AS ("
+        + text_stats.token_counts_sql("documents", extra_cols=("n_chars",))
+        + "), s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx"
+        "   FROM documents)"
+        " SELECT q.*, t.ws_tokens, t.bpe_ish_tokens, t.chars,"
+        " CASE WHEN s.mx = s.mn THEN 0.0"
+        " ELSE round((t.n_chars - s.mn) * 1.0 / (s.mx - s.mn), 6)"
+        " END AS n_chars_norm"
+        " FROM q JOIN t USING (doc_id) CROSS JOIN s"
     )
 
 
@@ -1202,14 +1288,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=3,
             threshold=0.3,
         ),
-        # text analysis (documents table)
-        "text_quality_scores": lambda s, d: text_stats.quality_scores(
-            _docs(s, d)
-        ),
-        # token counts + M7 min-max normalization in one per-doc entry
-        # (r4: stat_minmax_chars merged in — a strict projection over the
-        # same table — to free a registry slot under the 50-entry cap)
-        "text_token_counts": _q_text_token_counts,
+        # text analysis (documents table): quality + token counts + M7
+        # min-max in ONE single-scan per-doc entry (r5: the former
+        # text_quality_scores and text_token_counts merged to free a
+        # registry slot for search_suggest)
+        "text_doc_profile": _q_text_doc_profile,
+        # term suggester ("did you mean"): the SAME inputs under all
+        # three ES suggest modes, mode-tagged — dictionary-only (no
+        # postings), broadcast suggest set, threshold-form levenshtein
+        "search_suggest": lambda s, d: _q_search_suggest(s, d),
         "text_lang_profile": lambda s, d: text_stats.lang_profile(_docs(s, d)),
         "text_doc_fingerprints": lambda s, d: text_stats.doc_fingerprints(
             _docs(s, d)
@@ -1492,14 +1579,14 @@ def oracle_sql() -> dict[str, str]:
         "clustering_kmeans_vmeasure": clustering.v_measure_sql(
             clustering.kmeans_lloyd_sql("embeddings", k=KMEANS_K)
         ),
-        "text_quality_scores": text_stats.quality_scores_sql("documents"),
-        "text_token_counts": (
-            "SELECT t.doc_id, t.ws_tokens, t.bpe_ish_tokens, t.chars, "
-            "m.x_norm AS n_chars_norm FROM ("
-            + text_stats.token_counts_sql("documents")
-            + ") t JOIN ("
-            + text_stats.minmax_normalize_sql("documents", "n_chars")
-            + ") m ON t.doc_id = m.doc_id"
+        "text_doc_profile": _text_doc_profile_sql(),
+        "search_suggest": " UNION ALL ".join(
+            f"SELECT *, '{m}' AS mode FROM ("
+            + suggest.term_suggest_sql(
+                "documents", SUGGEST_SET, max_edits=SUGGEST_MAX_EDITS,
+                mode=m, text_col="text")
+            + ")"
+            for m in suggest.MODES
         ),
         "text_lang_profile": text_stats.lang_profile_sql("documents"),
         "text_doc_fingerprints": text_stats.doc_fingerprints_sql("documents"),
@@ -1664,6 +1751,11 @@ ORDER BY doc_id LIMIT 50
             + ") UNION ALL SELECT * FROM ("
             + prefix.fuzzy_topk_sql(
                 "documents", FUZZY_SET, k=TOP_K, text_col="text",
+            )
+            # wildcard (glob) retrieval: LIKE-translated expansion
+            + ") UNION ALL SELECT * FROM ("
+            + prefix.wildcard_topk_sql(
+                "documents", WILDCARD_SET, k=TOP_K, text_col="text",
             )
             # MUST_NOT: drop (query, doc) on any prohibited-term hit
             + ") UNION ALL SELECT * FROM ("

@@ -20,17 +20,21 @@ _STOP_SQL = stopword_sql_list()
 
 
 def quality_scores(docs: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, n_tokens, n_distinct, distinct_ratio, stopword_ratio,
-    mean_token_len, quality) per doc.
+                   id_col: str = "doc_id",
+                   extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id[, *extra_cols], n_tokens, n_distinct, distinct_ratio,
+    stopword_ratio, mean_token_len, quality) per doc.
 
     quality = distinct_ratio * (1 - stopword_ratio) * min(n_tokens, 200)/200
     — a simple monotone composite: repetitive, stopword-heavy, or very
-    short docs score low."""
+    short docs score low.  ``extra_cols`` pass through unchanged so
+    composed entries stay a single projection instead of re-joining on
+    doc_id (same contract as :func:`token_counts`)."""
     toks = tokens_col(text_col)
     ws = F.split(F.lower(F.col(text_col)), r"\s+")
     d = docs.select(
         F.col(id_col).alias("doc_id"),
+        *extra_cols,
         toks.alias("toks"),
         ws.alias("ws"),
     )
@@ -42,6 +46,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text",
     )
     out = d.select(
         "doc_id",
+        *extra_cols,
         n_tok.cast("long").alias("n_tokens"),
         n_dis.cast("long").alias("n_distinct"),
         F.round(
@@ -125,9 +130,12 @@ def token_counts(docs: DataFrame, text_col: str = "text",
 
 
 def token_counts_sql(table: str, text_col: str = "text",
-                     id_col: str = "doc_id") -> str:
+                     id_col: str = "doc_id",
+                     extra_cols: tuple[str, ...] = ()) -> str:
+    extra = "".join(f"       {c},\n" for c in extra_cols)
     return f"""
 SELECT {id_col} AS doc_id,
+{extra}
        CAST(len(string_split_regex(trim({text_col}), '\\s+')) AS BIGINT)
          AS ws_tokens,
        CAST(len(regexp_extract_all({text_col},

@@ -264,3 +264,105 @@ qt AS (
   SELECT DISTINCT query_id, term FROM expanded WHERE rn <= {max_expansions}
 )"""
     return _expansion_bm25_sql(table, ctes, k, text_col, id_col)
+
+
+# --------------------------------------------------------------- wildcard
+
+
+def glob_to_like(pattern: str) -> str:
+    """Translate a Lucene-style wildcard pattern (``*`` = any run,
+    ``?`` = any single char) into a SQL LIKE pattern with ``\\`` as the
+    escape char — identical semantics in Spark (LIKE's default escape)
+    and DuckDB (``ESCAPE '\\'``).  Literal ``%``/``_``/``\\`` in the
+    pattern are escaped so they match themselves."""
+    out = []
+    for ch in pattern:
+        if ch in ("\\", "%", "_"):
+            out.append("\\" + ch)
+        elif ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def expand_wildcards(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    patterns: list[tuple[int, str]],
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> DataFrame:
+    """(query_id, term): every dictionary term matching the glob pattern
+    (Lucene WildcardQuery), capped at ``max_expansions`` per (query,
+    pattern) in ascending term order, distinct per query.
+
+    A leading wildcard is rejected (the Elasticsearch
+    ``allow_leading_wildcard: false`` guard): with a literal first
+    character the dictionary probe stays prefix-prunable; ``*foo`` would
+    force a full-vocabulary pattern scan per query at any scale."""
+    for _, p in patterns:
+        if not p or p[0] in "*?":
+            raise ValueError(
+                f"leading wildcard not allowed (got {p!r}); anchor the "
+                "pattern with at least one literal character"
+            )
+    wp = spark.createDataFrame(
+        [(qid, glob_to_like(p)) for qid, p in patterns],
+        "query_id long, likep string",
+    )
+    w = Window.partitionBy("query_id", "likep").orderBy("term")
+    return (
+        term_stats.select("term")
+        .join(F.broadcast(wp), F.expr("term LIKE likep"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_expansions)
+        .select("query_id", "term")
+        .distinct()
+    )
+
+
+def wildcard_topk(
+    spark: SparkSession,
+    handle: IndexHandle,
+    patterns: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    **kwargs,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — BM25 top-k over the wildcard
+    expansion (the Lucene top-terms rewrite: each expanded term scores
+    with its own idf); rank-identical to :func:`wildcard_topk_sql`."""
+    from instructor_embedding_spark.query.wand import wand_topk
+
+    qt = expand_wildcards(spark, handle.term_stats(spark), patterns,
+                          max_expansions)
+    return wand_topk(spark, handle, queries=None, k=k, qt_override=qt,
+                     **kwargs)
+
+
+def wildcard_topk_sql(
+    table: str,
+    patterns: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> str:
+    """DuckDB oracle: the same LIKE-translated expansion (ascending-term
+    cap, distinct per query) over a first-principles df dictionary, then
+    the standard BM25 ranking."""
+    likes = [(qid, glob_to_like(p)) for qid, p in patterns]
+    ctes = f"""wp(query_id, likep) AS (VALUES {_vals(likes)}),
+expanded AS (
+  SELECT query_id, term,
+         row_number() OVER (
+           PARTITION BY query_id, likep ORDER BY term
+         ) AS rn
+  FROM wp JOIN df ON df.term LIKE likep ESCAPE '\\'
+),
+qt AS (
+  SELECT DISTINCT query_id, term FROM expanded WHERE rn <= {max_expansions}
+)"""
+    return _expansion_bm25_sql(table, ctes, k, text_col, id_col)

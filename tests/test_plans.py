@@ -389,3 +389,39 @@ def test_modes_plans_are_windowgrouplimit_and_broadcast(spark, built):
         assert "BroadcastNestedLoopJoin" not in plan, name
     # collapse's BOTH stacked rank filters must group-limit early
     assert plans["collapse"].count("WindowGroupLimit") >= 2
+
+
+def test_suggest_plan_is_broadcast_hash_join_no_postings(spark, built):
+    """The term-suggester plan: the suggest set broadcasts into a HASH
+    join on the shared first-char key (never a cartesian pattern scan),
+    and only the term dictionary is read — no segments/postings scan."""
+    from instructor_embedding_spark.query.suggest import term_suggest
+
+    h, _ = built
+    plan = _formatted(term_suggest(
+        spark, h.term_stats(spark), [(1, "merg"), (2, "hsah")]
+    ))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "segments" not in plan  # dictionary-only: postings untouched
+
+
+def test_wildcard_expansion_is_dictionary_only_pattern_probe(spark, built):
+    """Wildcard expansion scans ONLY the term dictionary: the broadcast
+    pattern probe may be a nested-loop join (LIKE is not an equi key) but
+    it is bounded by |vocab| x |patterns|, never a postings cartesian —
+    and the retrieval it feeds keeps the standard pushdown + broadcast
+    shape."""
+    from instructor_embedding_spark.query.prefix import (
+        expand_wildcards,
+        wildcard_topk,
+    )
+
+    h, _ = built
+    exp_plan = _formatted(
+        expand_wildcards(spark, h.term_stats(spark), [(1, "mer*")])
+    )
+    assert "segments" not in exp_plan  # dictionary-only probe
+    assert "CartesianProduct" not in exp_plan
+    full = _formatted(wildcard_topk(spark, h, [(1, "mer*")], k=10))
+    assert "In(term" in full or "BroadcastHashJoin" in full, full[:1500]
