@@ -228,6 +228,10 @@ MODES_RANGE: tuple[int, int] = (150, 420)
 MODES_MLT_SEEDS = 3
 #: dl histogram bucket width for the facets entry (tokens).
 FACET_HISTO_INTERVAL = 16
+#: significant_terms (ES JLH) knobs: top-5 terms per query, ES's default
+#: min_doc_count=3 foreground prune.
+SIG_TERMS_SIZE = 5
+SIG_TERMS_MIN_DOC_COUNT = 3
 
 
 def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,6 +998,52 @@ def _q_search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three ES aggregations over one index-decoded match set, kind-
+    tagged into one union: terms agg on ``lang`` (+ dl stats sub-agg),
+    dl histogram agg, and significant_terms (JLH).  The sig rows map
+    into the shared shape as facet=term, n_docs=fg_df,
+    top_score=sig_score, with the dl-stats columns NULL and a
+    ``bg_df`` column the facet kinds leave NULL."""
+    handle = _index_for(spark, sf_dir)
+    qdf = _queries_df(spark)
+    null_long = F.lit(None).cast("long")
+    terms = (
+        facets.facet_counts_from_index(
+            spark, handle, qdf,
+            _docs(spark, sf_dir).select("doc_id",
+                                        F.col("lang").alias("facet")),
+        )
+        .withColumn("bg_df", null_long)
+        .withColumn("kind", F.lit("terms_lang"))
+    )
+    histo = (
+        facets.facet_histogram_from_index(
+            spark, handle, qdf, FACET_HISTO_INTERVAL,
+        )
+        .withColumn("bg_df", null_long)
+        .withColumn("kind", F.lit("histo_dl"))
+    )
+    sig = (
+        facets.significant_terms_from_index(
+            spark, handle, qdf, _docs(spark, sf_dir),
+            size=SIG_TERMS_SIZE, min_doc_count=SIG_TERMS_MIN_DOC_COUNT,
+        )
+        .select(
+            "query_id",
+            F.col("term").alias("facet"),
+            F.col("fg_df").alias("n_docs"),
+            F.col("sig_score").alias("top_score"),
+            null_long.alias("min_dl"),
+            null_long.alias("max_dl"),
+            F.lit(None).cast("double").alias("avg_dl"),
+            "bg_df",
+        )
+        .withColumn("kind", F.lit("sig_terms"))
+    )
+    return terms.unionByName(histo).unionByName(sig)
+
+
 def _q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quality_scores + token_counts + M7 min-max over n_chars as ONE
     per-doc projection chain WITHOUT a doc_id join shuffle (r5: the two
@@ -1239,19 +1289,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # faceted search over the FULL matching set — scan → score →
         # hash aggregate, no top-k window (the Elasticsearch terms-agg
         # analog, with a dl stats sub-agg); the histogram half buckets
-        # the same match set by doc length (ES histogram agg).  Both
-        # halves are served from the COMPRESSED INDEX (match set decoded
-        # via scored_matches_from_index: term In() pushdown + broadcast
-        # qt join; histogram dl comes straight off packed doc_lens) and
-        # gated against the first-principles brute-force SQL oracle.
-        "search_facets": lambda s, d: facets.facet_counts_from_index(
-            s, _index_for(s, d), _queries_df(s),
-            _docs(s, d).select("doc_id", F.col("lang").alias("facet")),
-        ).withColumn("kind", F.lit("terms_lang")).unionByName(
-            facets.facet_histogram_from_index(
-                s, _index_for(s, d), _queries_df(s), FACET_HISTO_INTERVAL,
-            ).withColumn("kind", F.lit("histo_dl"))
-        ),
+        # the same match set by doc length (ES histogram agg); the
+        # sig_terms half is the ES significant_terms agg (JLH heuristic)
+        # over the same match set.  All halves are served from the
+        # COMPRESSED INDEX (match set decoded via
+        # scored_matches_from_index: term In() pushdown + broadcast qt
+        # join; histogram dl comes straight off packed doc_lens;
+        # sig_terms background df comes off the term dictionary with
+        # only the MATCHED docs re-tokenized) and gated against the
+        # first-principles brute-force SQL oracle.
+        "search_facets": _q_search_facets,
         # result-shaping / query-expansion search modes (collapse, sort,
         # range, Lucene SynonymQuery blending, more-like-this), one
         # mode-tagged union over the shared scored match set
@@ -1547,13 +1594,24 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "search_facets": (
-            "SELECT *, 'terms_lang' AS kind FROM ("
+            "SELECT *, CAST(NULL AS BIGINT) AS bg_df,"
+            " 'terms_lang' AS kind FROM ("
             + facets.facet_counts_sql(
                 "documents", DRIVER_QUERY_SET, "lang", text_col="text")
-            + ") UNION ALL SELECT *, 'histo_dl' AS kind FROM ("
+            + ") UNION ALL SELECT *, CAST(NULL AS BIGINT) AS bg_df,"
+            " 'histo_dl' AS kind FROM ("
             + facets.facet_histogram_sql(
                 "documents", DRIVER_QUERY_SET, FACET_HISTO_INTERVAL,
                 text_col="text")
+            + ") UNION ALL SELECT query_id, term AS facet,"
+            " fg_df AS n_docs, sig_score AS top_score,"
+            " CAST(NULL AS BIGINT) AS min_dl,"
+            " CAST(NULL AS BIGINT) AS max_dl,"
+            " CAST(NULL AS DOUBLE) AS avg_dl, bg_df,"
+            " 'sig_terms' AS kind FROM ("
+            + facets.significant_terms_sql(
+                "documents", DRIVER_QUERY_SET, size=SIG_TERMS_SIZE,
+                min_doc_count=SIG_TERMS_MIN_DOC_COUNT, text_col="text")
             + ")"
         ),
         "search_modes": _modes_sql(),

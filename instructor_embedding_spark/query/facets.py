@@ -16,7 +16,7 @@ re-expressed as Spark hash aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from instructor_embedding_spark.functions.tokenize import sql_tokens_expr
@@ -158,6 +158,190 @@ def facet_histogram_from_index(spark, handle, queries: DataFrame,
     )
     m = scored_matches_from_index(spark, handle, queries)
     return _bucket_agg(m.withColumn("facet", _histo_bucket(interval)))
+
+
+# ------------------------------------------------------------ sig terms
+#
+# Elasticsearch significant_terms aggregation with the default JLH
+# heuristic: for the FOREGROUND set (docs matching the query, OR
+# semantics) score every term by how over-represented it is vs the
+# BACKGROUND (the whole corpus):
+#
+#   fgr = fg_df / fg_n          (share of matching docs containing term)
+#   bgr = bg_df / n_docs        (share of all docs containing term)
+#   jlh = (fgr - bgr) * (fgr / bgr)   iff fgr > bgr, else dropped
+#
+# (SignificantTermsAggregatorFactory's JLHScoreBackend; the reference
+# repo has no aggregation layer — this is the standard engine companion
+# feature, like the facets above.)  All inputs are exact BIGINT counts,
+# and both engines evaluate the same IEEE op sequence (two long/long →
+# double divisions, subtract, divide, multiply), so the round-6 score
+# and the (score DESC, term ASC) top-``size`` cut are reproduced
+# bit-identically by the DuckDB twin.
+
+
+def _sig_from_matchset(
+    matches: DataFrame,
+    doc_terms: DataFrame,
+    term_df: DataFrame,
+    n_docs: int,
+    size: int,
+    min_doc_count: int,
+) -> DataFrame:
+    """Shared kernel: ``matches`` = (query_id, doc_id) foreground set,
+    ``doc_terms`` = distinct (doc_id, term) pairs, ``term_df`` = (term,
+    df) background dictionary.
+
+    Scale shape: fg_n is a per-query scalar (broadcast); the foreground
+    term count shuffles |matches| × terms-per-doc rows hashed on (query,
+    term) with map-side partial aggregation; ``min_doc_count`` prunes
+    the long tail BEFORE the dictionary join; the final top-``size``
+    window is per-query over the surviving candidates only
+    (WindowGroupLimit)."""
+    fg_n = matches.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("fg_n")
+    )
+    fg = (
+        matches.join(doc_terms, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+        .filter(F.col("fg_df") >= min_doc_count)
+    )
+    j = (
+        fg.join(F.broadcast(fg_n), "query_id")
+        .join(term_df.select("term", "df"), "term")
+        .withColumn("fgr", F.col("fg_df") / F.col("fg_n"))
+        .withColumn("bgr", F.col("df") / F.lit(float(n_docs)))
+        .filter(F.col("fgr") > F.col("bgr"))
+        .withColumn(
+            "sig_score",
+            F.round(
+                (F.col("fgr") - F.col("bgr"))
+                * (F.col("fgr") / F.col("bgr")),
+                SCORE_DECIMALS,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sig_score"), F.asc("term")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= size)
+        .select(
+            "query_id",
+            "term",
+            "fg_df",
+            F.col("df").alias("bg_df"),
+            "sig_score",
+        )
+    )
+
+
+def significant_terms(
+    docs: DataFrame,
+    queries: DataFrame,
+    size: int = 5,
+    min_doc_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, term, fg_df, bg_df, sig_score) — the top-``size`` JLH
+    significant terms of each query's match set (brute-force base: one
+    corpus tokenize feeds foreground, background, and the match set)."""
+    toks = tokenized(docs, text_col, id_col)
+    stats = corpus_stats(toks)
+    tf = tf_table(toks)
+    ts = term_stats(tf, stats)
+    qt = query_terms(queries)
+    matches = (
+        tf.join(F.broadcast(qt), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    # tf already holds one row per distinct (doc_id, term)
+    return _sig_from_matchset(
+        matches, tf.select("doc_id", "term"), ts, stats.n_docs,
+        size, min_doc_count,
+    )
+
+
+def significant_terms_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    docs: DataFrame,
+    size: int = 5,
+    min_doc_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Index-served variant: the match set decodes from the compressed
+    segments (term In() pushdown), the background df comes straight off
+    the index's term dictionary, and ONLY the matched documents are
+    re-tokenized for the foreground counts — the doc-store access is a
+    semi-join-pruned scan, the engine's term-vectors analog.  Parity
+    with :func:`significant_terms` is pytest-asserted."""
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+    matches = scored_matches_from_index(spark, handle, queries).select(
+        "query_id", "doc_id"
+    )
+    matched_docs = docs.join(
+        matches.select(F.col("doc_id").alias(id_col)).distinct(), id_col
+    )
+    doc_terms = tokenized(matched_docs, text_col, id_col).select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+    )
+    return _sig_from_matchset(
+        matches, doc_terms, handle.term_stats(spark), handle.n_docs,
+        size, min_doc_count,
+    )
+
+
+def significant_terms_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    size: int = 5,
+    min_doc_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`significant_terms`: same
+    exact-count inputs, same IEEE op order (BIGINT ``/`` is double
+    division in DuckDB too), same round-6 + (score DESC, term) cut."""
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+m AS (SELECT DISTINCT query_id, doc_id FROM scored),
+fgn AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS fg_n FROM m GROUP BY query_id
+),
+fg AS (
+  SELECT m.query_id, tf.term, CAST(count(*) AS BIGINT) AS fg_df
+  FROM m JOIN tf USING (doc_id)
+  GROUP BY m.query_id, tf.term
+  HAVING count(*) >= {int(min_doc_count)}
+),
+sig AS (
+  SELECT fg.query_id, fg.term, fg.fg_df, df.df AS bg_df,
+         fg.fg_df / fgn.fg_n AS fgr,
+         df.df / stats.n AS bgr
+  FROM fg JOIN fgn USING (query_id) JOIN df USING (term) CROSS JOIN stats
+),
+sigscore AS (
+  SELECT query_id, term, fg_df, bg_df,
+         round((fgr - bgr) * (fgr / bgr), {SCORE_DECIMALS}) AS sig_score
+  FROM sig WHERE fgr > bgr
+)
+SELECT query_id, term, fg_df, bg_df, sig_score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sig_score DESC, term
+  ) AS rn
+  FROM sigscore
+)
+WHERE rn <= {int(size)}
+"""
 
 
 def _scored_ctes_sql(
