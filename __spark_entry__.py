@@ -226,6 +226,19 @@ MODES_SYNONYM_SET: list[tuple[str, str]] = [
 #: filter bites without emptying any query's hit list.
 MODES_RANGE: tuple[int, int] = (150, 420)
 MODES_MLT_SEEDS = 3
+#: rescore fixture (ids 2401+): the query text doubles as the rescore
+#: phrase (ES QueryRescorer with a match_phrase rescorer) — 2401/2402
+#: real corpus phrases (boost observable), 2403 a 3-term phrase, 2404
+#: carries a term that kills adjacency (pf=0 everywhere → final order
+#: must equal pure primary, the degeneracy probe).
+MODES_RESCORE_SET: list[tuple[int, str]] = [
+    (2401, "merge sort"),
+    (2402, "hash join"),
+    (2403, "fast key order"),
+    (2404, "merge sort zzqqxv"),
+]
+MODES_RESCORE_WINDOW = 30
+MODES_RESCORE_WEIGHT = 2.0
 #: dl histogram bucket width for the facets entry (tokens).
 FACET_HISTO_INTERVAL = 16
 #: significant_terms (ES JLH) knobs: top-5 terms per query, ES's default
@@ -283,6 +296,11 @@ def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         modes.mlt_topk(docs, seeds, k=TOP_K).withColumn(
             "mode", F.lit("mlt")
         ),
+        modes.rescore_topk(
+            spark, docs, MODES_RESCORE_SET, handle.positions(spark),
+            k=TOP_K, window_size=MODES_RESCORE_WINDOW,
+            rescore_weight=MODES_RESCORE_WEIGHT,
+        ).withColumn("mode", F.lit("rescore_phrase")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -311,6 +329,10 @@ def _modes_sql() -> str:
             f"SELECT doc_id FROM documents ORDER BY doc_id "
             f"LIMIT {MODES_MLT_SEEDS}",
             k=TOP_K)),
+        ("rescore_phrase", modes.rescore_topk_sql(
+            "documents", MODES_RESCORE_SET, k=TOP_K,
+            window_size=MODES_RESCORE_WINDOW,
+            rescore_weight=MODES_RESCORE_WEIGHT)),
     ]
     return " UNION ALL ".join(
         f"SELECT *, '{tag}' AS mode FROM ({sql})" for tag, sql in tagged

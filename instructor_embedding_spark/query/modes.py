@@ -55,6 +55,7 @@ __all__ = [
     "range_topk", "range_topk_sql",
     "synonym_topk", "synonym_topk_sql",
     "mlt_topk", "mlt_topk_sql",
+    "rescore_topk", "rescore_topk_sql",
     "MLT_MAX_TERMS",
     "collapse_over",
     "sort_over",
@@ -562,4 +563,206 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# rescore (Elasticsearch QueryRescorer: second-pass rerank of the top
+# primary window with a phrase query, query_weight / rescore_query_weight
+# blend — the standard precision pass over a cheap recall pass)
+
+
+def rescore_topk(
+    spark,
+    docs: DataFrame,
+    queries_values: list[tuple[int, str]],
+    positions: DataFrame,
+    k: int = 10,
+    window_size: int = 30,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — BM25 OR-semantics primary pass,
+    then the top ``window_size`` docs per query are re-scored as
+
+        final = query_weight · bm25
+              + rescore_weight · phrase_score(pf, dl, Σ idf)
+
+    where pf is the exact-adjacency phrase frequency of the WHOLE query
+    text (the positions-index kernel) and phrase_score is the standard
+    BM25 saturation with tf→pf and idf→the sum of the phrase terms' idfs
+    (duplicates counted, df=0 terms falling back to the Lucene
+    ln(1+(N+0.5)/0.5)) — Lucene's PhraseQuery scoring shape.  Docs
+    outside the primary window can never enter the result (ES rescore
+    semantics); a phrase with zero corpus occurrences degrades to pure
+    primary order.
+
+    Scale shape: the window is ``|queries| × window_size`` rows (tiny) —
+    every rescore join after the primary pass broadcasts or hashes on
+    that bounded set; the phrase-frequency decode prunes the positions
+    scan to the phrase's terms via the same In() pushdown as
+    phrase_topk.  A serving deployment would additionally semi-join the
+    window's doc set into the positions decode; at gate scale the
+    kernel's matched-docs output is already small."""
+    import math
+
+    from instructor_embedding_spark.functions.tokenize import tokens_col
+    from instructor_embedding_spark.query.phrase import phrase_topk
+
+    qdf = spark.createDataFrame(
+        queries_values, "query_id long, query_text string"
+    )
+    toks = tokenized(docs, text_col, id_col)
+    stats = corpus_stats(toks)
+    tf = tf_table(toks)
+    ts = term_stats(tf, stats)
+    qt = query_terms(qdf)
+    contrib = bm25_score_col(
+        F.col("tf"), F.col("dl"), F.col("idf"), stats.avgdl
+    )
+    scored = (
+        tf.join(ts.select("term", "idf"), "term")
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score_raw"))
+    )
+    wsel = Window.partitionBy("query_id").orderBy(
+        _r6().desc(), F.col("doc_id")
+    )
+    win = (
+        scored.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") <= window_size)
+        .drop("rn")
+    )
+    pf = (
+        phrase_topk(spark, positions, queries_values, k=2 ** 62)
+        .filter(F.col("matches") > 0)
+        .select(
+            F.col("phrase_id").alias("query_id"), "doc_id",
+            F.col("matches").alias("pf"),
+        )
+    )
+    idf0 = math.log(1.0 + (float(stats.n_docs) + 0.5) / 0.5)
+    qidf = (
+        qdf.select(
+            "query_id", F.explode(tokens_col("query_text")).alias("term")
+        )
+        .join(ts.select("term", "idf"), "term", "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("idf"), F.lit(idf0))).alias("idf_sum"))
+    )
+    phrase_contrib = bm25_score_col(
+        F.col("pf"), F.col("dl"), F.col("idf_sum"), stats.avgdl
+    )
+    final = (
+        win.join(pf, ["query_id", "doc_id"], "left")
+        .withColumn("pf", F.coalesce(F.col("pf"), F.lit(0).cast("long")))
+        .join(toks.select("doc_id", "dl"), "doc_id")
+        .join(F.broadcast(qidf), "query_id")
+        .withColumn(
+            "final_raw",
+            F.lit(float(query_weight)) * F.col("score_raw")
+            + F.lit(float(rescore_weight)) * phrase_contrib,
+        )
+    )
+    wfin = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("final_raw"), SCORE_DECIMALS).desc(), F.col("doc_id")
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(wfin).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.round(F.col("final_raw"), SCORE_DECIMALS).alias("score"),
+        )
+    )
+
+
+def rescore_topk_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    k: int = 10,
+    window_size: int = 30,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`rescore_topk`: phrase
+    frequencies from a first-principles list_filter adjacency scan (the
+    phrase gate's cross-check), identical blend-op association."""
+    from instructor_embedding_spark.functions.tokenize import tokenize_py
+
+    branches = []
+    for qid, text in queries_values:
+        terms = tokenize_py(text)
+        if not terms:
+            continue
+        m = len(terms)
+        cond = " AND ".join(
+            f"tokens[i + {j}] = '{terms[j]}'" for j in range(m)
+        )
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"CAST(len(list_filter(range(1, len(tokens) - {m} + 2), "
+            f"i -> {cond})) AS BIGINT) AS pf FROM toks"
+        )
+    pf_union = " UNION ALL ".join(branches) or (
+        "SELECT CAST(NULL AS BIGINT) AS query_id, "
+        "CAST(NULL AS BIGINT) AS doc_id, "
+        "CAST(NULL AS BIGINT) AS pf WHERE false"
+    )
+    qw = float(query_weight)
+    rw = float(rescore_weight)
+    return f"""
+WITH {_base_ctes(table, text_col, id_col)},
+{_scored_ctes(queries_values)},
+win AS (
+  SELECT query_id, doc_id, score_raw FROM (
+    SELECT query_id, doc_id, score_raw,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS rn
+    FROM scored
+  ) WHERE rn <= {int(window_size)}
+),
+pf AS (SELECT * FROM ({pf_union}) WHERE pf > 0),
+qk AS (
+  SELECT query_id, unnest({sql_tokens_expr('query_text')}) AS term FROM q
+),
+qidf AS (
+  SELECT qk.query_id,
+         sum(CASE WHEN df.df IS NULL
+                  THEN ln(1 + (stats.n + 0.5) / 0.5)
+                  ELSE ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             END) AS idf_sum
+  FROM qk LEFT JOIN df USING (term) CROSS JOIN stats
+  GROUP BY qk.query_id
+),
+final AS (
+  SELECT w.query_id, w.doc_id,
+         {qw} * w.score_raw
+         + {rw} * (qidf.idf_sum
+             * (coalesce(pf.pf, 0) * ({K1} + 1.0)
+                / (coalesce(pf.pf, 0)
+                   + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))))
+           AS final_raw
+  FROM win w
+  LEFT JOIN pf ON pf.query_id = w.query_id AND pf.doc_id = w.doc_id
+  JOIN dl ON w.doc_id = dl.doc_id
+  JOIN qidf ON qidf.query_id = w.query_id
+  CROSS JOIN stats
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(final_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, round(final_raw, {SCORE_DECIMALS}) AS score
+  FROM final
+) WHERE rank <= {int(k)}
 """
