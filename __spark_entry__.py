@@ -178,6 +178,19 @@ SUGGEST_SET: list[tuple[int, str]] = [
 ]
 SUGGEST_MAX_EDITS = 3
 
+#: phrase-suggester fixture (ids 1311+, mode='phrase'): whole-query
+#: "did you mean" with the collate co-occurrence check — 1311 corrects
+#: both positions; 1312 pairs two real terms that may or may not
+#: co-occur (collate decides, oracle agrees either way); 1313 carries a
+#: nonsense term with no corrections, so every candidate phrase fails
+#: collate → zero rows (the kill probe).
+PHRASE_SUGGEST_SET: list[tuple[int, str]] = [
+    (1311, "merg sortt"),
+    (1312, "window hsah"),
+    (1313, "zzqqxv merge"),
+]
+PHRASE_SUGGEST_K = 3
+
 #: MUST_NOT fixture (ids 801+): positive query + per-query prohibited
 #: terms.  801 prunes a real co-occurring term, 802's prohibition never
 #: matches (ranking must equal the plain query), 803 prohibits one of
@@ -1014,6 +1027,21 @@ def _q_search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mode", F.lit(m))
         for m in suggest.MODES
     ]
+    parts.append(
+        suggest.phrase_suggest(
+            spark, ts, _docs(spark, sf_dir), PHRASE_SUGGEST_SET,
+            k=PHRASE_SUGGEST_K, max_edits=SUGGEST_MAX_EDITS,
+        )
+        .select(
+            "query_id",
+            F.lit(None).cast("string").alias("qterm"),
+            "rank",
+            "suggestion",
+            F.col("total_dist").alias("dist"),
+            F.col("sum_df").alias("df"),
+        )
+        .withColumn("mode", F.lit("phrase"))
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1667,6 +1695,14 @@ def oracle_sql() -> dict[str, str]:
                 mode=m, text_col="text")
             + ")"
             for m in suggest.MODES
+        ) + (
+            " UNION ALL SELECT query_id, CAST(NULL AS VARCHAR) AS qterm,"
+            " rank, suggestion, total_dist AS dist, sum_df AS df,"
+            " 'phrase' AS mode FROM ("
+            + suggest.phrase_suggest_sql(
+                "documents", PHRASE_SUGGEST_SET, k=PHRASE_SUGGEST_K,
+                max_edits=SUGGEST_MAX_EDITS, text_col="text")
+            + ")"
         ),
         "text_lang_profile": text_stats.lang_profile_sql("documents"),
         "text_doc_fingerprints": text_stats.doc_fingerprints_sql("documents"),
