@@ -191,6 +191,16 @@ PHRASE_SUGGEST_SET: list[tuple[int, str]] = [
 ]
 PHRASE_SUGGEST_K = 3
 
+#: completion-suggester fixture (ids 1321+, mode='completion'):
+#: autocomplete over the term dictionary by (df desc, term) weight
+#: order — 1321 a mid-fanout prefix, 1322 a single char (the top-k cap
+#: is the observable), 1323 a dead prefix (zero rows).
+COMPLETION_SET: list[tuple[int, str]] = [
+    (1321, "mer"),
+    (1322, "s"),
+    (1323, "zzqx"),
+]
+
 #: MUST_NOT fixture (ids 801+): positive query + per-query prohibited
 #: terms.  801 prunes a real co-occurring term, 802's prohibition never
 #: matches (ranking must equal the plain query), 803 prohibits one of
@@ -1042,6 +1052,10 @@ def _q_search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("mode", F.lit("phrase"))
     )
+    parts.append(
+        suggest.complete_prefix(spark, ts, COMPLETION_SET)
+        .withColumn("mode", F.lit("completion"))
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1702,6 +1716,9 @@ def oracle_sql() -> dict[str, str]:
             + suggest.phrase_suggest_sql(
                 "documents", PHRASE_SUGGEST_SET, k=PHRASE_SUGGEST_K,
                 max_edits=SUGGEST_MAX_EDITS, text_col="text")
+            + ") UNION ALL SELECT *, 'completion' AS mode FROM ("
+            + suggest.complete_prefix_sql(
+                "documents", COMPLETION_SET, text_col="text")
             + ")"
         ),
         "text_lang_profile": text_stats.lang_profile_sql("documents"),

@@ -397,3 +397,91 @@ ranked AS (
 SELECT query_id, rank, suggestion, total_dist, sum_df
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ----------------------------------------------------------- completion
+
+
+def complete_prefix(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """(query_id, qterm, rank, suggestion, dist, df) — the Elasticsearch
+    completion-suggester analog over the term dictionary: suggestions
+    are dictionary terms EXTENDING the input prefix (the prefix itself
+    included when it is a term), ranked by (df desc, term asc) — the
+    weight order CompletionSuggester serves from its FST, with corpus
+    document frequency as the weight.  ``dist`` is the number of
+    appended characters (0 when the prefix is itself a term).
+
+    Scale shape: dictionary-only like :func:`term_suggest` — the tiny
+    query set broadcasts into a hash join on the shared first character,
+    the startswith check runs as a post-join filter, no postings are
+    touched.  (A latency-critical deployment would serve this from a
+    sorted-term FST/trie; the dictionary probe is the batch-engine
+    equivalent.)"""
+    qt = spark.createDataFrame(queries, "query_id long, qterm string")
+    dic = term_stats.select("term", F.col("df").cast("long").alias("df"))
+    cand = dic.join(
+        F.broadcast(qt),
+        F.substring("term", 1, 1) == F.substring("qterm", 1, 1),
+    ).filter(F.col("term").startswith(F.col("qterm")))
+    w = Window.partitionBy("query_id", "qterm").orderBy(
+        F.col("df").desc(), F.col("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "qterm", "rank",
+            F.col("term").alias("suggestion"),
+            (F.length("term") - F.length("qterm"))
+            .cast("long").alias("dist"),
+            "df",
+        )
+    )
+
+
+def complete_prefix_sql(
+    table: str,
+    queries: list[tuple[int, str]],
+    k: int = DEFAULT_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle: the same starts_with dictionary probe and
+    (df desc, term) weight order over a first-principles df dictionary."""
+    from instructor_embedding_spark.functions.tokenize import sql_tokens_expr
+
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {sql_tokens_expr(text_col)} AS tokens
+  FROM {table}
+),
+tf AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+qp(query_id, qterm) AS (VALUES {_vals(queries)}),
+cand AS (
+  SELECT q.query_id, q.qterm, df.term AS suggestion,
+         CAST(length(df.term) - length(q.qterm) AS BIGINT) AS dist,
+         df.df
+  FROM qp q JOIN df ON starts_with(df.term, q.qterm)
+),
+ranked AS (
+  SELECT query_id, qterm,
+         CAST(row_number() OVER (
+           PARTITION BY query_id, qterm
+           ORDER BY df DESC, suggestion
+         ) AS BIGINT) AS rank,
+         suggestion, dist, df
+  FROM cand
+)
+SELECT query_id, qterm, rank, suggestion, dist, df
+FROM ranked WHERE rank <= {k}
+"""

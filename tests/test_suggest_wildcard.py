@@ -232,3 +232,63 @@ def test_suggest_matches_duckdb_twin(spark, built, docs_view, mode):
     if mode != "missing":
         assert len(got) > 0
     assert not any(r[0] == 4 for r in got)
+
+
+# ----------------------------------------------------------- completion
+
+
+def test_completion_matches_bruteforce_rule(spark, built):
+    from instructor_embedding_spark.query.suggest import complete_prefix
+
+    terms = {
+        r.term: r.df for r in built.term_stats(spark).collect()
+    }
+    got = complete_prefix(
+        spark, built.term_stats(spark), [(1, "par")], k=5
+    ).collect()
+    want = sorted(
+        ((-df, t) for t, df in terms.items() if t.startswith("par")),
+    )[:5]
+    assert [(r.suggestion, r.df) for r in
+            sorted(got, key=lambda r: r.rank)] == [
+        (t, -negdf) for negdf, t in want
+    ]
+    # the prefix itself, when a term, appears with dist 0
+    for r in got:
+        assert r.dist == len(r.suggestion) - 3
+
+
+def test_completion_weight_order_and_dead_prefix(spark, built):
+    from instructor_embedding_spark.query.suggest import complete_prefix
+
+    got = complete_prefix(
+        spark, built.term_stats(spark), [(1, "p"), (2, "zzqx")], k=5
+    ).collect()
+    assert not [r for r in got if r.query_id == 2]
+    dfs = [r.df for r in sorted(
+        (r for r in got if r.query_id == 1), key=lambda r: r.rank
+    )]
+    assert dfs == sorted(dfs, reverse=True)
+    assert len(dfs) == 5  # the cap binds on a single-char prefix
+
+
+def test_completion_twin_matches_duckdb(spark, built, docs_view):
+    from instructor_embedding_spark.query.suggest import (
+        complete_prefix,
+        complete_prefix_sql,
+    )
+
+    qv = [(1, "par"), (2, "s"), (3, "zzqx")]
+    got = sorted(
+        tuple(r)
+        for r in complete_prefix(
+            spark, built.term_stats(spark), qv, k=5
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in docs_view.execute(
+            complete_prefix_sql("docs", qv, text_col="content")
+        ).fetchall()
+    )
+    assert got == want
