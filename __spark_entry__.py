@@ -1072,13 +1072,14 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     handle = _index_for(spark, sf_dir)
     qdf = _queries_df(spark)
     null_long = F.lit(None).cast("long")
+    lang_facets = _docs(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("facet")
+    )
     terms = (
-        facets.facet_counts_from_index(
-            spark, handle, qdf,
-            _docs(spark, sf_dir).select("doc_id",
-                                        F.col("lang").alias("facet")),
-        )
+        facets.facet_counts_from_index(spark, handle, qdf, lang_facets)
         .withColumn("bg_df", null_long)
+        .withColumn("p50_dl", null_long)
+        .withColumn("p90_dl", null_long)
         .withColumn("kind", F.lit("terms_lang"))
     )
     histo = (
@@ -1086,6 +1087,8 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, handle, qdf, FACET_HISTO_INTERVAL,
         )
         .withColumn("bg_df", null_long)
+        .withColumn("p50_dl", null_long)
+        .withColumn("p90_dl", null_long)
         .withColumn("kind", F.lit("histo_dl"))
     )
     sig = (
@@ -1102,10 +1105,26 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_long.alias("max_dl"),
             F.lit(None).cast("double").alias("avg_dl"),
             "bg_df",
+            null_long.alias("p50_dl"),
+            null_long.alias("p90_dl"),
         )
         .withColumn("kind", F.lit("sig_terms"))
     )
-    return terms.unionByName(histo).unionByName(sig)
+    pct = (
+        facets.facet_percentiles_from_index(spark, handle, qdf,
+                                            lang_facets)
+        .select(
+            "query_id", "facet", "n_docs",
+            F.lit(None).cast("double").alias("top_score"),
+            null_long.alias("min_dl"),
+            null_long.alias("max_dl"),
+            F.lit(None).cast("double").alias("avg_dl"),
+            null_long.alias("bg_df"),
+            "p50_dl", "p90_dl",
+        )
+        .withColumn("kind", F.lit("pct_lang"))
+    )
+    return terms.unionByName(histo).unionByName(sig).unionByName(pct)
 
 
 def _q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1659,10 +1678,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_facets": (
             "SELECT *, CAST(NULL AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
             " 'terms_lang' AS kind FROM ("
             + facets.facet_counts_sql(
                 "documents", DRIVER_QUERY_SET, "lang", text_col="text")
             + ") UNION ALL SELECT *, CAST(NULL AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
             " 'histo_dl' AS kind FROM ("
             + facets.facet_histogram_sql(
                 "documents", DRIVER_QUERY_SET, FACET_HISTO_INTERVAL,
@@ -1672,10 +1695,21 @@ def oracle_sql() -> dict[str, str]:
             " CAST(NULL AS BIGINT) AS min_dl,"
             " CAST(NULL AS BIGINT) AS max_dl,"
             " CAST(NULL AS DOUBLE) AS avg_dl, bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
             " 'sig_terms' AS kind FROM ("
             + facets.significant_terms_sql(
                 "documents", DRIVER_QUERY_SET, size=SIG_TERMS_SIZE,
                 min_doc_count=SIG_TERMS_MIN_DOC_COUNT, text_col="text")
+            + ") UNION ALL SELECT query_id, facet, n_docs,"
+            " CAST(NULL AS DOUBLE) AS top_score,"
+            " CAST(NULL AS BIGINT) AS min_dl,"
+            " CAST(NULL AS BIGINT) AS max_dl,"
+            " CAST(NULL AS DOUBLE) AS avg_dl,"
+            " CAST(NULL AS BIGINT) AS bg_df, p50_dl, p90_dl,"
+            " 'pct_lang' AS kind FROM ("
+            + facets.facet_percentiles_sql(
+                "documents", DRIVER_QUERY_SET, "lang", text_col="text")
             + ")"
         ),
         "search_modes": _modes_sql(),

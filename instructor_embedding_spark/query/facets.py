@@ -160,6 +160,102 @@ def facet_histogram_from_index(spark, handle, queries: DataFrame,
     return _bucket_agg(m.withColumn("facet", _histo_bucket(interval)))
 
 
+# ---------------------------------------------------------- percentiles
+#
+# Elasticsearch `percentiles` sub-aggregation over document length,
+# pinned to the DISCRETE variant with an engine-independent rank rule:
+# the p-th percentile of a bucket of n values is the value at sorted row
+# ceil(p·n) (ties broken by doc_id before ranking, so the selected VALUE
+# is deterministic in both engines).  ES serves approximate TDigest
+# percentiles at scale; the discrete rule is the exact analog this
+# engine can hash-gate.  Unlike the count/stats facets this one needs a
+# per-bucket sort — the one aggregation in this module that is not a
+# pure hash aggregate, which is why it is a separate opt-in function.
+
+
+PCT_PS: tuple[float, ...] = (0.5, 0.9)
+
+
+def _pct_agg(joined: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id", "facet").orderBy("dl", "doc_id")
+    wc = Window.partitionBy("query_id", "facet")
+    t = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for p in PCT_PS:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(p) * F.col("n")),
+                    F.col("dl"),
+                )
+            ).alias(f"p{int(p * 100)}_dl")
+        )
+    return t.groupBy("query_id", "facet").agg(*aggs)
+
+
+def facet_percentiles(
+    docs: DataFrame,
+    queries: DataFrame,
+    facet_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, facet, n_docs, p50_dl, p90_dl) — discrete dl
+    percentiles per (query, facet bucket) over the full match set."""
+    scored = _scored_matches(docs, queries, text_col, id_col, None)
+    facets = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet")
+    )
+    return _pct_agg(scored.join(facets, "doc_id"))
+
+
+def facet_percentiles_from_index(spark, handle, queries: DataFrame,
+                                 facets_df: DataFrame) -> DataFrame:
+    """Index-served twin of :func:`facet_percentiles` (dl rides the
+    decoded match set straight off packed doc_lens)."""
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+    m = scored_matches_from_index(spark, handle, queries)
+    return _pct_agg(m.join(facets_df, "doc_id"))
+
+
+def facet_percentiles_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    facet_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`facet_percentiles`."""
+    pct_cols = ",\n       ".join(
+        f"max(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT) THEN dl END)"
+        f" AS p{int(p * 100)}_dl"
+        for p in PCT_PS
+    )
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+tagged AS (
+  SELECT s.query_id, d.{facet_col} AS facet, s.dl,
+         row_number() OVER (
+           PARTITION BY s.query_id, d.{facet_col}
+           ORDER BY s.dl, s.doc_id
+         ) AS rn,
+         count(*) OVER (
+           PARTITION BY s.query_id, d.{facet_col}
+         ) AS n
+  FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}
+)
+SELECT query_id, facet,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {pct_cols}
+FROM tagged
+GROUP BY query_id, facet
+"""
+
+
 # ------------------------------------------------------------ sig terms
 #
 # Elasticsearch significant_terms aggregation with the default JLH

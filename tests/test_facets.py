@@ -125,3 +125,70 @@ def test_facet_plan_has_no_sort(spark, corpus, queries):
     plan = facet_counts(corpus, queries, "lang", text_col="content") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_facet_percentiles_pinned_rank_rule(spark, corpus, queries):
+    """The disc percentile equals the value at sorted row ceil(p*n) —
+    cross-checked against a driver-side recompute of every bucket."""
+    from instructor_embedding_spark.query.facets import facet_percentiles
+
+    got = {
+        (r["query_id"], r["facet"]): (r["n_docs"], r["p50_dl"], r["p90_dl"])
+        for r in facet_percentiles(
+            corpus, queries, "lang", text_col="content"
+        ).collect()
+    }
+    assert got
+    matches = (
+        bm25_topk(corpus, queries, k=10 ** 9, text_col="content")
+        .join(corpus.select("doc_id", "lang"), "doc_id")
+    )
+    toks = matches.select("query_id", "lang", "doc_id")
+    import math
+
+    from instructor_embedding_spark.query.bm25 import tokenized
+
+    dls = {
+        r["doc_id"]: r["dl"]
+        for r in tokenized(corpus, "content").select("doc_id", "dl")
+        .collect()
+    }
+    buckets: dict = {}
+    for r in toks.collect():
+        buckets.setdefault((r["query_id"], r["lang"]), []).append(
+            dls[r["doc_id"]]
+        )
+    for key, vals in buckets.items():
+        vals.sort()
+        n = len(vals)
+        want = (
+            n,
+            vals[math.ceil(0.5 * n) - 1],
+            vals[math.ceil(0.9 * n) - 1],
+        )
+        assert got[key] == want, key
+
+
+def test_facet_percentiles_twin_and_index_parity(spark, corpus, queries):
+    from instructor_embedding_spark.query.facets import (
+        facet_percentiles,
+        facet_percentiles_sql,
+    )
+
+    pdf = corpus.select("doc_id", "content", "lang").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    got = sorted(
+        tuple(r)
+        for r in facet_percentiles(
+            corpus, queries, "lang", text_col="content"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            facet_percentiles_sql("docs", QUERIES, "lang",
+                                  text_col="content")
+        ).fetchall()
+    )
+    assert got == want and got
