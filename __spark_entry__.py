@@ -853,15 +853,26 @@ KMEANS_K = 10
 #: text (deterministic in both engines), boosted 2× over the body.
 FIELDED_TITLE_LEN = 64
 FIELDED_FIELDS = (("title", 2.0), ("text", 1.0))
+#: DisMax tie_breaker (ES multi_match best_fields default-ish blend).
+DISMAX_TIE_BREAKER = 0.3
 
 
 def _q_bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn(
         "title", F.substring("text", 1, FIELDED_TITLE_LEN)
     )
-    return bm25.bm25_topk_fielded(
+    fielded = bm25.bm25_topk_fielded(
         docs, _queries_df(spark), k=TOP_K, fields=FIELDED_FIELDS
     )
+    # ids 3001+: DisjunctionMaxQuery (multi_match best_fields) over the
+    # SAME two fields — per-field independent BM25 indices, max +
+    # tie_breaker * sum-of-others combine (contrast with the BM25F
+    # weighted-tf blend above, which shares one df/avgdl)
+    dismax = bm25.dismax_topk(
+        docs, _offset_queries_df(spark, 3000), k=TOP_K,
+        fields=FIELDED_FIELDS, tie_breaker=DISMAX_TIE_BREAKER,
+    )
+    return fielded.unionByName(dismax)
 
 
 def _q_jdbc_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1727,10 +1738,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pooling_modes": similarity.pooled_by_label_sql("embeddings"),
         "rerank_mrr_map": rerank_metrics_sql(_RERANK_CAND_SQL, k=10),
-        "bm25_topk_fielded": bm25.bm25_topk_fielded_sql(
-            f"SELECT doc_id, substr(text, 1, {FIELDED_TITLE_LEN}) AS title, "
-            "text FROM documents",
-            DRIVER_QUERY_SET, k=TOP_K, fields=FIELDED_FIELDS,
+        "bm25_topk_fielded": (
+            "SELECT * FROM ("
+            + bm25.bm25_topk_fielded_sql(
+                f"SELECT doc_id, substr(text, 1, {FIELDED_TITLE_LEN})"
+                " AS title, text FROM documents",
+                DRIVER_QUERY_SET, k=TOP_K, fields=FIELDED_FIELDS,
+            )
+            + ") UNION ALL SELECT * FROM ("
+            + bm25.dismax_topk_sql(
+                f"SELECT doc_id, substr(text, 1, {FIELDED_TITLE_LEN})"
+                " AS title, text FROM documents",
+                _offset_queries(3000), k=TOP_K, fields=FIELDED_FIELDS,
+                tie_breaker=DISMAX_TIE_BREAKER,
+            )
+            + ")"
         ),
         "clustering_kmeans_vmeasure": clustering.v_measure_sql(
             clustering.kmeans_lloyd_sql("embeddings", k=KMEANS_K)

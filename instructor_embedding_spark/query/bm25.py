@@ -362,6 +362,159 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
 
 
+# ---------------------------------------------------------------- dismax
+#
+# Lucene DisjunctionMaxQuery / ES multi_match type=best_fields: each
+# field is scored as an INDEPENDENT BM25 index (its own df, dl, avgdl —
+# exactly how Lucene scores per-field terms), then per (query, doc)
+#
+#   score = max_f(s_f) + tie_breaker * (sum_f(s_f) - max_f(s_f))
+#
+# (DisjunctionMaxQuery's max + tieBreakerMultiplier * sum-of-others).
+# Contrast with bm25_topk_fielded above, which is the BM25F-style
+# weighted-tf blend; real engines ship both.
+
+
+def dismax_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fields: tuple[tuple[str, float], ...] = (("title", 2.0), ("text", 1.0)),
+    tie_breaker: float = 0.3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — DisjunctionMaxQuery top-k over
+    per-field BM25 scores (field boost multiplies the field's score, the
+    ES ``fields: ["title^2", "text"]`` form); rank-identical to
+    :func:`dismax_topk_sql`.
+
+    Scale shape: one scored aggregate per field (each the standard
+    scan -> broadcast-qt join -> hash aggregate), unioned and re-grouped
+    on the SAME (query_id, doc_id) key — AQE coalesces the second
+    shuffle onto the first's partitioning."""
+    qt = query_terms(queries)
+    per_field = []
+    for col, boost in fields:
+        toks = tokenized(docs, col, id_col)
+        stats = corpus_stats(toks)
+        tf = tf_table(toks)
+        ts = term_stats(tf, stats)
+        contrib = bm25_score_col(
+            F.col("tf"), F.col("dl"), F.col("idf"), stats.avgdl
+        )
+        per_field.append(
+            tf.join(ts.select("term", "idf"), "term")
+            .join(F.broadcast(qt), "term")
+            .groupBy("query_id", "doc_id")
+            .agg((F.sum(contrib) * F.lit(float(boost))).alias("s"))
+        )
+    union = per_field[0]
+    for p in per_field[1:]:
+        union = union.unionByName(p)
+    comb = union.groupBy("query_id", "doc_id").agg(
+        F.max("s").alias("mx"), F.sum("s").alias("sm")
+    )
+    final = comb.withColumn(
+        "score_raw",
+        F.col("mx")
+        + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score_raw"), SCORE_DECIMALS).desc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.round(F.col("score_raw"), SCORE_DECIMALS).alias("score"),
+        )
+    )
+
+
+def dismax_topk_sql(
+    table_sql: str,
+    queries_values: list[tuple[int, str]],
+    k: int = 10,
+    fields: tuple[tuple[str, float], ...] = (("title", 2.0), ("text", 1.0)),
+    tie_breaker: float = 0.3,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`dismax_topk` — one
+    independent per-field CTE chain per field, same combine order."""
+    vals = ", ".join(
+        "({}, '{}')".format(qid, text.replace("'", "''"))
+        for qid, text in queries_values
+    )
+    field_ctes = []
+    scored_sqls = []
+    for i, (col, boost) in enumerate(fields):
+        field_ctes.append(f"""toks_{i} AS (
+  SELECT {id_col} AS doc_id, {sql_tokens_expr(col)} AS tokens FROM src
+),
+dl_{i} AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM toks_{i}),
+stats_{i} AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl_{i}
+),
+tf_{i} AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks_{i})
+  GROUP BY doc_id, term
+),
+df_{i} AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_{i} GROUP BY term
+)""")
+        scored_sqls.append(f"""SELECT qt.query_id, tf_{i}.doc_id,
+       sum(
+         ln(1 + (stats_{i}.n - df_{i}.df + 0.5) / (df_{i}.df + 0.5))
+         * (tf_{i}.tf * ({K1} + 1.0)
+            / (tf_{i}.tf + {K1} * (1.0 - {B}
+               + {B} * dl_{i}.dl / stats_{i}.avgdl)))
+       ) * {float(boost)!r} AS s
+FROM qt
+JOIN tf_{i} USING (term)
+JOIN df_{i} USING (term)
+JOIN dl_{i} ON tf_{i}.doc_id = dl_{i}.doc_id
+CROSS JOIN stats_{i}
+GROUP BY qt.query_id, tf_{i}.doc_id""")
+    u = " UNION ALL ".join(f"({s})" for s in scored_sqls)
+    ctes = ",\n".join(field_ctes)
+    return f"""
+WITH src AS ({table_sql}),
+{ctes},
+q(query_id, query_text) AS (VALUES {vals}),
+qt AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id,
+               unnest({sql_tokens_expr('query_text')}) AS term
+        FROM q)
+),
+u AS ({u}),
+comb AS (
+  SELECT query_id, doc_id, max(s) AS mx, sum(s) AS sm
+  FROM u GROUP BY query_id, doc_id
+),
+final AS (
+  SELECT query_id, doc_id,
+         mx + {float(tie_breaker)!r} * (sm - mx) AS score_raw
+  FROM comb
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id,
+         round(score_raw, {SCORE_DECIMALS}) AS score
+  FROM final
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+
 def bm25_topk_sql(
     table: str,
     queries_values: list[tuple[int, str]],

@@ -162,3 +162,117 @@ def test_fielded_title_boost_promotes_title_hits(spark):
     assert out[1] == 1  # title hit (weight 2) outranks the body hit
     assert out[2] == 2
     assert 3 not in out
+
+
+# ----------------------------------------------------------------- dismax
+
+
+def test_dismax_single_field_degenerates_to_bm25(spark):
+    from instructor_embedding_spark import datagen
+    from instructor_embedding_spark.query.bm25 import bm25_topk, dismax_topk
+
+    corpus = datagen.corpus(spark, 160, partitions=3)
+    qdf = spark.createDataFrame(
+        [(1, "merge sort window"), (2, "fast hash join")],
+        "query_id long, query_text string",
+    )
+    plain = sorted(
+        tuple(r)
+        for r in bm25_topk(corpus, qdf, k=10, text_col="content").collect()
+    )
+    dm = sorted(
+        tuple(r)
+        for r in dismax_topk(
+            corpus, qdf, k=10, fields=(("content", 1.0),), tie_breaker=0.3
+        ).collect()
+    )
+    assert plain == dm
+
+
+def test_dismax_max_and_sum_extremes(spark):
+    """tie_breaker=0 → pure max of field scores; 1 → their sum."""
+    from instructor_embedding_spark.query.bm25 import bm25_topk, dismax_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "gamma delta filler"),
+            (2, "gamma", "alpha beta alpha"),
+            (3, "filler", "filler tokens"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "alpha beta")], "query_id long, query_text string"
+    )
+    t = {r[2]: r[3] for r in
+         bm25_topk(docs, qdf, k=10, text_col="title").collect()}
+    b = {r[2]: r[3] for r in
+         bm25_topk(docs, qdf, k=10, text_col="body").collect()}
+    for tb, combine in ((0.0, max), (1.0, lambda s: round(sum(s), 6))):
+        got = {r[2]: r[3] for r in dismax_topk(
+            docs, qdf, k=10, fields=(("title", 1.0), ("body", 1.0)),
+            tie_breaker=tb,
+        ).collect()}
+        for d in got:
+            parts = [x for x in (t.get(d), b.get(d)) if x is not None]
+            assert got[d] == pytest.approx(combine(parts), abs=2e-6), (tb, d)
+
+
+def test_dismax_title_hit_beats_split_hit(spark):
+    """best_fields intuition: both query terms in ONE field outranks the
+    same terms scattered across fields (tie_breaker small)."""
+    from instructor_embedding_spark.query.bm25 import dismax_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "filler filler filler"),
+            (2, "alpha filler", "beta filler filler"),
+            (3, "filler", "filler"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "alpha beta")], "query_id long, query_text string"
+    )
+    got = dismax_topk(
+        docs, qdf, k=3, fields=(("title", 1.0), ("body", 1.0)),
+        tie_breaker=0.1,
+    ).orderBy("rank").collect()
+    assert got[0]["doc_id"] == 1
+
+
+def test_dismax_twin_matches_duckdb(spark):
+    import duckdb
+
+    from instructor_embedding_spark import datagen
+    from instructor_embedding_spark.query.bm25 import (
+        dismax_topk,
+        dismax_topk_sql,
+    )
+
+    from pyspark.sql import functions as F
+
+    corpus = datagen.corpus(spark, 160, partitions=3).withColumn(
+        "title", F.substring("content", 1, 48)
+    )
+    qv = [(1, "merge sort window"), (2, "fast hash join")]
+    qdf = spark.createDataFrame(qv, "query_id long, query_text string")
+    got = sorted(
+        tuple(r) for r in dismax_topk(
+            corpus, qdf, k=10,
+            fields=(("title", 2.0), ("content", 1.0)),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs_pd", corpus.select("doc_id", "content").toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(dismax_topk_sql(
+            "SELECT doc_id, substr(content, 1, 48) AS title, content"
+            " FROM docs_pd",
+            qv, k=10, fields=(("title", 2.0), ("content", 1.0)),
+        )).fetchall()
+    )
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) <= 2e-6
