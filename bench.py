@@ -434,6 +434,90 @@ def run_smoke10x(n_docs: int = 50_000, n_vecs: int = 20_000) -> dict:
     return out
 
 
+def run_smoke_search(n_docs: int = 200_000) -> dict:
+    """10× smoke for the r5 search-layer additions that touch corpus-
+    sized inputs: significant_terms (match-set retokenize + foreground
+    aggregate) and the dictionary suggesters (term_suggest /
+    complete_prefix over the full term dictionary).  rescore and dismax
+    are window-/field-bounded respectively and inherit the retrieval
+    smokes; the suggesters' claim is that dictionary ops stay cheap
+    because |dictionary| << |postings| — this records both sizes."""
+    from pyspark.sql import functions as F
+
+    from instructor_embedding_spark.query.bm25 import (
+        corpus_stats,
+        term_stats,
+        tf_table,
+        tokenized,
+    )
+    from instructor_embedding_spark.query.facets import significant_terms
+    from instructor_embedding_spark.query.suggest import (
+        complete_prefix,
+        term_suggest,
+    )
+    from instructor_embedding_spark.session import get_spark
+    from instructor_embedding_spark.shipping import ensure_shipped
+
+    spark = get_spark(
+        app_name="ies-smoke-search", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    ensure_shipped(spark, RUNTIME)
+    out: dict = {"loadavg_search": [round(x, 2) for x in os.getloadavg()]}
+
+    docs = _bench_corpus(spark, n_docs)
+    docs.count()  # warm
+
+    qv = [(1, "merge sort window"), (2, "fast hash join"),
+          (3, "parse varint block header"), (4, "vector column scan")]
+    qdf = spark.createDataFrame(qv, "query_id long, query_text string")
+    before = _stage_totals(spark)
+    t0 = time.monotonic()
+    sig = significant_terms(docs, qdf, size=10, min_doc_count=3,
+                            text_col="content").collect()
+    wall = time.monotonic() - t0
+    after = _stage_totals(spark)
+    out["significant_terms_10x"] = {
+        "docs": n_docs, "rows": len(sig), "wall_s": round(wall, 2),
+        "shuffle_write_mb": round(
+            (after["shuffle_write"] - before["shuffle_write"]) / 2**20, 1),
+        "shuffle_read_mb": round(
+            (after["shuffle_read"] - before["shuffle_read"]) / 2**20, 1),
+    }
+
+    # dictionary ops: build the df dictionary once (the index build pays
+    # this anyway; here it is the fixture), then probe it
+    toks = tokenized(docs, "content")
+    ts = term_stats(tf_table(toks), corpus_stats(toks)).cache()
+    n_terms = ts.count()
+    # deterministic suggest set: 50 md5-ordered terms, one char appended
+    # (guaranteed distance 1, first char preserved)
+    sample_terms = [
+        r["term"]
+        for r in ts.select("term").orderBy(F.md5("term")).limit(50).collect()
+    ]
+    sug_qv = [(i, t + "x") for i, t in enumerate(sample_terms)]
+    t0 = time.monotonic()
+    n_sug = term_suggest(spark, ts, sug_qv, k=5).count()
+    wall_sug = time.monotonic() - t0
+    pfx_qv = [(i, t[:3]) for i, t in enumerate(sample_terms[:20])]
+    t0 = time.monotonic()
+    n_cpl = complete_prefix(spark, ts, pfx_qv, k=5).count()
+    wall_cpl = time.monotonic() - t0
+    ts.unpersist()
+    out["dictionary_suggest_10x"] = {
+        "docs": n_docs, "dict_terms": n_terms,
+        "term_suggest": {"queries": len(sug_qv), "rows": n_sug,
+                         "wall_s": round(wall_sug, 2)},
+        "completion": {"queries": len(pfx_qv), "rows": n_cpl,
+                       "wall_s": round(wall_cpl, 2)},
+    }
+
+    _merge_smoke_results(out)
+    return out
+
+
 def _merge_smoke_results(rows: dict) -> None:
     """Read-modify-write SMOKE10X_RESULTS.json so independently-run
     smokes (--smoke10x / --smoke-phrase / --smoke-streaming) compose
@@ -847,6 +931,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-phrase":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
         print(json.dumps({"smoke_phrase": run_smoke_phrase(n)}))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-search":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+        print(json.dumps({"smoke_search": run_smoke_search(n)}))
     elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-streaming":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
         print(json.dumps({"smoke_streaming": run_smoke_streaming(n)}))
