@@ -262,6 +262,9 @@ MODES_RESCORE_SET: list[tuple[int, str]] = [
 ]
 MODES_RESCORE_WINDOW = 30
 MODES_RESCORE_WEIGHT = 2.0
+#: function_score fixture (ids 2501+): field_value_factor over n_chars,
+#: ln1p modifier, multiply boost_mode — the ES popularity-boost shape.
+MODES_FVF_FACTOR = 0.01
 #: dl histogram bucket width for the facets entry (tokens).
 FACET_HISTO_INTERVAL = 16
 #: significant_terms (ES JLH) knobs: top-5 terms per query, ES's default
@@ -324,6 +327,11 @@ def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=TOP_K, window_size=MODES_RESCORE_WINDOW,
             rescore_weight=MODES_RESCORE_WEIGHT,
         ).withColumn("mode", F.lit("rescore_phrase")),
+        modes.function_score_topk(
+            docs, _offset_queries_df(spark, 2500), "n_chars",
+            factor=MODES_FVF_FACTOR, modifier="ln1p",
+            boost_mode="multiply", k=TOP_K,
+        ).withColumn("mode", F.lit("function_score")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -356,6 +364,10 @@ def _modes_sql() -> str:
             "documents", MODES_RESCORE_SET, k=TOP_K,
             window_size=MODES_RESCORE_WINDOW,
             rescore_weight=MODES_RESCORE_WEIGHT)),
+        ("function_score", modes.function_score_topk_sql(
+            "documents", _offset_queries(2500), "n_chars",
+            factor=MODES_FVF_FACTOR, modifier="ln1p",
+            boost_mode="multiply", k=TOP_K)),
     ]
     return " UNION ALL ".join(
         f"SELECT *, '{tag}' AS mode FROM ({sql})" for tag, sql in tagged

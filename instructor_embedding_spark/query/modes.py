@@ -56,6 +56,7 @@ __all__ = [
     "synonym_topk", "synonym_topk_sql",
     "mlt_topk", "mlt_topk_sql",
     "rescore_topk", "rescore_topk_sql",
+    "function_score_topk", "function_score_topk_sql",
     "MLT_MAX_TERMS",
     "collapse_over",
     "sort_over",
@@ -765,4 +766,102 @@ SELECT query_id, rank, doc_id, score FROM (
          doc_id, round(final_raw, {SCORE_DECIMALS}) AS score
   FROM final
 ) WHERE rank <= {int(k)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# function_score (ES FunctionScoreQuery, field_value_factor: blend a
+# stored numeric doc value into the relevance score — the standard
+# popularity/recency boost)
+
+
+FVF_MODIFIERS = ("none", "ln1p", "sqrt")
+
+
+def function_score_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    field_col: str,
+    factor: float = 1.0,
+    modifier: str = "ln1p",
+    boost_mode: str = "multiply",
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — BM25 match set re-scored by a
+    field_value_factor function of ``field_col``:
+
+        fv    = modifier(factor · field)     (ln1p → ln(1+x), sqrt, none)
+        score = bm25 · fv   (boost_mode=multiply)  or  bm25 + fv  (sum)
+
+    (FunctionScoreQuery + FieldValueFactorFunction; negative inputs to
+    ln1p/sqrt raise in ES — here the factor/field fixture is
+    non-negative by contract and the twin computes the identical IEEE op
+    sequence.)  The attribute join shuffles on doc_id — the key the
+    scored aggregate already produced, which AQE coalesces."""
+    if modifier not in FVF_MODIFIERS:
+        raise ValueError(f"modifier must be one of {FVF_MODIFIERS}")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError("boost_mode must be 'multiply' or 'sum'")
+    scored, _, _, _ = _scored_base(docs, queries, text_col, id_col)
+    attrs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.lit(float(factor)) * F.col(field_col).cast("double"))
+        .alias("fx"),
+    )
+    fv = {
+        "none": F.col("fx"),
+        "ln1p": F.log(F.lit(1.0) + F.col("fx")),
+        "sqrt": F.sqrt(F.col("fx")),
+    }[modifier]
+    j = scored.join(attrs, "doc_id").withColumn(
+        "score_raw",
+        F.col("score_raw") * fv if boost_mode == "multiply"
+        else F.col("score_raw") + fv,
+    )
+    w = Window.partitionBy("query_id").orderBy(_r6().desc(), F.col("doc_id"))
+    return _final(
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def function_score_topk_sql(
+    table: str,
+    queries_values,
+    field_col: str,
+    factor: float = 1.0,
+    modifier: str = "ln1p",
+    boost_mode: str = "multiply",
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`function_score_topk`."""
+    fx = f"({float(factor)!r} * CAST(d.{field_col} AS DOUBLE))"
+    fv = {
+        "none": fx,
+        "ln1p": f"ln(1.0 + {fx})",
+        "sqrt": f"sqrt({fx})",
+    }[modifier]
+    op = "*" if boost_mode == "multiply" else "+"
+    return f"""
+WITH {_base_ctes(table, text_col, id_col)},
+{_scored_ctes(queries_values)},
+blended AS (
+  SELECT s.query_id, s.doc_id,
+         s.score_raw {op} {fv} AS score_raw
+  FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, round(score_raw, {SCORE_DECIMALS}) AS score
+  FROM blended
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """

@@ -247,3 +247,86 @@ def test_mlt_seed_terms_are_top_tfidf(spark, corpus):
         .filter(F.col("query_id") == sid)
     assert _rows(got) == _rows(want.select("query_id", "rank", "doc_id",
                                            "score"))
+
+
+# ---------------------------------------------------------- function_score
+
+
+def test_function_score_none_factor_one_is_identity_on_positive_field(
+        spark, corpus, queries):
+    """modifier='none', factor=1 over a field equal to 1.0 for every
+    doc: multiply blend must reproduce plain BM25 exactly."""
+    from pyspark.sql import functions as F
+
+    from instructor_embedding_spark.query.bm25 import bm25_topk
+    from instructor_embedding_spark.query.modes import function_score_topk
+
+    ones = corpus.withColumn("unit", F.lit(1))
+    got = sorted(
+        tuple(r) for r in function_score_topk(
+            ones, queries, "unit", factor=1.0, modifier="none",
+            boost_mode="multiply", k=10, text_col="content",
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in bm25_topk(corpus, queries, k=10, text_col="content")
+        .collect()
+    )
+    assert got == want
+
+
+def test_function_score_reorders_by_field(spark):
+    """Two docs with identical text: the one with the larger boosted
+    field must outrank under multiply."""
+    from instructor_embedding_spark.query.modes import function_score_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", 10), (2, "alpha beta", 1000),
+         (3, "noise only", 99999)],
+        "doc_id long, text string, pop long",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "alpha beta")], "query_id long, query_text string"
+    )
+    got = function_score_topk(
+        docs, qdf, "pop", factor=1.0, modifier="ln1p",
+        boost_mode="multiply", k=10,
+    ).orderBy("rank").collect()
+    assert [r["doc_id"] for r in got] == [2, 1]  # 3 never matches
+
+
+def test_function_score_twin_and_modes(spark, corpus, queries):
+    import duckdb
+
+    from instructor_embedding_spark.query.modes import (
+        function_score_topk,
+        function_score_topk_sql,
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "docs_pd", corpus.select("doc_id", "content", "n_chars").toPandas()
+    )
+    qv = [(r["query_id"], r["query_text"]) for r in queries.collect()]
+    for modifier, bmode in (("ln1p", "multiply"), ("sqrt", "sum"),
+                            ("none", "multiply")):
+        got = sorted(
+            tuple(r) for r in function_score_topk(
+                corpus, queries, "n_chars", factor=0.01,
+                modifier=modifier, boost_mode=bmode, k=10,
+                text_col="content",
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(function_score_topk_sql(
+                "docs_pd", qv, "n_chars", factor=0.01,
+                modifier=modifier, boost_mode=bmode, k=10,
+                text_col="content",
+            )).fetchall()
+        )
+        assert [g[:3] for g in got] == [w[:3] for w in want], (modifier,
+                                                               bmode)
+        for g, w in zip(got, want):
+            assert abs(g[3] - w[3]) <= 2e-6
