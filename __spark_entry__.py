@@ -265,6 +265,15 @@ MODES_RESCORE_WEIGHT = 2.0
 #: function_score fixture (ids 2501+): field_value_factor over n_chars,
 #: ln1p modifier, multiply boost_mode — the ES popularity-boost shape.
 MODES_FVF_FACTOR = 0.01
+#: boosting-query fixture (ids 2601+): (positive, negative) text pairs —
+#: 2601/2602 demote a real co-occurring term, 2603's negative matches
+#: nothing (ranking must equal the plain query, the degeneracy probe).
+MODES_BOOSTING_SET: list[tuple[int, str, str]] = [
+    (2601, "merge sort window", "data"),
+    (2602, "fast hash join", "scan"),
+    (2603, "vector column scan", "zzqqxv"),
+]
+MODES_NEGATIVE_BOOST = 0.2
 #: dl histogram bucket width for the facets entry (tokens).
 FACET_HISTO_INTERVAL = 16
 #: significant_terms (ES JLH) knobs: top-5 terms per query, ES's default
@@ -332,6 +341,12 @@ def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             factor=MODES_FVF_FACTOR, modifier="ln1p",
             boost_mode="multiply", k=TOP_K,
         ).withColumn("mode", F.lit("function_score")),
+        modes.boosting_topk(
+            docs,
+            [(q, pos) for q, pos, _ in MODES_BOOSTING_SET],
+            [(q, neg) for q, _, neg in MODES_BOOSTING_SET],
+            negative_boost=MODES_NEGATIVE_BOOST, k=TOP_K,
+        ).withColumn("mode", F.lit("boosting")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -368,6 +383,11 @@ def _modes_sql() -> str:
             "documents", _offset_queries(2500), "n_chars",
             factor=MODES_FVF_FACTOR, modifier="ln1p",
             boost_mode="multiply", k=TOP_K)),
+        ("boosting", modes.boosting_topk_sql(
+            "documents",
+            [(q, pos) for q, pos, _ in MODES_BOOSTING_SET],
+            [(q, neg) for q, _, neg in MODES_BOOSTING_SET],
+            negative_boost=MODES_NEGATIVE_BOOST, k=TOP_K)),
     ]
     return " UNION ALL ".join(
         f"SELECT *, '{tag}' AS mode FROM ({sql})" for tag, sql in tagged
@@ -547,6 +567,15 @@ SNIPPET_SET: list[tuple[int, str]] = [
 ]
 SNIPPET_WINDOW = 12
 
+#: SpanFirstQuery fixtures (ids 401+): term within the first N tokens —
+#: 401/402 real terms with different windows (matches = occurrences at
+#: 1-based pos ≤ N), 403 a zero-hit probe.
+SPAN_FIRST_SET: list[tuple[int, str, int]] = [
+    (401, "merge", 8),
+    (402, "sort", 3),
+    (403, "zzqqxv", 10),
+]
+
 
 def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positions-index surface in one ranked table: exact phrase (ids
@@ -568,9 +597,10 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     snip = snippet.snippet_topk(
         spark, pos, SNIPPET_SET, window=SNIPPET_WINDOW, k=TOP_K
     )
+    first = phrase.span_first_topk(spark, pos, SPAN_FIRST_SET, k=TOP_K)
     cols = ["phrase_id", "rank", "doc_id", "matches", "snippet_start"]
     spans = (
-        exact.unionByName(near).unionByName(near_ord)
+        exact.unionByName(near).unionByName(near_ord).unionByName(first)
         .withColumn("snippet_start", F.lit(None).cast("long"))
         .select(*cols)
     )
@@ -2001,6 +2031,10 @@ ORDER BY doc_id LIMIT 50
             + phrase.ordered_proximity_topk_sql(
                 "documents", ORDERED_PROXIMITY_SET, slop=PROXIMITY_SLOP,
                 k=TOP_K, text_col="text")
+            + ") UNION ALL SELECT phrase_id, rank, doc_id, matches,"
+            " CAST(NULL AS BIGINT) AS snippet_start FROM ("
+            + phrase.span_first_topk_sql(
+                "documents", SPAN_FIRST_SET, k=TOP_K, text_col="text")
             + ") UNION ALL SELECT query_id AS phrase_id, rank, doc_id,"
             " covered AS matches, snippet_start FROM ("
             + snippet.snippet_topk_sql(

@@ -57,6 +57,7 @@ __all__ = [
     "mlt_topk", "mlt_topk_sql",
     "rescore_topk", "rescore_topk_sql",
     "function_score_topk", "function_score_topk_sql",
+    "boosting_topk", "boosting_topk_sql",
     "MLT_MAX_TERMS",
     "collapse_over",
     "sort_over",
@@ -853,6 +854,103 @@ blended AS (
   SELECT s.query_id, s.doc_id,
          s.score_raw {op} {fv} AS score_raw
   FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, round(score_raw, {SCORE_DECIMALS}) AS score
+  FROM blended
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# boosting query (ES BoostingQuery: demote — not exclude — docs matching
+# a negative query; the soft complement of MUST_NOT)
+
+
+def boosting_topk(
+    docs: DataFrame,
+    queries_values: list[tuple[int, str]],
+    neg_values: list[tuple[int, str]],
+    negative_boost: float = 0.2,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — BM25 over the positive query;
+    any hit ALSO matching the per-query negative query (OR semantics
+    over its terms) keeps ranking but with score · negative_boost
+    (Lucene/ES BoostingQuery; 0 < negative_boost < 1 demotes, and a
+    negative query matching nothing leaves the ranking untouched).
+
+    The negative probe is one broadcast term join over the tf table —
+    the same shape as MUST_NOT's deny probe, but feeding a CASE instead
+    of an anti-join."""
+    qdf = docs.sparkSession.createDataFrame(
+        queries_values, "query_id long, query_text string"
+    )
+    scored, _, tf, _ = _scored_base(docs, qdf, text_col, id_col)
+    neg_qt = query_terms(
+        docs.sparkSession.createDataFrame(
+            neg_values, "query_id long, query_text string"
+        )
+    )
+    neg_docs = (
+        tf.join(F.broadcast(neg_qt), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .withColumn("neg", F.lit(True))
+    )
+    j = scored.join(neg_docs, ["query_id", "doc_id"], "left").withColumn(
+        "score_raw",
+        F.when(
+            F.col("neg"),
+            F.col("score_raw") * F.lit(float(negative_boost)),
+        ).otherwise(F.col("score_raw")),
+    )
+    w = Window.partitionBy("query_id").orderBy(_r6().desc(), F.col("doc_id"))
+    return _final(
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def boosting_topk_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    neg_values: list[tuple[int, str]],
+    negative_boost: float = 0.2,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`boosting_topk`."""
+    return f"""
+WITH {_base_ctes(table, text_col, id_col)},
+{_scored_ctes(queries_values)},
+nq(query_id, neg_text) AS (VALUES {_vals(neg_values)}),
+nqt AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, unnest({sql_tokens_expr('neg_text')}) AS term
+        FROM nq)
+),
+negdocs AS (
+  SELECT DISTINCT nqt.query_id, tf.doc_id
+  FROM nqt JOIN tf USING (term)
+),
+blended AS (
+  SELECT s.query_id, s.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL
+              THEN s.score_raw * {float(negative_boost)!r}
+              ELSE s.score_raw END AS score_raw
+  FROM scored s
+  LEFT JOIN negdocs n
+    ON n.query_id = s.query_id AND n.doc_id = s.doc_id
 ),
 ranked AS (
   SELECT query_id,

@@ -564,3 +564,124 @@ ranked AS (
 )
 SELECT phrase_id, rank, doc_id, matches FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------------------ span_first
+
+
+def _span_first_kernel(ends: dict[int, int]):
+    """One (phrase_id, doc_block) group: count the term's occurrences at
+    1-based positions <= end (Lucene SpanFirstQuery containment)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        phrase_id = int(pdf["phrase_id"].iloc[0])
+        end = np.uint64(ends[phrase_id])
+        out_docs: list[int] = []
+        out_matches: list[int] = []
+        for doc_id, grp in pdf.groupby("doc_id"):
+            pos = (
+                np.cumsum(varint_decode(grp["pos_bytes"].iloc[0]),
+                          dtype=np.uint64)
+                + np.uint64(1)
+            )
+            m = int((pos <= end).sum())
+            if m:
+                out_docs.append(int(doc_id))
+                out_matches.append(m)
+        return pd.DataFrame(
+            {
+                "phrase_id": np.full(len(out_docs), phrase_id,
+                                     dtype=np.int64),
+                "doc_id": np.asarray(out_docs, dtype=np.int64),
+                "matches": np.asarray(out_matches, dtype=np.int64),
+            }
+        )
+
+    return kernel
+
+
+def span_first_topk(
+    spark: SparkSession,
+    positions: DataFrame,
+    queries: list[tuple[int, str, int]],
+    k: int = 10,
+) -> DataFrame:
+    """(phrase_id, rank, doc_id, matches) — Lucene SpanFirstQuery: docs
+    where ``term`` occurs within the FIRST ``end`` tokens; ``matches``
+    counts the qualifying occurrences (position <= end, 1-based).  The
+    query text tokenizes to its first term (multi-token inputs reject —
+    SpanFirstQuery wraps a single span here).
+
+    Same scale shape as :func:`phrase_topk`: ``In(term, …)`` pushdown
+    into the positions scan, broadcast query-term join, per-(query,
+    doc_block) Arrow groups, one global top-k window."""
+    terms: dict[int, str] = {}
+    ends: dict[int, int] = {}
+    for pid, text, end in queries:
+        toks = tokenize_py(text)
+        if len(toks) > 1:
+            raise ValueError(
+                f"span_first wraps a single term (got {toks!r} for "
+                f"query {pid})"
+            )
+        if toks:
+            terms[pid] = toks[0]
+            ends[pid] = int(end)
+    if not terms:
+        return spark.createDataFrame(
+            [], "phrase_id long, rank long, doc_id long, matches long"
+        )
+    pt = spark.createDataFrame(
+        [(pid, t) for pid, t in terms.items()],
+        "phrase_id long, term string",
+    )
+    all_terms = sorted(set(terms.values()))
+    hits = positions.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(pt), "term"
+    )
+    cand = hits.groupBy("phrase_id", "doc_block").applyInPandas(
+        _span_first_kernel(ends), schema=PHRASE_OUT_SCHEMA
+    )
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.col("matches").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("phrase_id", "rank", "doc_id", "matches")
+    )
+
+
+def span_first_topk_sql(table: str, queries: list[tuple[int, str, int]],
+                        k: int = 10, text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """First-principles oracle: count token positions i <= end holding
+    the term."""
+    branches = []
+    for pid, text, end in queries:
+        toks = tokenize_py(text)
+        if not toks:
+            continue
+        t = toks[0]
+        branches.append(
+            f"SELECT {pid} AS phrase_id, doc_id, "
+            f"CAST(len(list_filter(range(1, len(t) + 1), "
+            f"i -> i <= {int(end)} AND t[i] = '{t}')) AS BIGINT) "
+            "AS matches FROM toks"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {sql_tokens_expr(text_col)} AS t FROM {table}
+),
+counts AS ({union}),
+ranked AS (
+  SELECT phrase_id,
+         CAST(row_number() OVER (
+           PARTITION BY phrase_id ORDER BY matches DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, matches
+  FROM counts WHERE matches > 0
+)
+SELECT phrase_id, rank, doc_id, matches FROM ranked WHERE rank <= {k}
+"""

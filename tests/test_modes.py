@@ -330,3 +330,73 @@ def test_function_score_twin_and_modes(spark, corpus, queries):
                                                                bmode)
         for g, w in zip(got, want):
             assert abs(g[3] - w[3]) <= 2e-6
+
+
+# --------------------------------------------------------------- boosting
+
+
+def test_boosting_demotes_but_keeps(spark):
+    from instructor_embedding_spark.query.modes import boosting_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta bad"),
+            (2, "alpha beta"),
+            (3, "noise only"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = boosting_topk(
+        docs, [(1, "alpha beta")], [(1, "zzqqxv")], k=10
+    ).orderBy("rank").collect()
+    demoted = boosting_topk(
+        docs, [(1, "alpha beta")], [(1, "bad")], k=10,
+        negative_boost=0.1,
+    ).orderBy("rank").collect()
+    # doc 1 outranks doc 2 on dl/idf? — whatever the plain order, the
+    # demoted run must keep BOTH docs but put doc 1 last
+    assert {r["doc_id"] for r in plain} == {1, 2}
+    assert {r["doc_id"] for r in demoted} == {1, 2}
+    assert demoted[-1]["doc_id"] == 1
+    d1_plain = [r["score"] for r in plain if r["doc_id"] == 1][0]
+    d1_dem = [r["score"] for r in demoted if r["doc_id"] == 1][0]
+    import pytest as pt
+    assert d1_dem == pt.approx(round(d1_plain * 0.1, 6), abs=2e-6)
+
+
+def test_boosting_noop_negative_equals_plain(spark, corpus, queries):
+    from instructor_embedding_spark.query.bm25 import bm25_topk
+    from instructor_embedding_spark.query.modes import boosting_topk
+
+    qv = [(r["query_id"], r["query_text"]) for r in queries.collect()]
+    got = sorted(tuple(r) for r in boosting_topk(
+        corpus, qv, [(q, "zzqqxv") for q, _ in qv], k=10,
+        text_col="content",
+    ).collect())
+    want = sorted(tuple(r) for r in bm25_topk(
+        corpus, queries, k=10, text_col="content"
+    ).collect())
+    assert got == want
+
+
+def test_boosting_twin(spark, corpus):
+    import duckdb
+
+    from instructor_embedding_spark.query.modes import (
+        boosting_topk,
+        boosting_topk_sql,
+    )
+
+    pos_v = [(1, "merge sort window"), (2, "fast hash join")]
+    neg_v = [(1, "data"), (2, "scan")]
+    got = sorted(tuple(r) for r in boosting_topk(
+        corpus, pos_v, neg_v, k=10, text_col="content"
+    ).collect())
+    con = duckdb.connect()
+    con.register("docs_pd", corpus.select("doc_id", "content").toPandas())
+    want = sorted(tuple(r) for r in con.execute(boosting_topk_sql(
+        "docs_pd", pos_v, neg_v, k=10, text_col="content"
+    )).fetchall())
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) <= 2e-6

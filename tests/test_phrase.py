@@ -303,3 +303,70 @@ def test_ordered_proximity_matches_duckdb(spark):
         assert [d[0] for d in duck.description] == sdf.columns
         want = sorted(tuple(row) for row in duck.fetchall())
         assert got == want, f"slop={slop}"
+
+
+# ------------------------------------------------------------ span_first
+
+
+def test_span_first_fixture(spark):
+    from instructor_embedding_spark.query.phrase import span_first_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha gamma alpha"),  # alpha at pos 1, 3, 5
+            (1, "beta beta alpha"),               # alpha at pos 3
+            (2, "beta gamma delta alpha"),        # alpha at pos 4
+            (3, "beta gamma"),                    # no alpha
+        ],
+        "doc_id long, content string",
+    )
+    pos = build_positions(docs, span=4)
+    got = {
+        (r.phrase_id, r.doc_id): r.matches
+        for r in span_first_topk(
+            spark, pos, [(1, "alpha", 3), (2, "alpha", 1), (3, "zz", 5)],
+            k=10,
+        ).collect()
+    }
+    # end=3: doc0 has alpha at 1,3 (2 matches); doc1 at 3 (1); doc2's
+    # alpha sits at 4 — excluded entirely
+    assert got == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+
+
+def test_span_first_multi_token_rejected(spark):
+    import pytest as pt
+
+    from instructor_embedding_spark.query.phrase import span_first_topk
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta")], "doc_id long, content string"
+    )
+    pos = build_positions(docs, span=4)
+    with pt.raises(ValueError):
+        span_first_topk(spark, pos, [(1, "alpha beta", 3)], k=10)
+
+
+def test_span_first_twin(spark):
+    import duckdb
+
+    from instructor_embedding_spark import datagen
+    from instructor_embedding_spark.query.phrase import (
+        span_first_topk,
+        span_first_topk_sql,
+    )
+
+    docs = datagen.corpus(spark, 200, partitions=3)
+    pos = build_positions(docs, span=64)
+    qv = [(1, "merge", 8), (2, "sort", 3), (3, "zzqqxv", 10)]
+    got = sorted(
+        tuple(r) for r in span_first_topk(spark, pos, qv, k=10).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs_pd", docs.select("doc_id", "content").toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            span_first_topk_sql("docs_pd", qv, k=10, text_col="content")
+        ).fetchall()
+    )
+    assert got == want and got
