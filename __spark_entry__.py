@@ -576,6 +576,16 @@ SPAN_FIRST_SET: list[tuple[int, str, int]] = [
     (403, "zzqqxv", 10),
 ]
 
+#: match_phrase_prefix fixtures (ids 501+, ES search-as-you-type): the
+#: last token is a prefix completed from the dictionary — 501 completes
+#: "sor" (sort/source/…) behind the stem "merge", 502 a bare prefix
+#: (stemless: pure expansion tf), 503 a dead prefix (zero rows).
+MPP_SET: list[tuple[int, str]] = [
+    (501, "merge sor"),
+    (502, "joi"),
+    (503, "zzqx"),
+]
+
 
 def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positions-index surface in one ranked table: exact phrase (ids
@@ -598,9 +608,15 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, pos, SNIPPET_SET, window=SNIPPET_WINDOW, k=TOP_K
     )
     first = phrase.span_first_topk(spark, pos, SPAN_FIRST_SET, k=TOP_K)
+    mpp = prefix.match_phrase_prefix_topk(
+        spark, handle, MPP_SET, k=TOP_K
+    ).select(
+        F.col("query_id").alias("phrase_id"), "rank", "doc_id", "matches"
+    )
     cols = ["phrase_id", "rank", "doc_id", "matches", "snippet_start"]
     spans = (
         exact.unionByName(near).unionByName(near_ord).unionByName(first)
+        .unionByName(mpp)
         .withColumn("snippet_start", F.lit(None).cast("long"))
         .select(*cols)
     )
@@ -2035,6 +2051,10 @@ ORDER BY doc_id LIMIT 50
             " CAST(NULL AS BIGINT) AS snippet_start FROM ("
             + phrase.span_first_topk_sql(
                 "documents", SPAN_FIRST_SET, k=TOP_K, text_col="text")
+            + ") UNION ALL SELECT query_id AS phrase_id, rank, doc_id,"
+            " matches, CAST(NULL AS BIGINT) AS snippet_start FROM ("
+            + prefix.match_phrase_prefix_topk_sql(
+                "documents", MPP_SET, k=TOP_K, text_col="text")
             + ") UNION ALL SELECT query_id AS phrase_id, rank, doc_id,"
             " covered AS matches, snippet_start FROM ("
             + snippet.snippet_topk_sql(

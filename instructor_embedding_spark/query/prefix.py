@@ -366,3 +366,155 @@ qt AS (
   SELECT DISTINCT query_id, term FROM expanded WHERE rn <= {max_expansions}
 )"""
     return _expansion_bm25_sql(table, ctes, k, text_col, id_col)
+
+
+# -------------------------------------------------- match_phrase_prefix
+
+
+def match_phrase_prefix_topk(
+    spark: SparkSession,
+    handle: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> DataFrame:
+    """(query_id, rank, doc_id, matches) — ES match_phrase_prefix (the
+    search-as-you-type query): the query's LAST token is a prefix; every
+    dictionary expansion of it (ascending-term cap, the pinned Lucene
+    MultiTermQuery rewrite) completes the phrase, a doc matches when ANY
+    completed phrase occurs adjacently, and ``matches`` sums occurrence
+    counts across completions (the phrase-tf analog).
+
+    The expansion is collected driver-side to synthesize the completed
+    phrases for the positions kernel — bounded by |queries| ×
+    max_expansions rows, the same interactive contract as WAND's
+    query-term pushdown; counting then reuses the UNCHANGED phrase
+    kernel (In() pushdown, broadcast, Arrow groups).
+
+    The whole query text — prefix token included — passes through the
+    pinned analyzer, so a prefix that is itself a stopword tokenizes
+    away (the preceding token becomes the prefix), exactly as an ES
+    analyzer with a stop filter behaves."""
+    from instructor_embedding_spark.functions.tokenize import tokenize_py
+    from instructor_embedding_spark.query.phrase import phrase_topk
+
+    stems: dict[int, list[str]] = {}
+    prefixes: list[tuple[int, str]] = []
+    for qid, text in queries:
+        toks = tokenize_py(text)
+        if not toks:
+            continue
+        stems[qid] = toks[:-1]
+        prefixes.append((qid, toks[-1]))
+    if not prefixes:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, matches long"
+        )
+    exp = expand_prefixes(
+        spark, handle.term_stats(spark), prefixes, max_expansions
+    ).collect()
+    synth: list[tuple[int, str]] = []
+    back: dict[int, int] = {}
+    for i, r in enumerate(
+        sorted((r["query_id"], r["term"]) for r in exp)
+    ):
+        qid, term = r
+        pid = 1_000_000 + i
+        synth.append((pid, " ".join(stems[qid] + [term])))
+        back[pid] = qid
+    if not synth:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, matches long"
+        )
+    bmap = spark.createDataFrame(
+        list(back.items()), "phrase_id long, query_id long"
+    )
+    counts = phrase_topk(
+        spark, handle.positions(spark), synth, k=2 ** 62
+    )
+    agg = (
+        counts.join(F.broadcast(bmap), "phrase_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("matches").alias("matches"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("matches").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "matches")
+    )
+
+
+def match_phrase_prefix_topk_sql(
+    table: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle: the same ascending-term-capped expansion derived
+    from a first-principles df dictionary, each completion checked by
+    the list_filter adjacency scan, occurrence counts summed per doc."""
+    from instructor_embedding_spark.functions.tokenize import tokenize_py
+
+    branches = []
+    for qid, text in queries:
+        toks = tokenize_py(text)
+        if not toks:
+            continue
+        stem, prefix = toks[:-1], toks[-1]
+        m = len(toks)
+        stem_conds = " AND ".join(
+            f"t[i + {j}] = '{stem[j]}'" for j in range(m - 1)
+        )
+        cond = (
+            (stem_conds + " AND " if stem_conds else "")
+            + f"t[i + {m - 1}] = e.term"
+        )
+        branches.append(f"""SELECT {qid} AS query_id, doc_id,
+       CAST(sum(cnt) AS BIGINT) AS matches FROM (
+  SELECT toks.doc_id,
+         len(list_filter(range(1, len(t) - {m} + 2), i -> {cond})) AS cnt
+  FROM toks CROSS JOIN (
+    SELECT term FROM expanded
+    WHERE query_id = {qid} AND rn <= {max_expansions}
+  ) e
+) GROUP BY doc_id HAVING sum(cnt) > 0""")
+    pvals = ", ".join(
+        "({}, '{}')".format(qid, tokenize_py(text)[-1].replace("'", "''"))
+        for qid, text in queries
+        if tokenize_py(text)
+    )
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {sql_tokens_expr(text_col)} AS t FROM {table}
+),
+tfd AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+dfd AS (SELECT term FROM tfd GROUP BY term),
+pv(query_id, prefix) AS (VALUES {pvals}),
+expanded AS (
+  SELECT pv.query_id, dfd.term,
+         row_number() OVER (
+           PARTITION BY pv.query_id, pv.prefix ORDER BY dfd.term
+         ) AS rn
+  FROM pv JOIN dfd ON starts_with(dfd.term, pv.prefix)
+),
+counts AS ({union}),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY matches DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, matches
+  FROM counts
+)
+SELECT query_id, rank, doc_id, matches FROM ranked WHERE rank <= {k}
+"""

@@ -87,3 +87,90 @@ def test_multi_prefix_query_scores_shared_term_once(spark, corpus, built):
 
 def test_unmatched_prefix_is_empty(spark, built):
     assert prefix_topk(spark, built, [(1, "zzqqx")], k=10).count() == 0
+
+
+# ------------------------------------------------ match_phrase_prefix
+
+
+@pytest.fixture(scope="module")
+def mpp_built(spark, tmp_path_factory):
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort fast"),
+            (2, "merge sorted tree"),
+            (3, "merge sort merge sort"),
+            (4, "sort merge"),           # reversed: stem must not match
+            (5, "join join filler"),
+        ],
+        "doc_id long, content string",
+    )
+    h = build_index(
+        spark, docs,
+        str(tmp_path_factory.mktemp("mpp") / "idx"),
+        IndexParams(doc_block_span=4, n_sub_blocks=2,
+                    corpus_fingerprint="mpp", store_positions=True),
+        text_col="content",
+    )
+    return docs, h
+
+
+def test_mpp_sums_over_completions(spark, mpp_built):
+    from instructor_embedding_spark.query.prefix import (
+        match_phrase_prefix_topk,
+    )
+
+    _, h = mpp_built
+    got = {
+        (r.query_id, r.doc_id): r.matches
+        for r in match_phrase_prefix_topk(
+            spark, h, [(1, "merge sor")], k=10
+        ).collect()
+    }
+    # "sor" completes to sort AND sorted: "merge sort" in 1 (x1), 3
+    # (x2); "merge sorted" in 2 (x1); doc 4 reversed never matches.
+    # (NB a prefix that is itself a stopword tokenizes away — the
+    # analyzer applies to the prefix token like any other.)
+    assert got == {(1, 1): 1, (1, 3): 2, (1, 2): 1}
+
+
+def test_mpp_bare_prefix_counts_expansion_tf(spark, mpp_built):
+    from instructor_embedding_spark.query.prefix import (
+        match_phrase_prefix_topk,
+    )
+
+    _, h = mpp_built
+    got = {
+        r.doc_id: r.matches
+        for r in match_phrase_prefix_topk(
+            spark, h, [(1, "joi")], k=10
+        ).collect()
+    }
+    assert got == {5: 2}
+    assert match_phrase_prefix_topk(
+        spark, h, [(1, "zzqx")], k=10
+    ).count() == 0
+
+
+def test_mpp_twin_matches_duckdb(spark, mpp_built):
+    import duckdb
+
+    from instructor_embedding_spark.query.prefix import (
+        match_phrase_prefix_topk,
+        match_phrase_prefix_topk_sql,
+    )
+
+    docs, h = mpp_built
+    qv = [(1, "merge sor"), (2, "joi"), (3, "zzqx")]
+    got = sorted(
+        tuple(r)
+        for r in match_phrase_prefix_topk(spark, h, qv, k=10).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs_pd", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(match_phrase_prefix_topk_sql(
+            "docs_pd", qv, k=10, text_col="content"
+        )).fetchall()
+    )
+    assert got == want and got
