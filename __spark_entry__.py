@@ -274,6 +274,11 @@ MODES_BOOSTING_SET: list[tuple[int, str, str]] = [
     (2603, "vector column scan", "zzqqxv"),
 ]
 MODES_NEGATIVE_BOOST = 0.2
+#: decay-scoring fixture (ids 2701+): gauss decay over n_chars — docs at
+#: |n_chars − 250| ≤ 20 keep full BM25, a doc 150 past the offset keeps
+#: exactly half (ES DecayFunctionBuilder semantics).
+MODES_DECAY = {"origin": 250.0, "scale": 150.0, "offset": 20.0,
+               "decay": 0.5}
 #: dl histogram bucket width for the facets entry (tokens).
 FACET_HISTO_INTERVAL = 16
 #: significant_terms (ES JLH) knobs: top-5 terms per query, ES's default
@@ -347,6 +352,10 @@ def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(q, neg) for q, _, neg in MODES_BOOSTING_SET],
             negative_boost=MODES_NEGATIVE_BOOST, k=TOP_K,
         ).withColumn("mode", F.lit("boosting")),
+        modes.decay_score_topk(
+            docs, _offset_queries_df(spark, 2700), "n_chars",
+            kind="gauss", k=TOP_K, **MODES_DECAY,
+        ).withColumn("mode", F.lit("decay_gauss")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -388,6 +397,9 @@ def _modes_sql() -> str:
             [(q, pos) for q, pos, _ in MODES_BOOSTING_SET],
             [(q, neg) for q, _, neg in MODES_BOOSTING_SET],
             negative_boost=MODES_NEGATIVE_BOOST, k=TOP_K)),
+        ("decay_gauss", modes.decay_score_topk_sql(
+            "documents", _offset_queries(2700), "n_chars",
+            kind="gauss", k=TOP_K, **MODES_DECAY)),
     ]
     return " UNION ALL ".join(
         f"SELECT *, '{tag}' AS mode FROM ({sql})" for tag, sql in tagged

@@ -58,6 +58,7 @@ __all__ = [
     "rescore_topk", "rescore_topk_sql",
     "function_score_topk", "function_score_topk_sql",
     "boosting_topk", "boosting_topk_sql",
+    "decay_score_topk", "decay_score_topk_sql",
     "MLT_MAX_TERMS",
     "collapse_over",
     "sort_over",
@@ -951,6 +952,115 @@ blended AS (
   FROM scored s
   LEFT JOIN negdocs n
     ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, round(score_raw, {SCORE_DECIMALS}) AS score
+  FROM blended
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# decay scoring (ES function_score decay functions: gauss / exp / linear
+# over a numeric doc value — the recency/distance relevance shape)
+
+
+DECAY_KINDS = ("gauss", "exp", "linear")
+
+
+def decay_score_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    field_col: str,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    kind: str = "gauss",
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — BM25 multiplied by the ES decay
+    function of ``field_col`` (DecayFunctionBuilder semantics):
+
+        d      = max(0, |x - origin| - offset)
+        gauss  : exp(d² · ln(decay) / scale²)
+        exp    : exp(d · ln(decay) / scale)
+        linear : max(0, (s - d) / s)  with  s = scale / (1 - decay)
+
+    so a doc AT origin (within offset) keeps its full BM25 score and a
+    doc ``scale`` away keeps exactly ``decay`` of it.  Twin computes the
+    identical IEEE op sequence; exp/ln differences are sub-ulp, far
+    inside the round-6 gate quantum."""
+    if kind not in DECAY_KINDS:
+        raise ValueError(f"kind must be one of {DECAY_KINDS}")
+    scored, _, _, _ = _scored_base(docs, queries, text_col, id_col)
+    x = F.col(field_col).cast("double")
+    d = F.greatest(
+        F.lit(0.0), F.abs(x - F.lit(float(origin))) - F.lit(float(offset))
+    )
+    import math
+
+    ln_decay = math.log(float(decay))
+    if kind == "gauss":
+        fv = F.exp(d * d * F.lit(ln_decay)
+                   / F.lit(float(scale) * float(scale)))
+    elif kind == "exp":
+        fv = F.exp(d * F.lit(ln_decay) / F.lit(float(scale)))
+    else:
+        s = float(scale) / (1.0 - float(decay))
+        fv = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+    attrs = docs.select(F.col(id_col).alias("doc_id"), fv.alias("fv"))
+    j = scored.join(attrs, "doc_id").withColumn(
+        "score_raw", F.col("score_raw") * F.col("fv")
+    )
+    w = Window.partitionBy("query_id").orderBy(_r6().desc(), F.col("doc_id"))
+    return _final(
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def decay_score_topk_sql(
+    table: str,
+    queries_values,
+    field_col: str,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    kind: str = "gauss",
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`decay_score_topk`."""
+    import math
+
+    ln_decay = math.log(float(decay))
+    dd = (f"greatest(0.0, abs(CAST(d.{field_col} AS DOUBLE)"
+          f" - {float(origin)!r}) - {float(offset)!r})")
+    if kind == "gauss":
+        fv = (f"exp({dd} * {dd} * {ln_decay!r}"
+              f" / {float(scale) * float(scale)!r})")
+    elif kind == "exp":
+        fv = f"exp({dd} * {ln_decay!r} / {float(scale)!r})"
+    else:
+        s = float(scale) / (1.0 - float(decay))
+        fv = f"greatest(0.0, ({s!r} - {dd}) / {s!r})"
+    return f"""
+WITH {_base_ctes(table, text_col, id_col)},
+{_scored_ctes(queries_values)},
+blended AS (
+  SELECT s.query_id, s.doc_id, s.score_raw * {fv} AS score_raw
+  FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}
 ),
 ranked AS (
   SELECT query_id,

@@ -400,3 +400,65 @@ def test_boosting_twin(spark, corpus):
     assert [g[:3] for g in got] == [w[:3] for w in want]
     for g, w in zip(got, want):
         assert abs(g[3] - w[3]) <= 2e-6
+
+
+# ------------------------------------------------------------------ decay
+
+
+def test_decay_semantics_at_origin_and_scale(spark):
+    """Docs within offset of origin keep full BM25; a doc exactly scale
+    past the offset keeps exactly decay of it (gauss/exp/linear agree at
+    those two anchor points)."""
+    import pytest as pt
+
+    from instructor_embedding_spark.query.bm25 import bm25_topk
+    from instructor_embedding_spark.query.modes import decay_score_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", 100),   # at origin
+            (2, "alpha beta", 115),   # within offset (|x-o|=15 <= 20)
+            (3, "alpha beta", 270),   # d = 150 = scale exactly
+        ],
+        "doc_id long, text string, ts long",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "alpha beta")], "query_id long, query_text string"
+    )
+    base = {r["doc_id"]: r["score"]
+            for r in bm25_topk(docs, qdf, k=10).collect()}
+    for kind in ("gauss", "exp", "linear"):
+        got = {r["doc_id"]: r["score"] for r in decay_score_topk(
+            docs, qdf, "ts", origin=100.0, scale=150.0, offset=20.0,
+            decay=0.5, kind=kind, k=10,
+        ).collect()}
+        assert got[1] == pt.approx(base[1], abs=2e-6), kind
+        assert got[2] == pt.approx(base[2], abs=2e-6), kind
+        assert got[3] == pt.approx(round(base[3] * 0.5, 6), abs=2e-6), kind
+
+
+def test_decay_twin(spark, corpus, queries):
+    import duckdb
+
+    from instructor_embedding_spark.query.modes import (
+        decay_score_topk,
+        decay_score_topk_sql,
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "docs_pd", corpus.select("doc_id", "content", "n_chars").toPandas()
+    )
+    qv = [(r["query_id"], r["query_text"]) for r in queries.collect()]
+    for kind in ("gauss", "exp", "linear"):
+        got = sorted(tuple(r) for r in decay_score_topk(
+            corpus, queries, "n_chars", origin=250.0, scale=150.0,
+            offset=20.0, decay=0.5, kind=kind, k=10, text_col="content",
+        ).collect())
+        want = sorted(tuple(r) for r in con.execute(decay_score_topk_sql(
+            "docs_pd", qv, "n_chars", origin=250.0, scale=150.0,
+            offset=20.0, decay=0.5, kind=kind, k=10, text_col="content",
+        )).fetchall())
+        assert [g[:3] for g in got] == [w[:3] for w in want], kind
+        for g, w in zip(got, want):
+            assert abs(g[3] - w[3]) <= 2e-6
