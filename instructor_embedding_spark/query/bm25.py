@@ -648,3 +648,111 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------- explain
+
+
+def explain_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, doc_id, term, tf, dl, df, idf, contrib) — the Lucene
+    ``explain()`` analog: one row per matched query term of each TOP-K
+    document, carrying every scoring input and the round-6 per-term BM25
+    contribution.  ``sum(contrib)`` per (query, doc) re-rounds to the
+    ranked score within the rounding quantum (tested); the breakdown is
+    the gated score's own addends, so explain needs no separate oracle
+    entry — its twin is :func:`explain_topk_sql`.
+
+    Scale shape: the top-k doc set (|queries| × k rows) broadcasts back
+    into the per-term contribution table — explain costs one extra
+    broadcast semi-join over the scoring pass, nothing more."""
+    toks = tokenized(docs, text_col, id_col)
+    stats = corpus_stats(toks)
+    tf = tf_table(toks)
+    ts = term_stats(tf, stats)
+    qt = query_terms(queries)
+    contrib = bm25_score_col(
+        F.col("tf"), F.col("dl"), F.col("idf"), stats.avgdl
+    )
+    rows = (
+        tf.join(ts.select("term", "df", "idf"), "term")
+        .join(F.broadcast(qt), "term")
+        .withColumn("contrib_raw", contrib)
+    )
+    top = bm25_topk(docs, queries, k=k, text_col=text_col, id_col=id_col)
+    keep = top.select("query_id", "doc_id")
+    return (
+        rows.join(F.broadcast(keep), ["query_id", "doc_id"], "left_semi")
+        .select(
+            "query_id", "doc_id", "term", "tf", "dl", "df",
+            F.round(F.col("idf"), SCORE_DECIMALS).alias("idf"),
+            F.round(F.col("contrib_raw"), SCORE_DECIMALS).alias("contrib"),
+        )
+    )
+
+
+def explain_topk_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`explain_topk`."""
+    vals = ", ".join(
+        "({}, '{}')".format(qid, text.replace("'", "''"))
+        for qid, text in queries_values
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {sql_tokens_expr(text_col)} AS tokens
+  FROM {table}
+),
+dl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+q(query_id, query_text) AS (VALUES {vals}),
+qt AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id,
+               unnest({sql_tokens_expr('query_text')}) AS term FROM q)
+),
+rows_ AS (
+  SELECT qt.query_id, tf.doc_id, tf.term, tf.tf, dl.dl, df.df,
+         ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) AS idf_raw,
+         ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B}
+                 + {B} * dl.dl / stats.avgdl))) AS contrib_raw
+  FROM qt
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+topk AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(sum(contrib_raw), {SCORE_DECIMALS}) DESC,
+                      doc_id ASC
+           ) AS rank
+    FROM rows_ GROUP BY query_id, doc_id
+  ) WHERE rank <= {k}
+)
+SELECT r.query_id, r.doc_id, r.term, r.tf, r.dl, r.df,
+       round(r.idf_raw, {SCORE_DECIMALS}) AS idf,
+       round(r.contrib_raw, {SCORE_DECIMALS}) AS contrib
+FROM rows_ r JOIN topk USING (query_id, doc_id)
+"""

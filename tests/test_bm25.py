@@ -276,3 +276,64 @@ def test_dismax_twin_matches_duckdb(spark):
     assert [g[:3] for g in got] == [w[:3] for w in want]
     for g, w in zip(got, want):
         assert abs(g[3] - w[3]) <= 2e-6
+
+
+# ---------------------------------------------------------------- explain
+
+
+def test_explain_sums_to_ranked_score(spark):
+    from instructor_embedding_spark import datagen
+    from instructor_embedding_spark.query.bm25 import bm25_topk, explain_topk
+    from pyspark.sql import functions as F
+
+    corpus = datagen.corpus(spark, 160, partitions=3)
+    qdf = spark.createDataFrame(
+        [(1, "merge sort window"), (2, "fast hash join")],
+        "query_id long, query_text string",
+    )
+    top = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(corpus, qdf, k=5, text_col="content").collect()
+    }
+    exp = explain_topk(corpus, qdf, k=5, text_col="content")
+    sums = {
+        (r["query_id"], r["doc_id"]): r["s"]
+        for r in exp.groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("s")).collect()
+    }
+    assert set(sums) == set(top)
+    for key in top:
+        # per-term contribs are individually rounded, so the re-sum can
+        # drift by up to n_terms * 5e-7 from the ranked score
+        assert abs(sums[key] - top[key]) <= 2e-6, key
+
+
+def test_explain_twin_matches_duckdb(spark):
+    import duckdb
+
+    from instructor_embedding_spark import datagen
+    from instructor_embedding_spark.query.bm25 import (
+        explain_topk,
+        explain_topk_sql,
+    )
+
+    corpus = datagen.corpus(spark, 160, partitions=3)
+    qv = [(1, "merge sort window"), (2, "fast hash join")]
+    qdf = spark.createDataFrame(qv, "query_id long, query_text string")
+    got = sorted(
+        tuple(r)
+        for r in explain_topk(corpus, qdf, k=5, text_col="content")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("docs_pd", corpus.select("doc_id", "content").toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            explain_topk_sql("docs_pd", qv, k=5, text_col="content")
+        ).fetchall()
+    )
+    assert [g[:6] for g in got] == [w[:6] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[6] - w[6]) <= 2e-6 and abs(g[7] - w[7]) <= 2e-6
+    assert got
