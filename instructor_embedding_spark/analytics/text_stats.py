@@ -399,40 +399,6 @@ FROM t
 """
 
 
-def minmax_normalize(df: DataFrame, col: str,
-                     id_col: str = "doc_id") -> DataFrame:
-    """(id, x_norm) — global min-max normalization (M7: the reference
-    min-max scales score matrices before thresholding).  One single-row
-    global agg broadcast against the rows; degenerate range (max == min)
-    pins x_norm = 0.0."""
-    stats = df.agg(
-        F.min(col).alias("mn"), F.max(col).alias("mx")
-    )
-    return df.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col).alias("doc_id"),
-        F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
-        .otherwise(
-            F.round(
-                (F.col(col) - F.col("mn"))
-                / (F.col("mx") - F.col("mn")).cast("double"),
-                6,
-            )
-        )
-        .alias("x_norm"),
-    )
-
-
-def minmax_normalize_sql(table: str, col: str,
-                         id_col: str = "doc_id") -> str:
-    return f"""
-WITH stats AS (SELECT min({col}) AS mn, max({col}) AS mx FROM {table})
-SELECT {id_col} AS doc_id,
-       CASE WHEN mx = mn THEN 0.0
-            ELSE round(({col} - mn) * 1.0 / (mx - mn), 6) END AS x_norm
-FROM {table}, stats
-"""
-
-
 #: M13 default alias map — the shape of the reference's abbreviation
 #: expansion (bridge_content_encoder picklist normalization); whole-word
 #: boundaries so substrings survive.

@@ -684,8 +684,19 @@ def explain_topk(
         .join(F.broadcast(qt), "term")
         .withColumn("contrib_raw", contrib)
     )
-    top = bm25_topk(docs, queries, k=k, text_col=text_col, id_col=id_col)
-    keep = top.select("query_id", "doc_id")
+    # top-k from the SAME contribution rows (one scoring pass; the twin
+    # derives topk from its rows_ CTE identically)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score_raw"), SCORE_DECIMALS).desc(),
+        F.col("doc_id").asc(),
+    )
+    keep = (
+        rows.groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib_raw").alias("score_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id")
+    )
     return (
         rows.join(F.broadcast(keep), ["query_id", "doc_id"], "left_semi")
         .select(

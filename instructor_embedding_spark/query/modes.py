@@ -115,11 +115,9 @@ def _final(df: DataFrame) -> DataFrame:
 # shared SQL scoring base
 
 
-def _vals(pairs) -> str:
-    return ", ".join(
-        "({}, '{}')".format(qid, text.replace("'", "''"))
-        for qid, text in pairs
-    )
+from instructor_embedding_spark.functions.sqllit import (
+    sql_values_pairs as _vals,
+)
 
 
 def _base_ctes(table: str, text_col: str, id_col: str) -> str:
@@ -617,20 +615,11 @@ def rescore_topk(
     qdf = spark.createDataFrame(
         queries_values, "query_id long, query_text string"
     )
-    toks = tokenized(docs, text_col, id_col)
-    stats = corpus_stats(toks)
-    tf = tf_table(toks)
-    ts = term_stats(tf, stats)
-    qt = query_terms(qdf)
-    contrib = bm25_score_col(
-        F.col("tf"), F.col("dl"), F.col("idf"), stats.avgdl
-    )
-    scored = (
-        tf.join(ts.select("term", "idf"), "term")
-        .join(F.broadcast(qt), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(contrib).alias("score_raw"))
-    )
+    # the shared scoring base (one definition of the pinned BM25 sum);
+    # ts comes back for the idf-sum lookup below
+    scored, stats, _, ts = _scored_base(docs, qdf, text_col, id_col)
+    # per-doc dl is a plain projection of the tokenizer (no shuffle)
+    dls = tokenized(docs, text_col, id_col).select("doc_id", "dl")
     wsel = Window.partitionBy("query_id").orderBy(
         _r6().desc(), F.col("doc_id")
     )
@@ -662,7 +651,7 @@ def rescore_topk(
     final = (
         win.join(pf, ["query_id", "doc_id"], "left")
         .withColumn("pf", F.coalesce(F.col("pf"), F.lit(0).cast("long")))
-        .join(toks.select("doc_id", "dl"), "doc_id")
+        .join(dls, "doc_id")
         .join(F.broadcast(qidf), "query_id")
         .withColumn(
             "final_raw",

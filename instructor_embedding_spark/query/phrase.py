@@ -618,6 +618,13 @@ def span_first_topk(
     terms: dict[int, str] = {}
     ends: dict[int, int] = {}
     for pid, text, end in queries:
+        if int(end) < 1:
+            # the kernel casts end through uint64 — a negative value
+            # would wrap to 2^64-1 and match everything while the SQL
+            # twin matches nothing
+            raise ValueError(
+                f"span_first end must be >= 1 (got {end} for query {pid})"
+            )
         toks = tokenize_py(text)
         if len(toks) > 1:
             raise ValueError(
@@ -659,6 +666,10 @@ def span_first_topk_sql(table: str, queries: list[tuple[int, str, int]],
     the term."""
     branches = []
     for pid, text, end in queries:
+        if int(end) < 1:
+            raise ValueError(
+                f"span_first end must be >= 1 (got {end} for query {pid})"
+            )
         toks = tokenize_py(text)
         if not toks:
             continue

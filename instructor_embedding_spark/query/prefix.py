@@ -80,10 +80,9 @@ def prefix_topk(
                      **kwargs)
 
 
-def _vals(pairs: list[tuple[int, str]]) -> str:
-    return ", ".join(
-        "({}, '{}')".format(qid, p.replace("'", "''")) for qid, p in pairs
-    )
+from instructor_embedding_spark.functions.sqllit import (
+    sql_values_pairs as _vals,
+)
 
 
 def _expansion_bm25_sql(

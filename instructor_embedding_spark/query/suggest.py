@@ -98,10 +98,9 @@ def term_suggest(
     )
 
 
-def _vals(pairs: list[tuple[int, str]]) -> str:
-    return ", ".join(
-        "({}, '{}')".format(qid, t.replace("'", "''")) for qid, t in pairs
-    )
+from instructor_embedding_spark.functions.sqllit import (
+    sql_values_pairs as _vals,
+)
 
 
 def term_suggest_sql(
@@ -422,6 +421,12 @@ def complete_prefix(
     touched.  (A latency-critical deployment would serve this from a
     sorted-term FST/trie; the dictionary probe is the batch-engine
     equivalent.)"""
+    for _, p in queries:
+        if not p:
+            raise ValueError(
+                "completion prefix must be non-empty (an empty prefix "
+                "would match the whole dictionary)"
+            )
     qt = spark.createDataFrame(queries, "query_id long, qterm string")
     dic = term_stats.select("term", F.col("df").cast("long").alias("df"))
     cand = dic.join(
@@ -453,6 +458,9 @@ def complete_prefix_sql(
 ) -> str:
     """DuckDB oracle: the same starts_with dictionary probe and
     (df desc, term) weight order over a first-principles df dictionary."""
+    for _, p in queries:
+        if not p:
+            raise ValueError("completion prefix must be non-empty")
     from instructor_embedding_spark.functions.tokenize import sql_tokens_expr
 
     return f"""
