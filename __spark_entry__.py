@@ -155,6 +155,17 @@ WILDCARD_SET: list[tuple[int, str]] = [
     (1204, "zz*qx"),
 ]
 
+#: regexp-query fixture (ids 1301+): anchored full-match patterns
+#: (Lucene RegexpQuery, Java/RE2 common subset) — 1301 a pure-prefix
+#: regex (must rank exactly like prefix 601 / glob 1201), 1302 a
+#: character class, 1303 an alternation, 1304 a no-match probe.
+REGEXP_SET: list[tuple[int, str]] = [
+    (1301, "mer.*"),
+    (1302, "s[aeiou]rt"),
+    (1303, "b(at|un)ch"),
+    (1304, "zz.*qx"),
+]
+
 #: term-suggester fixture: the SAME inputs run under all three ES
 #: suggest modes (tagged), so the gated result documents the mode
 #: contrast.  The synthetic vocabulary's terms are pairwise >= 3 edits
@@ -467,7 +478,11 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
       equal;
     - ids 1201+: wildcard (glob) retrieval — LIKE-translated dictionary
       expansion (leading wildcard rejected), capped ascending-term,
-      through the unchanged WAND machinery."""
+      through the unchanged WAND machinery;
+    - ids 1301+: regexp retrieval — anchored full-match dictionary
+      expansion in the Java/RE2 common subset (validated; lookaround /
+      backrefs / possessive quantifiers rejected), same cap and WAND
+      machinery."""
     handle = _tombstoned_index_for(spark, sf_dir)
     doc_filter = _docs(spark, sf_dir).filter(F.col("lang") == "zh").select(
         "doc_id"
@@ -490,6 +505,7 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     pfx = prefix.prefix_topk(spark, handle, PREFIX_SET, k=TOP_K)
     fz = prefix.fuzzy_topk(spark, handle, FUZZY_SET, k=TOP_K)
     wc = prefix.wildcard_topk(spark, handle, WILDCARD_SET, k=TOP_K)
+    rx = prefix.regexp_topk(spark, handle, REGEXP_SET, k=TOP_K)
     neg = wand.wand_topk(
         spark, handle,
         spark.createDataFrame(NOT_POS_SET, "query_id long, query_text string"),
@@ -528,8 +544,9 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         base.unionByName(live).unionByName(fresh).unionByName(conj)
-        .unionByName(pfx).unionByName(fz).unionByName(wc).unionByName(neg)
-        .unionByName(msm).unionByName(bst).unionByName(page2)
+        .unionByName(pfx).unionByName(fz).unionByName(wc).unionByName(rx)
+        .unionByName(neg).unionByName(msm).unionByName(bst)
+        .unionByName(page2)
     )
 
 
@@ -2015,6 +2032,11 @@ ORDER BY doc_id LIMIT 50
             + ") UNION ALL SELECT * FROM ("
             + prefix.wildcard_topk_sql(
                 "documents", WILDCARD_SET, k=TOP_K, text_col="text",
+            )
+            # regexp retrieval: anchored full-match expansion
+            + ") UNION ALL SELECT * FROM ("
+            + prefix.regexp_topk_sql(
+                "documents", REGEXP_SET, k=TOP_K, text_col="text",
             )
             # MUST_NOT: drop (query, doc) on any prohibited-term hit
             + ") UNION ALL SELECT * FROM ("

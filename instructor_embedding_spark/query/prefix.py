@@ -367,6 +367,136 @@ qt AS (
     return _expansion_bm25_sql(table, ctes, k, text_col, id_col)
 
 
+# -------------------------------------------------- regexp
+
+
+def validate_regexp(pattern: str) -> str:
+    """Validate a Lucene-RegexpQuery-style pattern against the Java/RE2
+    COMMON subset, so the Spark (java.util.regex) and DuckDB (RE2) sides
+    cannot disagree: lookaround, backreferences, and possessive
+    quantifiers are rejected (RE2 lacks all three; a pattern using them
+    would silently diverge), as is an empty pattern.  Literals, ``.``,
+    classes (``[...]``, ``\\d \\w \\s`` + negations), alternation,
+    grouping (incl. ``(?:``), anchors, and greedy/lazy quantifiers all
+    behave identically in both engines.  Returns the pattern unchanged."""
+    import re as _re
+
+    if not pattern:
+        raise ValueError("empty regexp pattern")
+    for look in ("(?=", "(?!", "(?<"):
+        if look in pattern:
+            raise ValueError(
+                f"lookaround {look!r} not in the Java/RE2 common subset "
+                f"(pattern {pattern!r})"
+            )
+    esc = False
+    prev_quant = False  # previous char ended a quantifier
+    for ch in pattern:
+        if esc:
+            if ch.isdigit() and ch != "0":
+                raise ValueError(
+                    f"backreference \\{ch} not in the Java/RE2 common "
+                    f"subset (pattern {pattern!r})"
+                )
+            esc = False
+            prev_quant = False
+            continue
+        if ch == "\\":
+            esc = True
+            continue
+        if ch == "+" and prev_quant:
+            raise ValueError(
+                f"possessive quantifier not in the Java/RE2 common "
+                f"subset (pattern {pattern!r})"
+            )
+        prev_quant = ch in "*+?}"
+    try:
+        _re.compile(pattern)
+    except _re.error as e:
+        raise ValueError(f"invalid regexp {pattern!r}: {e}") from e
+    return pattern
+
+
+def expand_regexp(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    patterns: list[tuple[int, str]],
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> DataFrame:
+    """(query_id, term): every dictionary term the pattern FULLY matches
+    (Lucene RegexpQuery anchors both ends), capped at ``max_expansions``
+    per (query, pattern) in ascending term order, distinct per query.
+
+    Both engines evaluate the SAME anchored string ``^(?:p)$`` — Spark
+    via RLIKE, DuckDB via regexp_matches — so full-match semantics never
+    depend on a dialect's default anchoring.  Unlike the wildcard query
+    there is no leading-literal guard: a regexp IS a full dictionary
+    scan (Lucene walks the term dictionary with the pattern automaton);
+    the documented |dictionary| << |postings| cost model applies."""
+    for _, p in patterns:
+        validate_regexp(p)
+    rp = spark.createDataFrame(
+        [(qid, f"^(?:{p})$") for qid, p in patterns],
+        "query_id long, rx string",
+    )
+    w = Window.partitionBy("query_id", "rx").orderBy("term")
+    return (
+        term_stats.select("term")
+        .join(F.broadcast(rp), F.expr("term RLIKE rx"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_expansions)
+        .select("query_id", "term")
+        .distinct()
+    )
+
+
+def regexp_topk(
+    spark: SparkSession,
+    handle: IndexHandle,
+    patterns: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    **kwargs,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — BM25 top-k over the regexp
+    expansion (the Lucene top-terms rewrite: each expanded term scores
+    with its own idf); rank-identical to :func:`regexp_topk_sql`."""
+    from instructor_embedding_spark.query.wand import wand_topk
+
+    qt = expand_regexp(spark, handle.term_stats(spark), patterns,
+                       max_expansions)
+    return wand_topk(spark, handle, queries=None, k=k, qt_override=qt,
+                     **kwargs)
+
+
+def regexp_topk_sql(
+    table: str,
+    patterns: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> str:
+    """DuckDB oracle: the same anchored full-match expansion (ascending-
+    term cap, distinct per query) over a first-principles df dictionary,
+    then the standard BM25 ranking."""
+    for _, p in patterns:
+        validate_regexp(p)
+    anchored = [(qid, f"^(?:{p})$") for qid, p in patterns]
+    ctes = f"""rp(query_id, rx) AS (VALUES {_vals(anchored)}),
+expanded AS (
+  SELECT query_id, term,
+         row_number() OVER (
+           PARTITION BY query_id, rx ORDER BY term
+         ) AS rn
+  FROM rp JOIN df ON regexp_matches(df.term, rx)
+),
+qt AS (
+  SELECT DISTINCT query_id, term FROM expanded WHERE rn <= {max_expansions}
+)"""
+    return _expansion_bm25_sql(table, ctes, k, text_col, id_col)
+
+
 # -------------------------------------------------- match_phrase_prefix
 
 
