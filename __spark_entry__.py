@@ -615,13 +615,27 @@ MPP_SET: list[tuple[int, str]] = [
     (503, "zzqx"),
 ]
 
+#: SpanNotQuery fixtures (ids 601+): include-term occurrences with no
+#: exclude-term occurrence in [p-pre, p+post] — 601 an exclusion that
+#: bites ("merge sort" phrases exist, so nearby "sort" kills those
+#: "merge" occurrences), 602 an absent exclude term (pure occurrence
+#: count), 603 the reverse direction of a common pair.
+SPAN_NOT_SET: list[tuple[int, str, str]] = [
+    (601, "merge", "sort"),
+    (602, "hash", "zzqqxv"),
+    (603, "join", "hash"),
+]
+SPAN_NOT_PRE = 1
+SPAN_NOT_POST = 2
+
 
 def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positions-index surface in one ranked table: exact phrase (ids
     1+), unordered NEAR (101+), ordered NEAR (201+), best-window snippet
     offsets (301+, query/snippet.py — leftmost SNIPPET_WINDOW-token span
     covering the most distinct query terms; oracle is a first-principles
-    every-start scan of the token arrays).  Snippet rows reuse the
+    every-start scan of the token arrays), span_first (401+),
+    match_phrase_prefix (501+), span_not (601+).  Snippet rows reuse the
     ``matches`` column for coverage (same meaning: distinct query terms
     hit) and add ``snippet_start``; span rows carry it NULL."""
     handle = _index_for(spark, sf_dir)
@@ -637,6 +651,10 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, pos, SNIPPET_SET, window=SNIPPET_WINDOW, k=TOP_K
     )
     first = phrase.span_first_topk(spark, pos, SPAN_FIRST_SET, k=TOP_K)
+    snot = phrase.span_not_topk(
+        spark, pos, SPAN_NOT_SET, pre=SPAN_NOT_PRE, post=SPAN_NOT_POST,
+        k=TOP_K,
+    )
     mpp = prefix.match_phrase_prefix_topk(
         spark, handle, MPP_SET, k=TOP_K
     ).select(
@@ -645,7 +663,7 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["phrase_id", "rank", "doc_id", "matches", "snippet_start"]
     spans = (
         exact.unionByName(near).unionByName(near_ord).unionByName(first)
-        .unionByName(mpp)
+        .unionByName(snot).unionByName(mpp)
         .withColumn("snippet_start", F.lit(None).cast("long"))
         .select(*cols)
     )
@@ -2085,6 +2103,11 @@ ORDER BY doc_id LIMIT 50
             " CAST(NULL AS BIGINT) AS snippet_start FROM ("
             + phrase.span_first_topk_sql(
                 "documents", SPAN_FIRST_SET, k=TOP_K, text_col="text")
+            + ") UNION ALL SELECT phrase_id, rank, doc_id, matches,"
+            " CAST(NULL AS BIGINT) AS snippet_start FROM ("
+            + phrase.span_not_topk_sql(
+                "documents", SPAN_NOT_SET, pre=SPAN_NOT_PRE,
+                post=SPAN_NOT_POST, k=TOP_K, text_col="text")
             + ") UNION ALL SELECT query_id AS phrase_id, rank, doc_id,"
             " matches, CAST(NULL AS BIGINT) AS snippet_start FROM ("
             + prefix.match_phrase_prefix_topk_sql(

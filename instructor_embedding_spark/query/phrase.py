@@ -680,7 +680,14 @@ def span_first_topk_sql(table: str, queries: list[tuple[int, str, int]],
             f"i -> i <= {int(end)} AND t[i] = '{t}')) AS BIGINT) "
             "AS matches FROM toks"
         )
-    union = " UNION ALL ".join(branches)
+    return _span_counts_sql(table, " UNION ALL ".join(branches), k,
+                            text_col, id_col)
+
+
+def _span_counts_sql(table: str, union: str, k: int, text_col: str,
+                     id_col: str) -> str:
+    """Shared tail of the single-span oracles: tokenize, rank the
+    per-branch counts (matches desc, doc_id), cut at k."""
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id, {sql_tokens_expr(text_col)} AS t FROM {table}
@@ -696,3 +703,156 @@ ranked AS (
 )
 SELECT phrase_id, rank, doc_id, matches FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------------------- span_not
+
+
+def _validate_span_not(
+    queries: list[tuple[int, str, str]], pre: int, post: int,
+) -> tuple[dict[int, str], dict[int, str]]:
+    """(include-term, exclude-term maps) — single-token both sides,
+    include != exclude (a self-excluding span kills every match), pre and
+    post non-negative.  Shared by the kernel and the SQL twin so both
+    reject identical inputs."""
+    if pre < 0 or post < 0:
+        raise ValueError(
+            f"span_not pre/post must be >= 0 (got {pre}, {post})"
+        )
+    inc: dict[int, str] = {}
+    exc: dict[int, str] = {}
+    for pid, inc_text, exc_text in queries:
+        it = tokenize_py(inc_text)
+        et = tokenize_py(exc_text)
+        if len(it) != 1 or len(et) != 1:
+            raise ValueError(
+                f"span_not wraps single terms (query {pid}: include "
+                f"{it!r}, exclude {et!r})"
+            )
+        if it[0] == et[0]:
+            raise ValueError(
+                f"span_not include == exclude ({it[0]!r}) for query "
+                f"{pid} — every match would self-exclude"
+            )
+        inc[pid] = it[0]
+        exc[pid] = et[0]
+    return inc, exc
+
+
+def _span_not_kernel(exc_terms: dict[int, str], pre: int, post: int):
+    """One (phrase_id, doc_block) group: count include-term occurrences
+    with NO exclude-term occurrence inside [p - pre, p + post]."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        phrase_id = int(pdf["phrase_id"].iloc[0])
+        exc_term = exc_terms[phrase_id]
+        out_docs: list[int] = []
+        out_matches: list[int] = []
+        for doc_id, grp in pdf.groupby("doc_id"):
+            by_role = {
+                ("exc" if t == exc_term else "inc"): b
+                for t, b in zip(grp["term"], grp["pos_bytes"])
+            }
+            if "inc" not in by_role:
+                continue
+            # int64: the window arithmetic must not wrap below zero
+            ip = (
+                np.cumsum(varint_decode(by_role["inc"]), dtype=np.uint64)
+                .astype(np.int64) + 1
+            )
+            if "exc" in by_role:
+                ep = (
+                    np.cumsum(varint_decode(by_role["exc"]),
+                              dtype=np.uint64).astype(np.int64) + 1
+                )
+                lo = np.searchsorted(ep, ip - pre, side="left")
+                hi = np.searchsorted(ep, ip + post, side="right")
+                m = int((hi == lo).sum())
+            else:
+                m = len(ip)
+            if m:
+                out_docs.append(int(doc_id))
+                out_matches.append(m)
+        return pd.DataFrame(
+            {
+                "phrase_id": np.full(len(out_docs), phrase_id,
+                                     dtype=np.int64),
+                "doc_id": np.asarray(out_docs, dtype=np.int64),
+                "matches": np.asarray(out_matches, dtype=np.int64),
+            }
+        )
+
+    return kernel
+
+
+def span_not_topk(
+    spark: SparkSession,
+    positions: DataFrame,
+    queries: list[tuple[int, str, str]],
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """(phrase_id, rank, doc_id, matches) — Lucene SpanNotQuery over
+    single-token spans: ``matches`` counts occurrences of the include
+    term with NO exclude-term occurrence within ``pre`` tokens before or
+    ``post`` tokens after (positions 1-based, window inclusive).  Docs
+    whose every include occurrence is killed drop out (matches > 0, the
+    family rule); docs without the exclude term keep every occurrence.
+    ``pre = post = 0`` is Lucene's overlap-only default — a no-op for
+    single-token spans (two distinct terms never share a position), so
+    callers wanting exclusion pass a positive window.
+
+    Same scale shape as the rest of the span family: ``In(term, …)``
+    pushdown into the positions scan (BOTH roles' terms), broadcast
+    role-tagged query-term join, per-(query, doc_block) Arrow groups,
+    one global top-k window."""
+    inc, exc = _validate_span_not(queries, pre, post)
+    if not inc:
+        return spark.createDataFrame(
+            [], "phrase_id long, rank long, doc_id long, matches long"
+        )
+    pairs = sorted(
+        {(pid, t) for pid, t in inc.items()}
+        | {(pid, t) for pid, t in exc.items()}
+    )
+    pt = spark.createDataFrame(pairs, "phrase_id long, term string")
+    all_terms = sorted({t for _, t in pairs})
+    hits = positions.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(pt), "term"
+    )
+    cand = hits.groupBy("phrase_id", "doc_block").applyInPandas(
+        _span_not_kernel(exc, pre, post), schema=PHRASE_OUT_SCHEMA
+    )
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.col("matches").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("phrase_id", "rank", "doc_id", "matches")
+    )
+
+
+def span_not_topk_sql(table: str, queries: list[tuple[int, str, str]],
+                      pre: int = 0, post: int = 0, k: int = 10,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """First-principles oracle: for every token position i holding the
+    include term, the clamped slice ``t[max(1, i - pre) : i + post]``
+    must not contain the exclude term (DuckDB slices are 1-based
+    inclusive and clamp at the list end, matching the kernel's
+    searchsorted window)."""
+    inc, exc = _validate_span_not(queries, pre, post)
+    branches = []
+    for pid, it in inc.items():
+        et = exc[pid]
+        branches.append(
+            f"SELECT {pid} AS phrase_id, doc_id, "
+            f"CAST(len(list_filter(range(1, len(t) + 1), "
+            f"i -> t[i] = '{it}' AND NOT list_contains("
+            f"t[greatest(1, i - {int(pre)}):i + {int(post)}], '{et}')"
+            f")) AS BIGINT) AS matches FROM toks"
+        )
+    return _span_counts_sql(table, " UNION ALL ".join(branches), k,
+                            text_col, id_col)
