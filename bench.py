@@ -518,6 +518,81 @@ def run_smoke_search(n_docs: int = 200_000) -> dict:
     return out
 
 
+def run_smoke_percolate(n_docs: int = 200_000, n_monitors: int = 100) -> dict:
+    """10× smoke for the percolator: ``n_monitors`` stored two-term
+    queries (half require-all, half OR) against the full corpus, both
+    formulations.  The batch kernel's claim is candidate pruning (only
+    docs sharing a term with a monitor reach the (doc, query) agg); the
+    stateless column's claim is zero shuffle — this records walls,
+    docs/s, match counts, and the batch kernel's shuffle bytes."""
+    from pyspark.sql import functions as F
+
+    from instructor_embedding_spark.query.bm25 import (
+        corpus_stats,
+        term_stats,
+        tf_table,
+        tokenized,
+    )
+    from instructor_embedding_spark.query.percolate import (
+        percolate,
+        percolate_batch_stateless,
+    )
+    from instructor_embedding_spark.session import get_spark
+    from instructor_embedding_spark.shipping import ensure_shipped
+
+    spark = get_spark(
+        app_name="ies-smoke-percolate", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    ensure_shipped(spark, RUNTIME)
+    out: dict = {"loadavg_percolate": [round(x, 2) for x in os.getloadavg()]}
+
+    docs = _bench_corpus(spark, n_docs)
+    docs.count()  # warm
+
+    # deterministic monitors from the corpus dictionary: md5-ordered
+    # terms paired up, alternating require-all / OR
+    toks = tokenized(docs, "content")
+    ts = term_stats(tf_table(toks), corpus_stats(toks))
+    terms = [
+        r["term"] for r in ts.select("term").orderBy(F.md5("term"))
+        .limit(2 * n_monitors).collect()
+    ]
+    monitors = [
+        (i, f"{terms[2 * i]} {terms[2 * i + 1]}", None if i % 2 else 1)
+        for i in range(n_monitors)
+    ]
+
+    before = _stage_totals(spark)
+    t0 = time.monotonic()
+    n_batch = percolate(spark, docs, monitors, text_col="content").count()
+    wall_b = time.monotonic() - t0
+    after = _stage_totals(spark)
+    t0 = time.monotonic()
+    n_stateless = percolate_batch_stateless(
+        docs, monitors, text_col="content"
+    ).count()
+    wall_s = time.monotonic() - t0
+    out["percolate_10x"] = {
+        "docs": n_docs, "monitors": n_monitors,
+        "batch": {
+            "rows": n_batch, "wall_s": round(wall_b, 2),
+            "docs_per_s": int(n_docs / wall_b),
+            "shuffle_write_mb": round(
+                (after["shuffle_write"] - before["shuffle_write"]) / 2**20,
+                1),
+        },
+        "stateless": {
+            "rows": n_stateless, "wall_s": round(wall_s, 2),
+            "docs_per_s": int(n_docs / wall_s),
+        },
+        "identical": n_batch == n_stateless,
+    }
+    _merge_smoke_results(out)
+    return out
+
+
 def _merge_smoke_results(rows: dict) -> None:
     """Read-modify-write SMOKE10X_RESULTS.json so independently-run
     smokes (--smoke10x / --smoke-phrase / --smoke-streaming) compose
@@ -934,6 +1009,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-search":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
         print(json.dumps({"smoke_search": run_smoke_search(n)}))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-percolate":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+        print(json.dumps({"smoke_percolate": run_smoke_percolate(n)}))
     elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-streaming":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
         print(json.dumps({"smoke_streaming": run_smoke_streaming(n)}))
