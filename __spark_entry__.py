@@ -46,9 +46,11 @@ from instructor_embedding_spark.multimodal import binary_ops
 from instructor_embedding_spark.query import (
     bm25,
     facets,
+    joins,
     modes,
     phrase,
     prefix,
+    qstring,
     snippet,
     suggest,
     wand,
@@ -290,6 +292,22 @@ MODES_NEGATIVE_BOOST = 0.2
 #: exactly half (ES DecayFunctionBuilder semantics).
 MODES_DECAY = {"origin": 250.0, "scale": 150.0, "offset": 20.0,
                "decay": 0.5}
+#: query-string fixture (ids 2801+): one clause kind per query over the
+#: documents vocabulary — plain OR, MUST, MUST_NOT, exact phrase,
+#: trailing-* prefix, ~1 fuzzy, a kitchen-sink combination, and the two
+#: kill probes (pure negation and all-stopword both MUST return zero
+#: rows; a filter bug that weakens them to OR would light up the gate).
+MODES_QSTRING_SET: list[tuple[int, str]] = [
+    (2801, "merge sort window"),
+    (2802, "+merge sort"),
+    (2803, "merge -sort"),
+    (2804, '"merge sort"'),
+    (2805, "mer* join"),
+    (2806, "hashh~1 data"),
+    (2807, '+hash -window "merge sort"'),
+    (2808, "-merge"),
+    (2809, "the of a"),
+]
 #: dl histogram bucket width for the facets entry (tokens).
 FACET_HISTO_INTERVAL = 16
 #: significant_terms (ES JLH) knobs: top-5 terms per query, ES's default
@@ -367,11 +385,17 @@ def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, _offset_queries_df(spark, 2700), "n_chars",
             kind="gauss", k=TOP_K, **MODES_DECAY,
         ).withColumn("mode", F.lit("decay_gauss")),
+        qstring.qstring_topk(
+            spark, docs, MODES_QSTRING_SET, k=TOP_K, text_col="text",
+        ).withColumn("mode", F.lit("query_string")),
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # parent/child relational modes share the (query_id, rank, doc_id,
+    # score, mode) shape and disjoint query-id offsets — folded into the
+    # same mode-tagged union to keep the registry at the 50-entry cap.
+    return out.unionByName(_q_join_parent_child(spark, sf_dir))
 
 
 def _offset_queries(offset: int) -> list[tuple[int, str]]:
@@ -411,6 +435,67 @@ def _modes_sql() -> str:
         ("decay_gauss", modes.decay_score_topk_sql(
             "documents", _offset_queries(2700), "n_chars",
             kind="gauss", k=TOP_K, **MODES_DECAY)),
+        ("query_string", qstring.qstring_topk_sql(
+            "documents", MODES_QSTRING_SET, k=TOP_K, text_col="text")),
+    ]
+    return " UNION ALL ".join(
+        f"SELECT *, '{tag}' AS mode FROM ({sql})" for tag, sql in tagged
+    )
+
+
+#: parent/child fixture: min_children=2 on the pruned mode — at every
+#: gate sf each `source` group holds ≥25 docs, so 2 prunes single-match
+#: groups without emptying the result (the kill probe is the all-stopword
+#: query, which must stay absent in every mode).
+JOIN_MIN_CHILDREN = 2
+
+
+def _q_join_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES join-field analogs over ``documents`` grouped by ``source``:
+    ``has_child`` in all four score modes (parents ranked by their
+    children's BM25 matches; sum/avg reduce order-free via integer
+    quantization), a ``min_children``-pruned variant, and
+    ``has_parent`` (children inherit their representative parent's
+    score).  Reference has no relational layer (AbsTaskRetrieval.py
+    scores flat query×corpus); this is fulltext-graft surface like
+    collapse/facets."""
+    docs = _docs(spark, sf_dir)
+    qc = _offset_queries_df(spark, 2900)
+    qp = _offset_queries_df(spark, 3000)
+    parts = [
+        joins.has_child_topk(
+            docs, qc, "source", k=TOP_K, score_mode=m, text_col="text"
+        ).withColumn("mode", F.lit(f"has_child_{m}"))
+        for m in joins.SCORE_MODES
+    ] + [
+        joins.has_child_topk(
+            docs, qc, "source", k=TOP_K, score_mode="max",
+            min_children=JOIN_MIN_CHILDREN, text_col="text",
+        ).withColumn("mode", F.lit("has_child_min2")),
+        joins.has_parent_topk(
+            docs, qp, "source", k=TOP_K, text_col="text"
+        ).withColumn("mode", F.lit("has_parent")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _join_sql() -> str:
+    tagged = [
+        (f"has_child_{m}", joins.has_child_topk_sql(
+            "documents", _offset_queries(2900), "source", k=TOP_K,
+            score_mode=m, text_col="text"))
+        for m in joins.SCORE_MODES
+    ] + [
+        ("has_child_min2", joins.has_child_topk_sql(
+            "documents", _offset_queries(2900), "source", k=TOP_K,
+            score_mode="max", min_children=JOIN_MIN_CHILDREN,
+            text_col="text")),
+        ("has_parent", joins.has_parent_topk_sql(
+            "documents", _offset_queries(3000), "source", k=TOP_K,
+            text_col="text")),
     ]
     return " UNION ALL ".join(
         f"SELECT *, '{tag}' AS mode FROM ({sql})" for tag, sql in tagged
@@ -1671,7 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: way.  Prefix → category map; select_queries() is the filter chain.
 QUERY_CATEGORY_PREFIXES: dict[str, tuple[str, ...]] = {
     "retrieval": ("bm25_", "phrase_", "retrieval_", "rerank_", "budgeted_",
-                  "fuzzy_", "search_"),
+                  "fuzzy_", "search_", "join_"),
     "index": ("tokenize_", "term_"),
     "dedup": ("dedup_",),
     "similarity": ("ann_", "knn_", "embedding_", "pooling_", "fast_votek"),
@@ -1828,7 +1913,7 @@ def oracle_sql() -> dict[str, str]:
                 "documents", DRIVER_QUERY_SET, "lang", text_col="text")
             + ")"
         ),
-        "search_modes": _modes_sql(),
+        "search_modes": _modes_sql() + " UNION ALL " + _join_sql(),
         "ann_lsh_cosine_topk": similarity.lsh_cosine_topk_sql(
             "embeddings", k=10
         ),
