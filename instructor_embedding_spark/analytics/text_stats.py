@@ -147,11 +147,21 @@ FROM {table}
 
 
 def lang_profile(docs: DataFrame, text_col: str = "text",
-                 lang_col: str = "lang") -> DataFrame:
-    """(lang, n_docs, avg_tokens, top_term) — per-language corpus profile
-    (M13/W9 composition: groupBy + max_by)."""
+                 lang_col: str = "lang", id_col: str = "doc_id") -> DataFrame:
+    """(lang, n_docs, avg_tokens, top_term, est/exact distinct terms and
+    postings) — per-language corpus profile (M13/W9 composition: groupBy +
+    max_by), extended (r5) with the ES `cardinality`-agg analog: a
+    deterministic HyperLogLog estimate of distinct terms and distinct
+    (term, doc) postings per language, each next to its exact
+    count(DISTINCT) so the gate pins both determinism AND accuracy.  The
+    two value sets exercise both estimator branches at fixture scale
+    (terms → linear counting, postings → raw formula); at 100 TB only the
+    sketch columns survive — the exact twins are the small-scale oracle."""
+    from instructor_embedding_spark.analytics import cardinality
+
     toks = docs.select(
         F.col(lang_col).alias("lang"),
+        F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(text_col)).alias("term"),
     )
     tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -165,7 +175,33 @@ def lang_profile(docs: DataFrame, text_col: str = "text",
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n"), 6).alias("avg_tokens"),
     )
-    return base.join(top, "lang")
+    terms = toks.select("lang", F.col("term").alias("v"))
+    postings = toks.select(
+        "lang",
+        F.concat_ws(":", "term", F.col("doc_id").cast("string")).alias("v"),
+    )
+    card = (
+        cardinality.hll_estimate(terms, "v", ["lang"])
+        .withColumnRenamed("est_distinct", "est_distinct_terms")
+        .join(
+            terms.groupBy("lang").agg(
+                F.countDistinct("v").alias("exact_distinct_terms")
+            ),
+            "lang",
+        )
+        .join(
+            cardinality.hll_estimate(postings, "v", ["lang"])
+            .withColumnRenamed("est_distinct", "est_distinct_postings"),
+            "lang",
+        )
+        .join(
+            postings.groupBy("lang").agg(
+                F.countDistinct("v").alias("exact_distinct_postings")
+            ),
+            "lang",
+        )
+    )
+    return base.join(top, "lang").join(card, "lang")
 
 
 #: Language-ID heuristic (task mandate: "language-ID (n-gram heuristic)"):
@@ -280,12 +316,27 @@ FROM (
 
 
 def lang_profile_sql(table: str, text_col: str = "text",
-                     lang_col: str = "lang") -> str:
+                     lang_col: str = "lang", id_col: str = "doc_id") -> str:
+    from instructor_embedding_spark.analytics.cardinality import (
+        hll_estimate_sql,
+    )
+
     t = sql_tokens_expr(text_col)
+    toks = (
+        f"SELECT {lang_col} AS lang, {id_col} AS doc_id, "
+        f"unnest({t}) AS term FROM {table}"
+    )
+    terms = f"SELECT lang, term AS v FROM ({toks})"
+    postings = (
+        f"SELECT lang, term || ':' || CAST(doc_id AS VARCHAR) AS v "
+        f"FROM ({toks})"
+    )
+    est_terms = hll_estimate_sql(terms, "v", ["lang"])
+    est_postings = hll_estimate_sql(postings, "v", ["lang"])
     return f"""
 WITH tf AS (
   SELECT lang, term, count(*) AS tf
-  FROM (SELECT {lang_col} AS lang, unnest({t}) AS term FROM {table})
+  FROM ({toks})
   GROUP BY lang, term
 ),
 top AS (
@@ -299,9 +350,25 @@ base AS (
   SELECT {lang_col} AS lang, count(*) AS n_docs,
          round(avg(len({t})), 6) AS avg_tokens
   FROM {table} GROUP BY 1
+),
+card AS (
+  SELECT et.lang,
+         et.est_distinct AS est_distinct_terms,
+         xt.exact_distinct_terms,
+         ep.est_distinct AS est_distinct_postings,
+         xp.exact_distinct_postings
+  FROM ({est_terms}) et
+  JOIN (SELECT lang, count(DISTINCT v) AS exact_distinct_terms
+        FROM ({terms}) GROUP BY lang) xt USING (lang)
+  JOIN ({est_postings}) ep USING (lang)
+  JOIN (SELECT lang, count(DISTINCT v) AS exact_distinct_postings
+        FROM ({postings}) GROUP BY lang) xp USING (lang)
 )
-SELECT base.lang, base.n_docs, base.avg_tokens, top.top_term
+SELECT base.lang, base.n_docs, base.avg_tokens, top.top_term,
+       card.est_distinct_terms, card.exact_distinct_terms,
+       card.est_distinct_postings, card.exact_distinct_postings
 FROM base JOIN top ON base.lang = top.lang
+JOIN card ON base.lang = card.lang
 """
 
 
