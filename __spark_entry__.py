@@ -313,6 +313,11 @@ FACET_HISTO_INTERVAL = 16
 #: significant_terms (ES JLH) knobs: top-5 terms per query, ES's default
 #: min_doc_count=3 foreground prune.
 SIG_TERMS_SIZE = 5
+#: composite-agg page spec (ES `composite` sources: terms(lang) ×
+#: histogram(dl)): page strictly after (en, 40) in key order, 5 buckets
+#: per query — cuts mid-language so the gate pins the keyset predicate.
+COMPOSITE_AFTER = ("en", 40)
+COMPOSITE_SIZE = 5
 SIG_TERMS_MIN_DOC_COUNT = 3
 
 
@@ -388,6 +393,17 @@ def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         qstring.qstring_topk(
             spark, docs, MODES_QSTRING_SET, k=TOP_K, text_col="text",
         ).withColumn("mode", F.lit("query_string")),
+        # terms_set: per-DOC minimum_should_match (ES
+        # minimum_should_match_field); the fixture derives the required
+        # count from doc_id — a stored field at serving time
+        modes.terms_set_topk(
+            docs, _offset_queries_df(spark, 3100),
+            docs.select(
+                "doc_id",
+                (F.lit(1) + F.col("doc_id") % 3).alias("required"),
+            ),
+            k=TOP_K,
+        ).withColumn("mode", F.lit("terms_set")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -437,6 +453,9 @@ def _modes_sql() -> str:
             kind="gauss", k=TOP_K, **MODES_DECAY)),
         ("query_string", qstring.qstring_topk_sql(
             "documents", MODES_QSTRING_SET, k=TOP_K, text_col="text")),
+        ("terms_set", modes.terms_set_topk_sql(
+            "documents", _offset_queries(3100), "1 + doc_id % 3",
+            k=TOP_K)),
     ]
     return " UNION ALL ".join(
         f"SELECT *, '{tag}' AS mode FROM ({sql})" for tag, sql in tagged
@@ -1325,7 +1344,20 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("kind", F.lit("pct_lang"))
     )
-    return terms.unionByName(histo).unionByName(sig).unionByName(pct)
+    comp = (
+        facets.composite_page_from_index(
+            spark, handle, qdf, lang_facets, FACET_HISTO_INTERVAL,
+            after=COMPOSITE_AFTER, size=COMPOSITE_SIZE,
+        )
+        .withColumn("bg_df", null_long)
+        .withColumn("p50_dl", null_long)
+        .withColumn("p90_dl", null_long)
+        .withColumn("kind", F.lit("composite"))
+    )
+    return (
+        terms.unionByName(histo).unionByName(sig).unionByName(pct)
+        .unionByName(comp)
+    )
 
 
 def _q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1911,6 +1943,14 @@ def oracle_sql() -> dict[str, str]:
             " 'pct_lang' AS kind FROM ("
             + facets.facet_percentiles_sql(
                 "documents", DRIVER_QUERY_SET, "lang", text_col="text")
+            + ") UNION ALL SELECT *, CAST(NULL AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'composite' AS kind FROM ("
+            + facets.composite_page_sql(
+                "documents", DRIVER_QUERY_SET, "lang",
+                FACET_HISTO_INTERVAL, after=COMPOSITE_AFTER,
+                size=COMPOSITE_SIZE, text_col="text")
             + ")"
         ),
         "search_modes": _modes_sql() + " UNION ALL " + _join_sql(),

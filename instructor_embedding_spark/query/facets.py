@@ -535,3 +535,104 @@ FROM scored s
 {msm}
 GROUP BY s.query_id, facet
 """
+
+
+# ---------------------------------------------------------------------------
+# composite aggregation (Elasticsearch `composite` agg): deterministic
+# keyset paging over MULTI-SOURCE buckets — the agg-side analog of
+# search_after.  A terms source (doc facet) composes with a histogram
+# source (dl buckets); pages are defined purely by the composite key
+# order plus an `after` key, so any page is reproducible from its
+# predecessor's last key with no server-side cursor state.  At 100 TB
+# the bucket aggregate is one map-side-combinable hash agg and the page
+# cut is a per-query WindowGroupLimit over O(buckets) rows — bucket
+# enumeration never pins the full set in one task.
+
+
+def composite_page_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    facets_df: DataFrame,
+    interval: int,
+    after: tuple[str, int] | None = None,
+    size: int = 10,
+) -> DataFrame:
+    """(query_id, facet, n_docs, top_score, min_dl, max_dl, avg_dl) —
+    one page of (facet, dl-bucket) composite buckets per query, strictly
+    after the ``after`` key in (facet ASC, bucket ASC) order.  The facet
+    column renders the composite key as ``facet:bucket`` so composite
+    rows union into the shared facets result shape."""
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+
+    m = scored_matches_from_index(spark, handle, queries)
+    b = m.join(facets_df, "doc_id").withColumn(
+        "bucket", (F.floor(F.col("dl") / interval) * interval).cast("long")
+    )
+    agg = b.groupBy("query_id", "facet", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.max("score_raw"), SCORE_DECIMALS).alias("top_score"),
+        F.min("dl").alias("min_dl"),
+        F.max("dl").alias("max_dl"),
+        F.round(F.sum("dl") / F.count(F.lit(1)), SCORE_DECIMALS)
+        .alias("avg_dl"),
+    )
+    if after is not None:
+        af, ab = after
+        agg = agg.filter(
+            (F.col("facet") > af)
+            | ((F.col("facet") == af) & (F.col("bucket") > ab))
+        )
+    w = Window.partitionBy("query_id").orderBy("facet", "bucket")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= size)
+        .select(
+            "query_id",
+            F.concat_ws(
+                ":", "facet", F.col("bucket").cast("string")
+            ).alias("facet"),
+            "n_docs", "top_score", "min_dl", "max_dl", "avg_dl",
+        )
+    )
+
+
+def composite_page_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    facet_col: str,
+    interval: int,
+    after: tuple[str, int] | None = None,
+    size: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`composite_page_from_index`
+    (from first principles — brute-force scoring, no index)."""
+    where = ""
+    if after is not None:
+        af, ab = after
+        af = af.replace("'", "''")
+        where = (
+            f"WHERE facet > '{af}' "
+            f"OR (facet = '{af}' AND bucket > {int(ab)})"
+        )
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+buckets AS (
+  SELECT s.query_id, d.{facet_col} AS facet,
+         CAST(floor(s.dl / {int(interval)}) AS BIGINT)
+           * {int(interval)} AS bucket,
+         {_STATS_SELECT}
+  FROM scored s
+  JOIN {table} d ON s.doc_id = d.{id_col}
+  GROUP BY s.query_id, d.{facet_col}, bucket
+)
+SELECT query_id, facet || ':' || CAST(bucket AS VARCHAR) AS facet,
+       n_docs, top_score, min_dl, max_dl, avg_dl
+FROM buckets
+{where}
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY facet, bucket) <= {int(size)}
+"""

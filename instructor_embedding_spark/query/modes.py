@@ -59,6 +59,7 @@ __all__ = [
     "function_score_topk", "function_score_topk_sql",
     "boosting_topk", "boosting_topk_sql",
     "decay_score_topk", "decay_score_topk_sql",
+    "terms_set_topk", "terms_set_topk_sql",
     "MLT_MAX_TERMS",
     "collapse_over",
     "sort_over",
@@ -1061,4 +1062,96 @@ ranked AS (
   FROM blended
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# terms_set query (Elasticsearch TermsSetQuery): bool-OR retrieval whose
+# minimum_should_match is a PER-DOCUMENT field (ES
+# `minimum_should_match_field`), not a query constant — e.g. "match a
+# skill list against each candidate's own required-skill count".  The
+# distinct-matched-terms count rides the same (query, doc) aggregate the
+# score does, so the per-doc floor costs no extra shuffle; the msm
+# attribute joins on doc_id, the key the aggregate already produced.
+# Strict ES semantics: a doc whose required count exceeds the query's
+# term count simply never matches (no clamping).
+
+
+def terms_set_topk(docs: DataFrame, queries: DataFrame, msm_df: DataFrame,
+                   k: int = 10, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(query_id, rank, doc_id, score) — BM25-scored OR retrieval keeping
+    only docs whose distinct matched-term count reaches that doc's own
+    ``required`` value from ``msm_df`` (doc_id, required)."""
+    toks = tokenized(docs, text_col, id_col)
+    stats = corpus_stats(toks)
+    tf = tf_table(toks)
+    ts = term_stats(tf, stats)
+    qt = query_terms(queries)
+    contrib = bm25_score_col(
+        F.col("tf"), F.col("dl"), F.col("idf"), stats.avgdl
+    )
+    scored = (
+        tf.join(ts.select("term", "idf"), "term")
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        # tf rows are per (doc, term) and qt terms are DISTINCT per
+        # query, so count(*) IS the distinct matched-term count
+        .agg(F.sum(contrib).alias("score_raw"),
+             F.count(F.lit(1)).alias("matched"))
+        .join(msm_df.select(F.col(id_col).alias("doc_id"), "required"),
+              "doc_id")
+        .filter(F.col("matched") >= F.col("required"))
+    )
+    w = Window.partitionBy("query_id").orderBy(_r6().desc(), F.col("doc_id"))
+    return _final(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def terms_set_topk_sql(table: str, queries_values, msm_expr: str,
+                       k: int = 10, text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB twin; ``msm_expr`` is a SQL expression over ``{table}``'s
+    columns yielding the per-doc required count (the fixture derives it
+    from doc_id; a real mapping would read a stored field)."""
+    return f"""
+WITH {_base_ctes(table, text_col, id_col)},
+q(query_id, query_text) AS (VALUES {_vals(queries_values)}),
+qt AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, unnest({sql_tokens_expr('query_text')}) AS term
+        FROM q)
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw,
+         count(*) AS matched
+  FROM qt
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+),
+kept AS (
+  SELECT s.query_id, s.doc_id, s.score_raw
+  FROM scored s
+  JOIN (SELECT {id_col} AS doc_id, {msm_expr} AS required
+        FROM {table}) m ON s.doc_id = m.doc_id
+  WHERE s.matched >= m.required
+)
+SELECT query_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+       ) AS BIGINT) AS rank,
+       doc_id, round(score_raw, {SCORE_DECIMALS}) AS score
+FROM kept
+QUALIFY rank <= {k}
 """

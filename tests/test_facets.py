@@ -192,3 +192,62 @@ def test_facet_percentiles_twin_and_index_parity(spark, corpus, queries):
         ).fetchall()
     )
     assert got == want and got
+
+
+def test_composite_page_keyset_matches_full_enumeration(
+    spark, corpus, queries, tmp_path_factory
+):
+    from instructor_embedding_spark.index.build import (
+        IndexParams, build_index,
+    )
+    from instructor_embedding_spark.query.facets import (
+        composite_page_from_index, composite_page_sql,
+    )
+
+    root = str(tmp_path_factory.mktemp("composite_idx"))
+    handle = build_index(
+        spark, corpus,
+        root,
+        IndexParams(doc_block_span=128, n_sub_blocks=8,
+                    corpus_fingerprint="facets:composite"),
+        text_col="content",
+    )
+    lang_facets = corpus.select("doc_id", F.col("lang").alias("facet"))
+    interval, size, after = 16, 4, ("de", 16)
+
+    got = sorted(
+        tuple(r) for r in composite_page_from_index(
+            spark, handle, queries, lang_facets, interval,
+            after=after, size=size,
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content", "lang").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(composite_page_sql(
+            "docs", QUERIES, "lang", interval, after=after, size=size,
+            text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+
+    # keyset property: page == the SIZE buckets immediately after the
+    # after-key in the FULL ordered bucket enumeration
+    full = sorted(
+        tuple(r) for r in con.execute(composite_page_sql(
+            "docs", QUERIES, "lang", interval, after=None, size=10**9,
+            text_col="content",
+        )).fetchall()
+    )
+    def key(row):
+        facet, bucket = row[1].rsplit(":", 1)
+        return (facet, int(bucket))
+    per_q = {}
+    for row in sorted(full, key=lambda r: (r[0],) + key(r)):
+        if key(row) > after:
+            per_q.setdefault(row[0], []).append(row)
+    expect = sorted(r for rows in per_q.values() for r in rows[:size])
+    assert got == expect
+    # every page row is strictly after the after-key
+    assert all(key(r) > after for r in got)

@@ -462,3 +462,37 @@ def test_decay_twin(spark, corpus, queries):
         assert [g[:3] for g in got] == [w[:3] for w in want], kind
         for g, w in zip(got, want):
             assert abs(g[3] - w[3]) <= 2e-6
+
+
+# ---------------------------------------------------------------------------
+# terms_set (per-doc minimum_should_match field)
+
+
+def test_terms_set_twin_and_floor_semantics(spark, corpus, queries, oracle):
+    msm = corpus.select(
+        "doc_id", (F.lit(1) + F.col("doc_id") % 3).alias("required")
+    )
+    got = _rows(modes.terms_set_topk(corpus, queries, msm, k=10,
+                                     text_col="content"))
+    want = _twin(oracle, modes.terms_set_topk_sql(
+        "docs", QUERIES, "1 + doc_id % 3", k=10, text_col="content"))
+    assert [(q, r, d, round(s, 6)) for q, r, d, s in got] == want
+    assert got
+    assert not [r for r in got if r[0] == 3]  # stopword query empty
+
+
+def test_terms_set_required_one_equals_plain_or(spark, corpus, queries):
+    msm1 = corpus.select("doc_id", F.lit(1).alias("required"))
+    got = _rows(modes.terms_set_topk(corpus, queries, msm1, k=10,
+                                     text_col="content"))
+    plain = _rows(bm25_topk(corpus, queries, k=10, text_col="content"))
+    assert got == plain
+
+
+def test_terms_set_unreachable_required_matches_nothing(spark, corpus,
+                                                        queries):
+    # strict ES semantics: required above the query's term count → no doc
+    # can ever reach the floor (no clamping)
+    msm99 = corpus.select("doc_id", F.lit(99).alias("required"))
+    assert modes.terms_set_topk(corpus, queries, msm99, k=10,
+                                text_col="content").count() == 0
