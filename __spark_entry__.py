@@ -339,9 +339,6 @@ def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_collapse = wand.scored_matches_from_index(
         spark, handle, _offset_queries_df(spark, 2000)
     )
-    m_sort = wand.scored_matches_from_index(
-        spark, handle, _offset_queries_df(spark, 2100)
-    )
     m_range = wand.scored_matches_from_index(
         spark, handle, _offset_queries_df(spark, 2200)
     )
@@ -350,10 +347,15 @@ def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             m_collapse,
             docs.select("doc_id", F.col("source").alias("grp")), k=TOP_K
         ).withColumn("mode", F.lit("collapse_source")),
-        modes.sort_over(
-            m_sort,
+        # r5: served through the index-sorted early-termination collector
+        # (block-level sort pruning; rank-identical to sort_over by
+        # construction — THIS oracle is the identity gate.  The gate
+        # corpus isn't field-sorted, so pruning is a no-op here; the
+        # pruning payoff is pinned by tests + the 10x smoke)
+        modes.sorted_topk_from_index(
+            spark, handle, _offset_queries_df(spark, 2100),
             docs.select("doc_id", F.col("n_chars").alias("sort_key")),
-            k=TOP_K
+            k=TOP_K,
         ).withColumn("mode", F.lit("sort_nchars")),
         modes.range_over(
             m_range,

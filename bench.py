@@ -754,6 +754,94 @@ def run_smoke_phrase(n_docs: int = 1_000_000) -> dict:
     return out
 
 
+
+
+def run_smoke_sorted(n_docs: int = 200_000) -> dict:
+    """10x smoke for index-sorted early termination (sorted_topk_from_
+    index): sort-by-field top-k on a 200k-doc index, comparing the
+    pruned collector against the decode-everything path on BOTH corpus
+    layouts.  The `sorted` case sorts by a doc_id-monotone field (the
+    canonical Lucene index-sort-by-recency layout: block doc-values
+    ranges are disjoint, so most blocks are provably outside the top-k);
+    the `unsorted` case sorts by n_chars on the same index (every block
+    spans the full value range — pruning must be a no-op and the output
+    still rank-identical).  Records pruned-block fraction, wall for both
+    paths, and result equality."""
+    from pyspark.sql import functions as F
+
+    from instructor_embedding_spark.index.build import (
+        IndexParams,
+        build_index,
+    )
+    from instructor_embedding_spark.query import modes
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+    from instructor_embedding_spark.session import get_spark
+    from instructor_embedding_spark.shipping import ensure_shipped
+
+    spark = get_spark(
+        app_name="ies-smoke-sorted", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    ensure_shipped(spark, RUNTIME)
+    out: dict = {"loadavg_sorted": [round(x, 2) for x in os.getloadavg()]}
+
+    docs = _bench_corpus(spark, n_docs)
+    idx_dir = os.path.join(RUNTIME, f"sorted_idx_{n_docs}")
+    params = IndexParams(
+        doc_block_span=8192, n_sub_blocks=16,
+        corpus_fingerprint=f"smoke-sorted:{n_docs}",
+    )
+    handle = build_index(spark, docs, idx_dir, params, text_col="content")
+
+    qv = [(1, "merge sort window"), (2, "fast hash join"),
+          (3, "parse varint block header"), (4, "vector column scan")]
+    qdf = spark.createDataFrame(qv, "query_id long, query_text string")
+
+    cases = {
+        # index-sorted layout: recency = doc_id (monotone -> disjoint
+        # block ranges); unsorted: n_chars (random across blocks)
+        "sorted": docs.select(
+            "doc_id", F.col("doc_id").cast("double").alias("sort_key")),
+        "unsorted": docs.select(
+            "doc_id", F.length("content").alias("sort_key")),
+    }
+    for tag, attrs in cases.items():
+        verdicts = modes._sorted_block_survivors(
+            spark, handle, qdf, attrs, k=10, ascending=False
+        ).groupBy("pruned").count().collect()
+        counts = {bool(r["pruned"]): r["count"] for r in verdicts}
+        n_blocks = sum(counts.values())
+        t0 = time.monotonic()
+        pruned_rows = sorted(
+            tuple(r) for r in modes.sorted_topk_from_index(
+                spark, handle, qdf, attrs, k=10).collect()
+        )
+        wall_pruned = time.monotonic() - t0
+        t0 = time.monotonic()
+        full_rows = sorted(
+            tuple(r) for r in modes.sort_over(
+                scored_matches_from_index(spark, handle, qdf), attrs,
+                k=10).collect()
+        )
+        wall_full = time.monotonic() - t0
+        out[f"sorted_early_termination_10x_{tag}"] = {
+            "docs": n_docs,
+            "candidate_blocks": n_blocks,
+            "pruned_blocks": counts.get(True, 0),
+            "pruned_frac": round(counts.get(True, 0) / max(1, n_blocks), 3),
+            "wall_pruned_s": round(wall_pruned, 2),
+            "wall_full_s": round(wall_full, 2),
+            "rank_identical": pruned_rows == full_rows,
+            "rows": len(pruned_rows),
+        }
+
+    _merge_smoke_results(out)
+    return out
+
+
 def run_smoke_streaming(n_docs: int = 50_000, n_batches: int = 4) -> dict:
     """Streaming-ingest 10× smoke (r4 judge item #7): stream ``n_docs``
     (10× the sf0.1 documents table) as ``n_batches`` micro-batch files →
@@ -1012,6 +1100,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-percolate":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
         print(json.dumps({"smoke_percolate": run_smoke_percolate(n)}))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-sorted":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+        print(json.dumps({"smoke_sorted": run_smoke_sorted(n)}))
     elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-streaming":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
         print(json.dumps({"smoke_streaming": run_smoke_streaming(n)}))

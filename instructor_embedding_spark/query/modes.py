@@ -60,6 +60,7 @@ __all__ = [
     "boosting_topk", "boosting_topk_sql",
     "decay_score_topk", "decay_score_topk_sql",
     "terms_set_topk", "terms_set_topk_sql",
+    "sorted_topk_from_index",
     "MLT_MAX_TERMS",
     "collapse_over",
     "sort_over",
@@ -1155,3 +1156,153 @@ SELECT query_id,
 FROM kept
 QUALIFY rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# index-sorted early termination (Lucene index sorting + early-terminating
+# TopFieldCollector): sort-by-field top-k that SKIPS whole doc blocks whose
+# best possible sort value provably cannot reach the top k — the
+# field-sort twin of block-max WAND.  Lucene gets this by physically
+# sorting segments on the field; the Spark-native equivalent keeps docs
+# block-partitioned and stores per-block (min, max) doc-values stats plus
+# the per-(term, block) match count the segments already carry
+# (`df_block`), then prunes with a guarantee argument instead of a
+# physical order:
+#
+#   block b is prunable for query q  iff  at least k docs matching q are
+#   GUARANTEED to sort strictly above everything in b, i.e.
+#     S(b) = Σ_{c : fmin(c) > fmax(b)} lb(c)  >=  k
+#   where lb(c) = max over q's terms of df_block(c, term) — a true lower
+#   bound on distinct matching docs in block c (one term's postings within
+#   a block are distinct docs), and fmin/fmax are the block's doc-values
+#   range.  Strict inequality keeps ties safe: a tied doc could still beat
+#   an incumbent on the doc_id tiebreak, so ties never justify pruning.
+#
+# S(b) for every candidate block is ONE window sweep per query (events =
+# blocks contributing lb at their fmin, probes = blocks tested at their
+# fmax; descending value order with probes BEFORE events at equal value
+# enforces the strict >), not a range self-join — O(B log B) per query
+# over block METADATA only.  Posting bytes are decoded solely for
+# surviving blocks, then ranked by the ordinary sort collector; output is
+# rank-identical to the unpruned path by construction (property-tested,
+# and the driver gate's brute-force SQL oracle is itself the identity
+# check when an entry wires this path).
+
+
+#: sorted_topk_from_index survivor-collect bound: below this many
+#: (query, block) survivor rows the set is inlined driver-side and the
+#: distinct blocks push into the segment scan; above it the semi-join
+#: stays distributed (same results, no driver funnel).
+SORTED_ET_COLLECT_CAP = 20_000
+
+
+def _sorted_block_survivors(
+    spark,
+    handle,
+    queries: DataFrame,
+    attrs: DataFrame,
+    k: int,
+    ascending: bool,
+) -> DataFrame:
+    """(query_id, doc_block, pruned) — every candidate block for each
+    query with its early-termination verdict (pruned = provably outside
+    the top k).  Reads only segment metadata columns (term, doc_block,
+    df_block) and the per-block doc-values stats derived from ``attrs``
+    (at build scale these stats are a stored artifact like block-max
+    impacts; deriving them here is one narrow agg over the doc-values
+    projection)."""
+    from instructor_embedding_spark.query.bm25 import query_terms
+
+    span = handle.params.doc_block_span
+    qt = query_terms(queries)
+    seg_meta = handle.segments(spark).select("term", "doc_block", "df_block")
+    cand = (
+        seg_meta.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_block")
+        .agg(F.max("df_block").alias("lb"))
+    )
+    sign = F.lit(-1) if ascending else F.lit(1)
+    fb = (
+        attrs.select(
+            F.floor(F.col("doc_id") / span).cast("long").alias("doc_block"),
+            (sign * F.col("sort_key")).cast("double").alias("v"),
+        )
+        .groupBy("doc_block")
+        .agg(F.min("v").alias("fmin"), F.max("v").alias("fmax"))
+    )
+    # join on doc_block, the key cand already carries; fb is one row per
+    # block (10^8 rows at 10^12 docs — AQE picks broadcast only when it
+    # actually fits)
+    cand = cand.join(fb, "doc_block")
+    events = cand.select(
+        "query_id", F.col("fmin").alias("val"),
+        F.lit(1).alias("kind"), F.col("lb").alias("delta"),
+        F.lit(None).cast("long").alias("doc_block"),
+    )
+    probes = cand.select(
+        "query_id", F.col("fmax").alias("val"),
+        F.lit(0).alias("kind"), F.lit(0).cast("long").alias("delta"),
+        "doc_block",
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("val").desc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.unionByName(probes)
+        .withColumn("guaranteed_above", F.sum("delta").over(w))
+        .filter(F.col("kind") == 0)
+        .select(
+            "query_id", "doc_block",
+            (F.col("guaranteed_above") >= k).alias("pruned"),
+        )
+    )
+
+
+def sorted_topk_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    attrs: DataFrame,
+    k: int = 10,
+    ascending: bool = False,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — sort-by-field top-k served from
+    the compressed index with block-level early termination.  ``attrs``
+    is the (doc_id, sort_key) doc-values projection.  Rank-identical to
+    ``sort_over(scored_matches_from_index(...), attrs, k)``; only the
+    set of decoded blocks differs."""
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+
+    survivors = _sorted_block_survivors(
+        spark, handle, queries, attrs, k, ascending
+    ).filter(~F.col("pruned")).select("query_id", "doc_block")
+    # The survivor set is small by construction (≈ k-reaching blocks per
+    # query); collect it once so (a) the decode job doesn't recompute
+    # the whole metadata sweep for the semi-join, and (b) the DISTINCT
+    # surviving blocks push into the segment scan as an In() predicate —
+    # row groups holding only pruned blocks are never read (the
+    # doc_block analog of the query-term pushdown).  Past the cap, fall
+    # back to the distributed semi-join (still correct, no driver
+    # funnel).
+    rows = survivors.limit(SORTED_ET_COLLECT_CAP + 1).collect()
+    segments = None
+    block_filter = survivors
+    if len(rows) <= SORTED_ET_COLLECT_CAP:
+        block_filter = spark.createDataFrame(
+            [(r["query_id"], r["doc_block"]) for r in rows] or
+            [(None, None)],
+            "query_id long, doc_block long",
+        ).filter(F.col("doc_block").isNotNull())
+        blocks = sorted({r["doc_block"] for r in rows})
+        segments = handle.segments(spark).filter(
+            F.col("doc_block").isin(blocks) if blocks else F.lit(False)
+        )
+    matches = scored_matches_from_index(
+        spark, handle, queries, segments=segments,
+        block_filter=block_filter,
+    )
+    return sort_over(matches, attrs, k=k, ascending=ascending)

@@ -817,6 +817,7 @@ def scored_matches_from_index(
     queries: DataFrame,
     segments: DataFrame | None = None,
     doc_lens: DataFrame | None = None,
+    block_filter: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, dl, score_raw) — the complete OR-semantics BM25
     match set decoded from the compressed segments: same scatter
@@ -824,12 +825,22 @@ def scored_matches_from_index(
     query-term join, packed doc_lens per block), with a decode-everything
     kernel instead of the pruning one.  score_raw agrees with the
     brute-force base to the pinned round-6 quantum (same rank-identity
-    argument as wand_topk vs bm25_topk)."""
+    argument as wand_topk vs bm25_topk).
+
+    ``block_filter`` (query_id, doc_block) restricts decode to the listed
+    groups — the hook for collectors that can prove whole blocks
+    irrelevant BEFORE posting decode (modes.sorted_topk_from_index's
+    index-sorted early termination)."""
     p = handle.params
     grouped = _grouped_hits(spark, handle, queries, None, segments,
                             doc_lens)
     if grouped is None:
         return spark.createDataFrame([], MATCHSET_SCHEMA)
+    if block_filter is not None:
+        grouped = grouped.join(
+            block_filter.select("query_id", "doc_block"),
+            ["query_id", "doc_block"], "left_semi",
+        )
     kernel = _matchset_kernel(p.k1, p.b, handle.avgdl, p.doc_block_span)
     return grouped.groupBy("query_id", "doc_block").applyInPandas(
         kernel, schema=MATCHSET_SCHEMA

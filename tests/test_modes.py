@@ -496,3 +496,110 @@ def test_terms_set_unreachable_required_matches_nothing(spark, corpus,
     msm99 = corpus.select("doc_id", F.lit(99).alias("required"))
     assert modes.terms_set_topk(corpus, queries, msm99, k=10,
                                 text_col="content").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# index-sorted early termination
+
+
+@pytest.fixture(scope="module")
+def sort_index(spark, corpus, tmp_path_factory):
+    from instructor_embedding_spark.index.build import (
+        IndexParams, build_index,
+    )
+    root = str(tmp_path_factory.mktemp("sort_idx"))
+    return build_index(
+        spark, corpus, root,
+        IndexParams(doc_block_span=16, n_sub_blocks=4,
+                    corpus_fingerprint="modes:sorted_et"),
+        text_col="content",
+    )
+
+
+def test_sorted_early_termination_rank_identical(spark, corpus, queries,
+                                                 sort_index):
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+    attrs = corpus.select("doc_id", F.col("n_chars").alias("sort_key"))
+    for ascending in (False, True):
+        got = _rows(modes.sorted_topk_from_index(
+            spark, sort_index, queries, attrs, k=10, ascending=ascending))
+        want = _rows(modes.sort_over(
+            scored_matches_from_index(spark, sort_index, queries),
+            attrs, k=10, ascending=ascending))
+        assert got == want and got
+
+
+def test_sorted_early_termination_actually_prunes(spark, corpus, queries,
+                                                  tmp_path_factory):
+    """Pruning pays exactly under Lucene's precondition — an index
+    SORTED by the field (block value ranges disjoint).  Remap doc_id to
+    the n_chars rank, rebuild, and most blocks must be provably below
+    the top-k; rank identity must still hold on the sorted corpus."""
+    from instructor_embedding_spark.index.build import (
+        IndexParams, build_index,
+    )
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    sorted_docs = (
+        corpus.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+        .cache()
+    )
+    root = str(tmp_path_factory.mktemp("sorted_idx"))
+    h = build_index(
+        spark, sorted_docs, root,
+        IndexParams(doc_block_span=16, n_sub_blocks=4,
+                    corpus_fingerprint="modes:sorted_et_sorted"),
+        text_col="content",
+    )
+    attrs = sorted_docs.select("doc_id", F.col("n_chars").alias("sort_key"))
+    verdicts = modes._sorted_block_survivors(
+        spark, h, queries, attrs, k=3, ascending=False
+    ).collect()
+    n = len(verdicts)
+    pruned = sum(1 for r in verdicts if r.pruned)
+    # 240 docs / span 16 = 15 blocks/query; on a field-sorted index all
+    # but the first couple of blocks are provably below the top-3
+    assert n > 0 and pruned >= n // 2, (n, pruned)
+    by_q = {}
+    for r in verdicts:
+        by_q.setdefault(r.query_id, []).append(r.pruned)
+    assert all(not all(v) for v in by_q.values())
+    # identity on the sorted corpus too
+    got = _rows(modes.sorted_topk_from_index(
+        spark, h, queries, attrs, k=3, ascending=False))
+    want = _rows(modes.sort_over(
+        scored_matches_from_index(spark, h, queries), attrs, k=3,
+        ascending=False))
+    assert got == want and got
+
+
+def test_sorted_early_termination_ties_not_pruned(spark):
+    """All docs share one sort value: ties make every block reachable
+    (doc_id tiebreak), so nothing may be pruned at any k."""
+    from instructor_embedding_spark import datagen
+    from instructor_embedding_spark.index.build import (
+        IndexParams, build_index,
+    )
+    import tempfile
+    docs = datagen.corpus(spark, 120, partitions=3)
+    with tempfile.TemporaryDirectory() as root:
+        h = build_index(
+            spark, docs, root,
+            IndexParams(doc_block_span=16, n_sub_blocks=4,
+                        corpus_fingerprint="modes:sorted_ties"),
+            text_col="content",
+        )
+        attrs = docs.select("doc_id", F.lit(7).alias("sort_key"))
+        qdf = spark.createDataFrame(
+            [(1, "merge sort window")], "query_id long, query_text string"
+        )
+        verdicts = modes._sorted_block_survivors(
+            spark, h, qdf, attrs, k=1, ascending=False
+        ).collect()
+        assert verdicts and not any(r.pruned for r in verdicts)
