@@ -814,12 +814,14 @@ def run_smoke_sorted(n_docs: int = 200_000) -> dict:
         ).groupBy("pruned").count().collect()
         counts = {bool(r["pruned"]): r["count"] for r in verdicts}
         n_blocks = sum(counts.values())
+        before = _stage_totals(spark)
         t0 = time.monotonic()
         pruned_rows = sorted(
             tuple(r) for r in modes.sorted_topk_from_index(
                 spark, handle, qdf, attrs, k=10).collect()
         )
         wall_pruned = time.monotonic() - t0
+        mid = _stage_totals(spark)
         t0 = time.monotonic()
         full_rows = sorted(
             tuple(r) for r in modes.sort_over(
@@ -827,13 +829,26 @@ def run_smoke_sorted(n_docs: int = 200_000) -> dict:
                 k=10).collect()
         )
         wall_full = time.monotonic() - t0
+        after = _stage_totals(spark)
         out[f"sorted_early_termination_10x_{tag}"] = {
             "docs": n_docs,
             "candidate_blocks": n_blocks,
             "pruned_blocks": counts.get(True, 0),
             "pruned_frac": round(counts.get(True, 0) / max(1, n_blocks), 3),
+            # wall at local[32] is dominated by fixed per-job overhead
+            # (the survivor sweep is ~10 extra sub-second jobs), so the
+            # structural claim is the SHUFFLE/INPUT volume the pruning
+            # removes from the decode, not local wall
             "wall_pruned_s": round(wall_pruned, 2),
             "wall_full_s": round(wall_full, 2),
+            "input_pruned_mb": round(
+                (mid["input"] - before["input"]) / 2**20, 1),
+            "input_full_mb": round(
+                (after["input"] - mid["input"]) / 2**20, 1),
+            "shuffle_write_pruned_mb": round(
+                (mid["shuffle_write"] - before["shuffle_write"]) / 2**20, 1),
+            "shuffle_write_full_mb": round(
+                (after["shuffle_write"] - mid["shuffle_write"]) / 2**20, 1),
             "rank_identical": pruned_rows == full_rows,
             "rows": len(pruned_rows),
         }
