@@ -318,6 +318,8 @@ SIG_TERMS_SIZE = 5
 #: per query — cuts mid-language so the gate pins the keyset predicate.
 COMPOSITE_AFTER = ("en", 40)
 COMPOSITE_SIZE = 5
+#: adjacency_matrix named term filters (corpus co-occurrence buckets)
+ADJ_FILTERS = [("hash", "hash"), ("joins", "join"), ("sorting", "sort")]
 SIG_TERMS_MIN_DOC_COUNT = 3
 
 
@@ -1356,9 +1358,22 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p90_dl", null_long)
         .withColumn("kind", F.lit("composite"))
     )
+    null_dbl = F.lit(None).cast("double")
+    adj = (
+        facets.adjacency_matrix(_docs(spark, sf_dir), ADJ_FILTERS)
+        .select(
+            F.lit(None).cast("long").alias("query_id"),
+            "facet", "n_docs",
+            null_dbl.alias("top_score"),
+            null_long.alias("min_dl"), null_long.alias("max_dl"),
+            null_dbl.alias("avg_dl"), null_long.alias("bg_df"),
+            null_long.alias("p50_dl"), null_long.alias("p90_dl"),
+        )
+        .withColumn("kind", F.lit("adjacency"))
+    )
     return (
         terms.unionByName(histo).unionByName(sig).unionByName(pct)
-        .unionByName(comp)
+        .unionByName(comp).unionByName(adj)
     )
 
 
@@ -1953,6 +1968,17 @@ def oracle_sql() -> dict[str, str]:
                 "documents", DRIVER_QUERY_SET, "lang",
                 FACET_HISTO_INTERVAL, after=COMPOSITE_AFTER,
                 size=COMPOSITE_SIZE, text_col="text")
+            + ") UNION ALL SELECT CAST(NULL AS BIGINT) AS query_id,"
+            " facet, n_docs, CAST(NULL AS DOUBLE) AS top_score,"
+            " CAST(NULL AS BIGINT) AS min_dl,"
+            " CAST(NULL AS BIGINT) AS max_dl,"
+            " CAST(NULL AS DOUBLE) AS avg_dl,"
+            " CAST(NULL AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'adjacency' AS kind FROM ("
+            + facets.adjacency_matrix_sql(
+                "documents", ADJ_FILTERS, text_col="text")
             + ")"
         ),
         "search_modes": _modes_sql() + " UNION ALL " + _join_sql(),

@@ -636,3 +636,80 @@ FROM buckets
 QUALIFY row_number() OVER (
   PARTITION BY query_id ORDER BY facet, bucket) <= {int(size)}
 """
+
+
+# ---------------------------------------------------------------------------
+# adjacency_matrix aggregation (ES AdjacencyMatrixAggregator): named term
+# filters over the corpus; one bucket per filter (docs matching it) and
+# one per filter PAIR "a&b" (docs matching both, names in sorted order,
+# ES's own separator and the same empty-buckets-omitted rule).  The
+# co-occurrence shape behind graph/relationship UIs.  Distinct
+# (doc_id, name) rows come straight off the tf table (one row per doc
+# per matched filter — no positions, no scores); the pair join is a
+# self-join on doc_id bounded by (docs × matched filters), grouped
+# map-side-combinably.
+
+
+def adjacency_matrix(
+    docs: DataFrame,
+    filters: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, n_docs) — ``filters`` is a list of (name, term): a doc
+    matches a filter iff the analyzed text contains the term."""
+    from instructor_embedding_spark.query.bm25 import tf_table, tokenized
+
+    spark = docs.sparkSession
+    fdf = spark.createDataFrame(filters, "name string, term string")
+    hits = (
+        tf_table(tokenized(docs, text_col, id_col))
+        .join(F.broadcast(fdf), "term")
+        .select("doc_id", "name")
+        .distinct()
+    )
+    singles = hits.groupBy(F.col("name").alias("facet")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    a, b = hits.alias("a"), hits.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.name") < F.col("b.name")))
+        .groupBy(
+            F.concat_ws("&", F.col("a.name"), F.col("b.name")).alias("facet")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return singles.unionByName(pairs)
+
+
+def adjacency_matrix_sql(
+    table: str,
+    filters: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`adjacency_matrix`."""
+    vals = ", ".join(
+        "('{}', '{}')".format(n.replace("'", "''"), t.replace("'", "''"))
+        for n, t in filters
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest({sql_tokens_expr(text_col)}) AS term
+  FROM {table}
+),
+flt(name, term) AS (VALUES {vals}),
+hits AS (
+  SELECT DISTINCT toks.doc_id, flt.name
+  FROM toks JOIN flt USING (term)
+)
+SELECT name AS facet, CAST(count(*) AS BIGINT) AS n_docs
+FROM hits GROUP BY name
+UNION ALL
+SELECT a.name || '&' || b.name AS facet, CAST(count(*) AS BIGINT) AS n_docs
+FROM hits a JOIN hits b
+  ON a.doc_id = b.doc_id AND a.name < b.name
+GROUP BY a.name, b.name
+"""

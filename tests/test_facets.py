@@ -251,3 +251,30 @@ def test_composite_page_keyset_matches_full_enumeration(
     assert got == expect
     # every page row is strictly after the after-key
     assert all(key(r) > after for r in got)
+
+
+def test_adjacency_matrix_twin_and_semantics(spark, corpus):
+    from instructor_embedding_spark.query.facets import (
+        adjacency_matrix, adjacency_matrix_sql,
+    )
+    filters = [("h", "hash"), ("j", "join"), ("s", "sort")]
+    got = sorted(
+        tuple(r) for r in adjacency_matrix(
+            corpus, filters, text_col="content").collect()
+    )
+    pdf = corpus.select("doc_id", "content").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(adjacency_matrix_sql(
+            "docs", filters, text_col="content")).fetchall()
+    )
+    assert got == want and got
+    d = dict(got)
+    # intersection can never exceed either single bucket
+    for pair in [p for p in d if "&" in p]:
+        a, b = pair.split("&")
+        assert d[pair] <= min(d[a], d[b])
+    # pair keys are sorted-name ordered, no self-pairs, no reversals
+    assert all(a < b for a, b in
+               (p.split("&") for p in d if "&" in p))
