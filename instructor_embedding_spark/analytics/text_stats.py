@@ -159,11 +159,15 @@ def lang_profile(docs: DataFrame, text_col: str = "text",
     sketch columns survive — the exact twins are the small-scale oracle."""
     from instructor_embedding_spark.analytics import cardinality
 
+    # one tokenize+explode pass feeds tf/top and all four cardinality
+    # columns (review finding: the un-persisted lineage re-ran the
+    # tokenizer per branch); cached because four independent aggregates
+    # consume it — Spark's LRU evicts it after the entry materializes
     toks = docs.select(
         F.col(lang_col).alias("lang"),
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(text_col)).alias("term"),
-    )
+    ).cache()
     tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
     top = tf.groupBy("lang").agg(
         F.max_by("term", F.struct(F.col("tf"), F.col("term"))).alias("top_term")
@@ -180,28 +184,26 @@ def lang_profile(docs: DataFrame, text_col: str = "text",
         "lang",
         F.concat_ws(":", "term", F.col("doc_id").cast("string")).alias("v"),
     )
+    # both exact counts in ONE hash aggregate over the cached pass
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("term").alias("exact_distinct_terms"),
+        F.countDistinct("term", "doc_id").alias("exact_distinct_postings"),
+    )
     card = (
         cardinality.hll_estimate(terms, "v", ["lang"])
         .withColumnRenamed("est_distinct", "est_distinct_terms")
-        .join(
-            terms.groupBy("lang").agg(
-                F.countDistinct("v").alias("exact_distinct_terms")
-            ),
-            "lang",
-        )
         .join(
             cardinality.hll_estimate(postings, "v", ["lang"])
             .withColumnRenamed("est_distinct", "est_distinct_postings"),
             "lang",
         )
-        .join(
-            postings.groupBy("lang").agg(
-                F.countDistinct("v").alias("exact_distinct_postings")
-            ),
-            "lang",
-        )
+        .join(exact, "lang")
     )
-    return base.join(top, "lang").join(card, "lang")
+    return base.join(top, "lang").join(card, "lang").select(
+        "lang", "n_docs", "avg_tokens", "top_term",
+        "est_distinct_terms", "exact_distinct_terms",
+        "est_distinct_postings", "exact_distinct_postings",
+    )
 
 
 #: Language-ID heuristic (task mandate: "language-ID (n-gram heuristic)"):

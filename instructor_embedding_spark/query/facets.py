@@ -64,11 +64,12 @@ def _scored_matches(
     return scored
 
 
-def _bucket_agg(scored: DataFrame) -> DataFrame:
-    """The shared per-(query, facet) aggregate: count, best score, and
-    the dl stats sub-aggregation (the ES ``stats`` sub-agg analog) — one
-    hash aggregate, every expression map-side combinable."""
-    return scored.groupBy("query_id", "facet").agg(
+def _bucket_agg(scored: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
+    """The shared per-(query, facet[, extra]) aggregate: count, best
+    score, and the dl stats sub-aggregation (the ES ``stats`` sub-agg
+    analog) — one hash aggregate, every expression map-side combinable.
+    ``extra_keys`` appends bucket-source columns (composite agg)."""
+    return scored.groupBy("query_id", "facet", *extra_keys).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.max("score_raw"), SCORE_DECIMALS).alias("top_score"),
         F.min("dl").alias("min_dl"),
@@ -571,14 +572,9 @@ def composite_page_from_index(
     b = m.join(facets_df, "doc_id").withColumn(
         "bucket", (F.floor(F.col("dl") / interval) * interval).cast("long")
     )
-    agg = b.groupBy("query_id", "facet", "bucket").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.max("score_raw"), SCORE_DECIMALS).alias("top_score"),
-        F.min("dl").alias("min_dl"),
-        F.max("dl").alias("max_dl"),
-        F.round(F.sum("dl") / F.count(F.lit(1)), SCORE_DECIMALS)
-        .alias("avg_dl"),
-    )
+    # the shared stats aggregate, keyed by the composite (facet, bucket)
+    # source pair (review finding: one definition of the stats shape)
+    agg = _bucket_agg(b, extra_keys=("bucket",))
     if after is not None:
         af, ab = after
         agg = agg.filter(

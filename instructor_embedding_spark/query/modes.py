@@ -1228,8 +1228,30 @@ def _sorted_block_survivors(
             (sign * F.col("sort_key")).cast("double").alias("v"),
         )
         .groupBy("doc_block")
-        .agg(F.min("v").alias("fmin"), F.max("v").alias("fmax"))
+        .agg(
+            F.min("v").alias("fmin"), F.max("v").alias("fmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .alias("n_null"),
+        )
     )
+    # Soundness precondition (review finding): lb(c) counts MATCHING
+    # docs, so every matching doc must be visible to the block stats —
+    # a partial attrs projection or a NULL sort key would let the sweep
+    # prune a block whose invisible doc the unpruned sort_over path
+    # ranks (NULLS FIRST under asc).  Fail fast instead of silently
+    # breaking the rank-identity contract; the totals ride the fb
+    # aggregate, so the guard costs one tiny collect over block rows.
+    tot = fb.agg(
+        F.sum("n_rows").alias("n"), F.sum("n_null").alias("nn")
+    ).collect()[0]
+    if (tot["n"] or 0) != handle.n_docs or (tot["nn"] or 0) != 0:
+        raise ValueError(
+            "sorted_topk_from_index requires attrs to cover every doc "
+            f"exactly once with a non-NULL sort_key (got {tot['n']} rows"
+            f", {tot['nn']} NULLs, index has {handle.n_docs} docs)"
+        )
+    fb = fb.select("doc_block", "fmin", "fmax")
     # join on doc_block, the key cand already carries; fb is one row per
     # block (10^8 rows at 10^12 docs — AQE picks broadcast only when it
     # actually fits)
