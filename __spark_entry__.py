@@ -46,6 +46,7 @@ from instructor_embedding_spark.multimodal import binary_ops
 from instructor_embedding_spark.query import (
     bm25,
     facets,
+    hybrid,
     joins,
     modes,
     phrase,
@@ -292,6 +293,18 @@ MODES_NEGATIVE_BOOST = 0.2
 #: exactly half (ES DecayFunctionBuilder semantics).
 MODES_DECAY = {"origin": 250.0, "scale": 150.0, "offset": 20.0,
                "decay": 0.5}
+#: hybrid-retrieval fixtures (rrf ids 3301+, linear ids 3401+): each
+#: query's dense probe is a pinned embeddings row (vec_id = 53·qid, all
+#: within the 500-vector floor every sf ships); neighbor vec_id serves
+#: as doc_id (the synthetic tables share the 0-based id domain).  Both
+#: systems page k_each=20, fused to TOP_K.  The all-stopword query is
+#: the mode's own probe: its lexical page is EMPTY but its dense page
+#: still ranks — the lexical-miss/dense-hit case hybrid search exists
+#: for (a fusion bug that inner-joins the systems would drop it).
+HYBRID_K_EACH = 20
+HYBRID_PROBE_MAP: list[tuple[int, int]] = [
+    (qid, 53 * qid) for qid, _ in DRIVER_QUERY_SET
+]
 #: query-string fixture (ids 2801+): one clause kind per query over the
 #: documents vocabulary — plain OR, MUST, MUST_NOT, exact phrase,
 #: trailing-* prefix, ~1 fuzzy, a kitchen-sink combination, and the two
@@ -408,6 +421,18 @@ def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             k=TOP_K,
         ).withColumn("mode", F.lit("terms_set")),
+        # hybrid retrieval: BM25 ⊕ dense cosine over the embeddings
+        # table, RRF and weighted-min-max fusion (ES rrf/linear
+        # retrievers) — the serving pattern around the reference's
+        # embedding model
+        hybrid.hybrid_rrf_topk(
+            docs, _offset_queries_df(spark, 3300), _emb(spark, sf_dir),
+            _probe_map_df(spark, 3300), k=TOP_K, k_each=HYBRID_K_EACH,
+        ).withColumn("mode", F.lit("hybrid_rrf")),
+        hybrid.hybrid_linear_topk(
+            docs, _offset_queries_df(spark, 3400), _emb(spark, sf_dir),
+            _probe_map_df(spark, 3400), k=TOP_K, k_each=HYBRID_K_EACH,
+        ).withColumn("mode", F.lit("hybrid_linear")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -420,6 +445,16 @@ def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _offset_queries(offset: int) -> list[tuple[int, str]]:
     return [(qid + offset, text) for qid, text in DRIVER_QUERY_SET]
+
+
+def _offset_probe_map(offset: int) -> list[tuple[int, int]]:
+    return [(qid + offset, vid) for qid, vid in HYBRID_PROBE_MAP]
+
+
+def _probe_map_df(spark: SparkSession, offset: int) -> DataFrame:
+    return spark.createDataFrame(
+        _offset_probe_map(offset), "query_id long, vec_id long"
+    )
 
 
 def _modes_sql() -> str:
@@ -460,6 +495,12 @@ def _modes_sql() -> str:
         ("terms_set", modes.terms_set_topk_sql(
             "documents", _offset_queries(3100), "1 + doc_id % 3",
             k=TOP_K)),
+        ("hybrid_rrf", hybrid.hybrid_rrf_topk_sql(
+            "documents", _offset_queries(3300), "embeddings",
+            _offset_probe_map(3300), k=TOP_K, k_each=HYBRID_K_EACH)),
+        ("hybrid_linear", hybrid.hybrid_linear_topk_sql(
+            "documents", _offset_queries(3400), "embeddings",
+            _offset_probe_map(3400), k=TOP_K, k_each=HYBRID_K_EACH)),
     ]
     return " UNION ALL ".join(
         f"SELECT *, '{tag}' AS mode FROM ({sql})" for tag, sql in tagged

@@ -138,9 +138,19 @@ def cosine_topk(embeddings: DataFrame, k: int = 10,
 
 
 def cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> str:
+                    vec_col: str = "embedding",
+                    probe_ids: list[int] | None = None) -> str:
     """DuckDB oracle: the same brute-force kNN via explicit list arithmetic
-    (double precision to match Spark's)."""
+    (double precision to match Spark's).  ``probe_ids`` restricts the
+    LEFT side to those vectors — the ``queries=`` twin of
+    :func:`cosine_topk`."""
+    probe_cond = (
+        ""
+        if probe_ids is None
+        else " AND a.vid IN ({})".format(
+            ", ".join(str(int(p)) for p in probe_ids)
+        )
+    )
     return f"""
 WITH e AS (
   SELECT {id_col} AS vid,
@@ -157,7 +167,7 @@ scored AS (
          list_sum(list_transform(range(1, len(a.v) + 1),
                                  i -> a.v[i] * b.v[i]))
            / (a.nrm * b.nrm) AS cos_raw
-  FROM n a, n b WHERE a.vid <> b.vid
+  FROM n a, n b WHERE a.vid <> b.vid{probe_cond}
 ),
 ranked AS (
   SELECT vec_id,
