@@ -334,6 +334,8 @@ COMPOSITE_SIZE = 5
 #: adjacency_matrix named term filters (corpus co-occurrence buckets)
 ADJ_FILTERS = [("hash", "hash"), ("joins", "join"), ("sorting", "sort")]
 SIG_TERMS_MIN_DOC_COUNT = 3
+#: rare_terms long-tail threshold (ES default: buckets with doc_count 1)
+RARE_MAX_DOC_COUNT = 1
 
 
 def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,9 +1414,43 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("kind", F.lit("adjacency"))
     )
+    rare = (
+        facets.rare_terms_from_index(
+            spark, handle, qdf, _docs(spark, sf_dir),
+            max_doc_count=RARE_MAX_DOC_COUNT,
+        )
+        .select(
+            "query_id",
+            F.col("term").alias("facet"),
+            F.col("fg_df").alias("n_docs"),
+            null_dbl.alias("top_score"),
+            null_long.alias("min_dl"), null_long.alias("max_dl"),
+            null_dbl.alias("avg_dl"), null_long.alias("bg_df"),
+            null_long.alias("p50_dl"), null_long.alias("p90_dl"),
+        )
+        .withColumn("kind", F.lit("rare_terms"))
+    )
+    # pipeline aggs over the dl histogram bucket stream: n_docs carries
+    # the cumulative_sum, bg_df the derivative (NULL first bucket)
+    pipe = (
+        facets.histogram_pipeline_from_index(
+            spark, handle, qdf, FACET_HISTO_INTERVAL,
+        )
+        .select(
+            "query_id", "facet",
+            F.col("cum_docs").alias("n_docs"),
+            null_dbl.alias("top_score"),
+            null_long.alias("min_dl"), null_long.alias("max_dl"),
+            null_dbl.alias("avg_dl"),
+            F.col("deriv_docs").cast("long").alias("bg_df"),
+            null_long.alias("p50_dl"), null_long.alias("p90_dl"),
+        )
+        .withColumn("kind", F.lit("histo_cum"))
+    )
     return (
         terms.unionByName(histo).unionByName(sig).unionByName(pct)
-        .unionByName(comp).unionByName(adj)
+        .unionByName(comp).unionByName(adj).unionByName(rare)
+        .unionByName(pipe)
     )
 
 
@@ -2020,6 +2056,30 @@ def oracle_sql() -> dict[str, str]:
             " 'adjacency' AS kind FROM ("
             + facets.adjacency_matrix_sql(
                 "documents", ADJ_FILTERS, text_col="text")
+            + ") UNION ALL SELECT query_id, term AS facet,"
+            " fg_df AS n_docs, CAST(NULL AS DOUBLE) AS top_score,"
+            " CAST(NULL AS BIGINT) AS min_dl,"
+            " CAST(NULL AS BIGINT) AS max_dl,"
+            " CAST(NULL AS DOUBLE) AS avg_dl,"
+            " CAST(NULL AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'rare_terms' AS kind FROM ("
+            + facets.rare_terms_sql(
+                "documents", DRIVER_QUERY_SET,
+                max_doc_count=RARE_MAX_DOC_COUNT, text_col="text")
+            + ") UNION ALL SELECT query_id, facet,"
+            " cum_docs AS n_docs, CAST(NULL AS DOUBLE) AS top_score,"
+            " CAST(NULL AS BIGINT) AS min_dl,"
+            " CAST(NULL AS BIGINT) AS max_dl,"
+            " CAST(NULL AS DOUBLE) AS avg_dl,"
+            " CAST(deriv_docs AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'histo_cum' AS kind FROM ("
+            + facets.histogram_pipeline_sql(
+                "documents", DRIVER_QUERY_SET, FACET_HISTO_INTERVAL,
+                text_col="text")
             + ")"
         ),
         "search_modes": _modes_sql() + " UNION ALL " + _join_sql(),

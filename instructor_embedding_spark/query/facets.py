@@ -709,3 +709,132 @@ FROM hits a JOIN hits b
   ON a.doc_id = b.doc_id AND a.name < b.name
 GROUP BY a.name, b.name
 """
+
+
+# ---------------------------------------------------------------------------
+# rare_terms aggregation (Elasticsearch RareTermsAggregation): the
+# LONG-TAIL buckets — terms of the match set whose foreground doc count
+# is <= max_doc_count, the inverse of the terms agg's most-common
+# ordering.  ES implements it with a CuckooFilter over doc counts; with
+# exact distributed counts the filter is unnecessary — the semantics is
+# just the <= threshold on the same (query, term) aggregate the
+# significant_terms kernel already builds, so the scale shape is
+# identical (map-side combinable count, threshold prune BEFORE any
+# downstream join).
+
+
+def rare_terms_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    docs: DataFrame,
+    max_doc_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, term, fg_df) — match-set terms with foreground doc
+    count <= ``max_doc_count``.  Match set decodes from the segments;
+    only matched docs are re-tokenized (the same semi-join-pruned
+    doc-store scan significant_terms uses)."""
+    from instructor_embedding_spark.query.bm25 import tokenized
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+
+    matches = scored_matches_from_index(spark, handle, queries).select(
+        "query_id", "doc_id"
+    )
+    matched_docs = docs.join(
+        matches.select(F.col("doc_id").alias(id_col)).distinct(), id_col
+    )
+    doc_terms = tokenized(matched_docs, text_col, id_col).select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+    )
+    return (
+        matches.join(doc_terms, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+        .filter(F.col("fg_df") <= max_doc_count)
+    )
+
+
+def rare_terms_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    max_doc_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`rare_terms_from_index`
+    (from first principles — the brute-force twin of the index path)."""
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+m AS (SELECT DISTINCT query_id, doc_id FROM scored)
+SELECT m.query_id, tf.term, CAST(count(*) AS BIGINT) AS fg_df
+FROM m JOIN tf USING (doc_id)
+GROUP BY m.query_id, tf.term
+HAVING count(*) <= {int(max_doc_count)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline aggregations (Elasticsearch cumulative_sum + derivative
+# pipeline aggs over a histogram): second-pass transforms over the
+# bucket stream of a parent aggregation.  Buckets are O(distinct
+# buckets) rows — tiny relative to the corpus — so the per-query ordered
+# window is the right distributed shape (one partition per query over
+# bucket rows, never doc rows); the counts are BIGINTs, so both engines
+# agree exactly and the derivative's NULL first bucket is pinned.
+
+
+def histogram_pipeline_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    interval: int,
+) -> DataFrame:
+    """(query_id, facet, n_docs, cum_docs, deriv_docs) — the dl
+    histogram with a cumulative_sum and a derivative pipeline agg over
+    the bucket stream, ordered by the numeric bucket key.  ``facet``
+    keeps the histogram's string bucket key; ``deriv_docs`` is NULL for
+    each query's first bucket (ES derivative semantics)."""
+    h = facet_histogram_from_index(spark, handle, queries, interval)
+    b = h.withColumn("bucket_num", F.col("facet").cast("long"))
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("bucket_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lagw = Window.partitionBy("query_id").orderBy("bucket_num")
+    return (
+        b.withColumn("cum_docs", F.sum("n_docs").over(w))
+        .withColumn(
+            "deriv_docs",
+            F.col("n_docs") - F.lag("n_docs").over(lagw),
+        )
+        .select("query_id", "facet", "n_docs", "cum_docs", "deriv_docs")
+    )
+
+
+def histogram_pipeline_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    interval: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly
+    :func:`histogram_pipeline_from_index`."""
+    histo = facet_histogram_sql(table, queries_values, interval,
+                                text_col, id_col)
+    return f"""
+WITH h AS ({histo})
+SELECT query_id, facet, n_docs,
+       CAST(sum(n_docs) OVER (
+         PARTITION BY query_id ORDER BY CAST(facet AS BIGINT)
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_docs,
+       n_docs - lag(n_docs) OVER (
+         PARTITION BY query_id ORDER BY CAST(facet AS BIGINT)
+       ) AS deriv_docs
+FROM h
+"""

@@ -278,3 +278,89 @@ def test_adjacency_matrix_twin_and_semantics(spark, corpus):
     # pair keys are sorted-name ordered, no self-pairs, no reversals
     assert all(a < b for a, b in
                (p.split("&") for p in d if "&" in p))
+
+
+@pytest.fixture(scope="module")
+def facets_index(spark, corpus, tmp_path_factory):
+    from instructor_embedding_spark.index.build import (
+        IndexParams, build_index,
+    )
+    root = str(tmp_path_factory.mktemp("facets_idx"))
+    return build_index(
+        spark, corpus, root,
+        IndexParams(doc_block_span=128, n_sub_blocks=8,
+                    corpus_fingerprint="facets:shared"),
+        text_col="content",
+    )
+
+
+def test_rare_terms_twin_and_threshold(spark, corpus, queries,
+                                       facets_index):
+    from instructor_embedding_spark.query.facets import (
+        rare_terms_from_index, rare_terms_sql,
+    )
+    got = sorted(
+        tuple(r) for r in rare_terms_from_index(
+            spark, facets_index, queries, corpus,
+            max_doc_count=2, text_col="content",
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(rare_terms_sql(
+            "docs", QUERIES, max_doc_count=2, text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # threshold semantics: every bucket's foreground count <= cap, and
+    # nothing the cap admits is missing (re-derive from the uncapped run)
+    assert all(fg <= 2 for _, _, fg in got)
+    unc = sorted(
+        tuple(r) for r in con.execute(rare_terms_sql(
+            "docs", QUERIES, max_doc_count=10 ** 9, text_col="content",
+        )).fetchall()
+    )
+    assert got == [r for r in unc if r[2] <= 2]
+    # stopword-only query has no match set, hence no rare buckets
+    assert all(q != 3 for q, _, _ in got)
+
+
+def test_histogram_pipeline_twin_and_invariants(spark, corpus, queries,
+                                                facets_index):
+    from instructor_embedding_spark.query.facets import (
+        histogram_pipeline_from_index, histogram_pipeline_sql,
+    )
+    got = sorted(
+        tuple(r) for r in histogram_pipeline_from_index(
+            spark, facets_index, queries, 16,
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(histogram_pipeline_sql(
+            "docs", QUERIES, 16, text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # pipeline invariants per query: cumulative sum telescopes the
+    # bucket counts in key order; each derivative is the count delta
+    # with a NULL first bucket (ES derivative semantics)
+    by_q = {}
+    for q, facet, n, cum, deriv in got:
+        by_q.setdefault(q, []).append((int(facet), n, cum, deriv))
+    for q, rows in by_q.items():
+        rows.sort()
+        run = 0
+        prev_n = None
+        for _, n, cum, deriv in rows:
+            run += n
+            assert cum == run
+            if prev_n is None:
+                assert deriv is None
+            else:
+                assert deriv == n - prev_n
+            prev_n = n
