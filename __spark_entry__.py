@@ -336,6 +336,11 @@ ADJ_FILTERS = [("hash", "hash"), ("joins", "join"), ("sorting", "sort")]
 SIG_TERMS_MIN_DOC_COUNT = 3
 #: rare_terms long-tail threshold (ES default: buckets with doc_count 1)
 RARE_MAX_DOC_COUNT = 1
+#: top_hits per-bucket example count (ids 3501+, lang buckets)
+TOP_HITS_K = 3
+#: sampler shard_size: the stats sub-agg sees only each query's 50
+#: best-scoring matches (ES SamplerAggregator default is 100/shard)
+SAMPLER_SHARD_SIZE = 50
 
 
 def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +440,16 @@ def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, _offset_queries_df(spark, 3400), _emb(spark, sf_dir),
             _probe_map_df(spark, 3400), k=TOP_K, k_each=HYBRID_K_EACH,
         ).withColumn("mode", F.lit("hybrid_linear")),
+        # top_hits agg (ES TopHitsAggregator): top-3 docs per (query,
+        # lang) bucket, bucket key folded into the mode tag
+        facets.top_hits_from_index(
+            spark, handle, _offset_queries_df(spark, 3500),
+            docs.select("doc_id", F.col("lang").alias("facet")),
+            k=TOP_HITS_K,
+        ).select(
+            "query_id", "rank", "doc_id", "score",
+            F.concat(F.lit("top_hits:"), F.col("facet")).alias("mode"),
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -504,8 +519,17 @@ def _modes_sql() -> str:
             "documents", _offset_queries(3400), "embeddings",
             _offset_probe_map(3400), k=TOP_K, k_each=HYBRID_K_EACH)),
     ]
+    top_hits = (
+        "SELECT query_id, rank, doc_id, score,"
+        " 'top_hits:' || facet AS mode FROM ("
+        + facets.top_hits_sql(
+            "documents", _offset_queries(3500), "lang", k=TOP_HITS_K,
+            text_col="text")
+        + ")"
+    )
     return " UNION ALL ".join(
-        f"SELECT *, '{tag}' AS mode FROM ({sql})" for tag, sql in tagged
+        [f"SELECT *, '{tag}' AS mode FROM ({sql})" for tag, sql in tagged]
+        + [top_hits]
     )
 
 
@@ -1447,10 +1471,19 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("kind", F.lit("histo_cum"))
     )
+    samp = (
+        facets.sampler_stats_from_index(
+            spark, handle, qdf, shard_size=SAMPLER_SHARD_SIZE,
+        )
+        .withColumn("bg_df", null_long)
+        .withColumn("p50_dl", null_long)
+        .withColumn("p90_dl", null_long)
+        .withColumn("kind", F.lit("sampler"))
+    )
     return (
         terms.unionByName(histo).unionByName(sig).unionByName(pct)
         .unionByName(comp).unionByName(adj).unionByName(rare)
-        .unionByName(pipe)
+        .unionByName(pipe).unionByName(samp)
     )
 
 
@@ -2080,6 +2113,13 @@ def oracle_sql() -> dict[str, str]:
             + facets.histogram_pipeline_sql(
                 "documents", DRIVER_QUERY_SET, FACET_HISTO_INTERVAL,
                 text_col="text")
+            + ") UNION ALL SELECT *, CAST(NULL AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'sampler' AS kind FROM ("
+            + facets.sampler_stats_sql(
+                "documents", DRIVER_QUERY_SET,
+                shard_size=SAMPLER_SHARD_SIZE, text_col="text")
             + ")"
         ),
         "search_modes": _modes_sql() + " UNION ALL " + _join_sql(),

@@ -838,3 +838,129 @@ SELECT query_id, facet, n_docs,
        ) AS deriv_docs
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# top_hits aggregation (Elasticsearch TopHitsAggregator): each facet
+# bucket keeps its top-k member documents by relevance — the result
+# grouper behind "show 3 example hits per category".  Scale shape: the
+# per-(query, facet) rank is a WindowGroupLimit over the match set
+# (pushed-down top-k per group, no global sort), and the bucket stream
+# it annotates is the same one the other facet kinds aggregate.
+
+
+def top_hits_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    facets_df: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """(query_id, facet, rank, doc_id, score) — the top-``k`` docs of
+    each (query, facet) bucket by (round-6 score DESC, doc_id ASC),
+    scored from the compressed index."""
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+
+    m = scored_matches_from_index(spark, handle, queries).join(
+        facets_df, "doc_id"
+    )
+    w = Window.partitionBy("query_id", "facet").orderBy(
+        F.round(F.col("score_raw"), SCORE_DECIMALS).desc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        m.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "facet", "rank", "doc_id",
+            F.round(F.col("score_raw"), SCORE_DECIMALS).alias("score"),
+        )
+    )
+
+
+def top_hits_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    facet_col: str,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`top_hits_from_index`."""
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+fac AS (SELECT {id_col} AS doc_id, {facet_col} AS facet FROM {table}),
+ranked AS (
+  SELECT s.query_id, fac.facet,
+         CAST(row_number() OVER (
+           PARTITION BY s.query_id, fac.facet
+           ORDER BY round(s.score_raw, {SCORE_DECIMALS}) DESC,
+                    s.doc_id ASC
+         ) AS BIGINT) AS rank,
+         s.doc_id,
+         round(s.score_raw, {SCORE_DECIMALS}) AS score
+  FROM scored s JOIN fac USING (doc_id)
+)
+SELECT query_id, facet, rank, doc_id, score
+FROM ranked WHERE rank <= {int(k)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# sampler aggregation (Elasticsearch SamplerAggregator): downstream
+# sub-aggregations run over only the top-``shard_size`` highest-scoring
+# matches per query — the "analyze the best matches, not the tail"
+# pattern.  With a deterministic (score, doc_id) cut the sample is
+# exact, so the stats sub-agg below it stays oracle-comparable.
+
+
+def sampler_stats_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    shard_size: int = 50,
+) -> DataFrame:
+    """The engine's stats sub-agg over each query's top-``shard_size``
+    scored docs (facet pinned to '_sample'): the ES `sampler` >
+    `stats` composition."""
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+    s = scored_matches_from_index(spark, handle, queries)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score_raw"), SCORE_DECIMALS).desc(),
+        F.col("doc_id").asc(),
+    )
+    sample = (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shard_size)
+        .withColumn("facet", F.lit("_sample"))
+    )
+    return _bucket_agg(sample)
+
+
+def sampler_stats_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    shard_size: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly
+    :func:`sampler_stats_from_index`."""
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+sample AS (
+  SELECT * FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY s.query_id
+      ORDER BY round(s.score_raw, {SCORE_DECIMALS}) DESC, s.doc_id ASC
+    ) AS rn
+    FROM scored s
+  ) WHERE rn <= {int(shard_size)}
+)
+SELECT s.query_id, '_sample' AS facet,
+       {_STATS_SELECT}
+FROM sample s
+GROUP BY s.query_id, facet
+"""

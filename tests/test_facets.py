@@ -364,3 +364,70 @@ def test_histogram_pipeline_twin_and_invariants(spark, corpus, queries,
             else:
                 assert deriv == n - prev_n
             prev_n = n
+
+
+def test_top_hits_twin_and_bucket_membership(spark, corpus, queries,
+                                             facets_index):
+    from instructor_embedding_spark.query.facets import (
+        top_hits_from_index, top_hits_sql,
+    )
+    lang_facets = corpus.select("doc_id", F.col("lang").alias("facet"))
+    got = sorted(
+        tuple(r) for r in top_hits_from_index(
+            spark, facets_index, queries, lang_facets, k=3,
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content", "lang").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(top_hits_sql(
+            "docs", QUERIES, "lang", k=3, text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # each bucket's hits belong to that bucket and rank 1..<=k densely
+    lang_of = {r.doc_id: r.lang
+               for r in corpus.select("doc_id", "lang").collect()}
+    by_bucket = {}
+    for q, facet, rank, doc, _ in got:
+        assert lang_of[doc] == facet
+        by_bucket.setdefault((q, facet), []).append(rank)
+    for ranks in by_bucket.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+
+
+def test_sampler_stats_twin_and_sample_cut(spark, corpus, queries,
+                                           facets_index):
+    from instructor_embedding_spark.query.facets import (
+        sampler_stats_from_index, sampler_stats_sql,
+    )
+    got = sorted(
+        tuple(r) for r in sampler_stats_from_index(
+            spark, facets_index, queries, shard_size=20,
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(sampler_stats_sql(
+            "docs", QUERIES, shard_size=20, text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # the sample is a strict cut: n_docs <= shard_size, and a huge
+    # shard_size degenerates to the full match-set stats
+    assert all(n <= 20 for _, _, n, *_ in got)
+    full = sorted(
+        tuple(r) for r in con.execute(sampler_stats_sql(
+            "docs", QUERIES, shard_size=10 ** 9, text_col="content",
+        )).fetchall()
+    )
+    full_spark = sorted(
+        tuple(r) for r in sampler_stats_from_index(
+            spark, facets_index, queries, shard_size=10 ** 9,
+        ).collect()
+    )
+    assert full_spark == full
