@@ -176,15 +176,23 @@ def hybrid_rrf_topk(
     k_each: int = 20,
     rrf_k: int = RRF_K,
     text_col: str = "text",
+    dense_page: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 + dense cosine, fused by RRF.
 
     ``queries`` is the usual (query_id, query_text) table; ``probe_map``
     (query_id, vec_id) names each query's dense probe vector.  Both
     systems retrieve ``k_each``; the fused page is top ``k``.
+
+    ``dense_page`` swaps the exact O(|probes| x n) default for any
+    pre-computed (query_id, doc_id, rank) page — at corpus scale wire
+    the LSH/IVF ANN top-k here (tests do; the exact default is the
+    fixture-scale oracle, same contract as bitext_mine's
+    ``candidates=``).
     """
     lex = bm25_topk(docs, queries, k=k_each, text_col=text_col)
-    dense = _dense_page(embeddings, probe_map, k_each)
+    dense = (_dense_page(embeddings, probe_map, k_each)
+             if dense_page is None else dense_page)
     return rrf_fuse([lex, dense], k=k, rrf_k=rrf_k)
 
 
@@ -197,11 +205,15 @@ def hybrid_linear_topk(
     k_each: int = 20,
     weights: tuple[float, float] = LINEAR_WEIGHTS,
     text_col: str = "text",
+    dense_page: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 + dense cosine, fused by weighted min-max (ES ``linear``
-    retriever semantics, pinned as documented in the module header)."""
+    retriever semantics, pinned as documented in the module header).
+    ``dense_page`` is the scale hook: any (query_id, doc_id, score)
+    page replaces the exact default (see :func:`hybrid_rrf_topk`)."""
     lex = bm25_topk(docs, queries, k=k_each, text_col=text_col)
-    dense = _dense_page(embeddings, probe_map, k_each)
+    dense = (_dense_page(embeddings, probe_map, k_each)
+             if dense_page is None else dense_page)
     return linear_fuse([lex, dense], weights, k=k)
 
 

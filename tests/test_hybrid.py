@@ -6,6 +6,7 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from instructor_embedding_spark import datagen
 from instructor_embedding_spark.query import hybrid
@@ -178,3 +179,26 @@ def test_all_stopword_query_served_dense_only(spark, corpus, embeddings):
         for r in cosine_topk(embeddings, k=10, queries=probe).collect()
     )
     assert sorted(q3) == dense
+
+
+def test_dense_page_hook_takes_lsh_ann(spark, corpus, embeddings):
+    # the scale path: the LSH ANN top-k replaces the exact dense default
+    # through dense_page=, and the fusion is exactly the RRF of its two
+    # input pages (re-derived via rrf_fuse on the same inputs)
+    from instructor_embedding_spark.analytics.similarity import (
+        lsh_cosine_topk,
+    )
+    from instructor_embedding_spark.query.bm25 import bm25_topk
+
+    knn = lsh_cosine_topk(embeddings, k=15, dim=DIM).cache()
+    page = (
+        knn.join(_pmap(spark), "vec_id")
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    fused = hybrid.hybrid_rrf_topk(
+        corpus, _qdf(spark), embeddings, _pmap(spark), k=10, k_each=15,
+        text_col="content", dense_page=page,
+    )
+    lex = bm25_topk(corpus, _qdf(spark), k=15, text_col="content")
+    want = hybrid.rrf_fuse([lex, page], k=10)
+    assert _rows(fused) == _rows(want) and fused.count() > 0
