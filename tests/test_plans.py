@@ -425,3 +425,41 @@ def test_wildcard_expansion_is_dictionary_only_pattern_probe(spark, built):
     assert "CartesianProduct" not in exp_plan
     full = _formatted(wildcard_topk(spark, h, [(1, "mer*")], k=10))
     assert "In(term" in full or "BroadcastHashJoin" in full, full[:1500]
+
+
+def test_new_search_layer_plans_keep_scale_shapes(spark, built):
+    """r5 additions frozen: top_hits / sampler page cuts rewrite to
+    WindowGroupLimit, rare_terms / pipeline / multi-index / hybrid
+    fusion plan no cartesian product (the hybrid dense DEFAULT is the
+    documented fixture-scale exact kernel — the scale path asserted
+    here feeds a page through dense_page=)."""
+    from instructor_embedding_spark.query import facets, hybrid, multi
+    from instructor_embedding_spark.query.wand import wand_topk
+
+    h, docs = built
+    qs = datagen.queries_df(spark)
+    lang = docs.select("doc_id", docs.lang.alias("facet"))
+    lex = wand_topk(spark, h, qs, k=10)
+    dense = lex.select("query_id", "doc_id", "rank")  # any page shape
+    plans = {
+        "top_hits": _formatted(
+            facets.top_hits_from_index(spark, h, qs, lang, k=3)),
+        "sampler": _formatted(
+            facets.sampler_stats_from_index(spark, h, qs, shard_size=5)),
+        "rare_terms": _formatted(
+            facets.rare_terms_from_index(spark, h, qs, docs,
+                                         text_col="content")),
+        "pipeline": _formatted(
+            facets.histogram_pipeline_from_index(spark, h, qs, 16)),
+        "multi": _formatted(
+            multi.multi_index_topk(spark, [("a", h)], qs, k=10)),
+        "rrf": _formatted(hybrid.rrf_fuse([lex, dense], k=10)),
+        "linear": _formatted(hybrid.linear_fuse(
+            [lex.select("query_id", "doc_id", "score"),
+             lex.select("query_id", "doc_id", "score")], (0.5, 0.5))),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    for name in ("top_hits", "sampler", "multi", "rrf"):
+        assert "WindowGroupLimit" in plans[name], name
