@@ -593,6 +593,121 @@ def run_smoke_percolate(n_docs: int = 200_000, n_monitors: int = 100) -> dict:
     return out
 
 
+def run_smoke_hybrid(n_docs: int = 200_000, n_vecs: int = 100_000) -> dict:
+    """10× smoke for hybrid fusion and multi-index alias search.
+
+    The hybrid claim is that FUSION cost is page-sized no matter the
+    corpus: lex page = WAND over the 200k-doc index, dense page = the
+    probe-batch cosine top-k over 100k vectors (O(|probes|·n),
+    distributed — the per-batch shape a serving ANN index replaces;
+    LSH-at-scale is smoked separately as ann_lsh_cosine_topk_10x), and
+    the fuse itself touches 2×k×|queries| rows.  The multi-index claim
+    is that alias search over two 100k-doc halves costs ~two WAND
+    batches plus a page merge.  Both record wall + shuffle volumes and
+    a correctness probe."""
+    from pyspark.sql import functions as F
+
+    from instructor_embedding_spark.analytics.similarity import cosine_topk
+    from instructor_embedding_spark.index.build import (
+        IndexParams,
+        build_index,
+    )
+    from instructor_embedding_spark.query import hybrid, multi
+    from instructor_embedding_spark.session import get_spark
+    from instructor_embedding_spark.shipping import ensure_shipped
+
+    spark = get_spark(
+        app_name="ies-smoke-hybrid", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    ensure_shipped(spark, RUNTIME)
+    out: dict = {"loadavg_hybrid": [round(x, 2) for x in os.getloadavg()]}
+
+    docs = _bench_corpus(spark, n_docs)
+    docs.count()
+    emb = _synth_vectors(spark, n_vecs).select("vec_id", "embedding")
+    emb = emb.cache()
+    emb.count()
+
+    qv = [(1, "merge sort window"), (2, "fast hash join"),
+          (3, "a of the"), (4, "vector column scan")]
+    qdf = spark.createDataFrame(qv, "query_id long, query_text string")
+    pmap = [(1, 11), (2, 53), (3, 107), (4, 211)]
+    pdf = spark.createDataFrame(pmap, "query_id long, vec_id long")
+
+    # serving shape: lex page from the WAND index, dense page from the
+    # probe-batch cosine, fusion over 2 x k_each x |queries| rows
+    from instructor_embedding_spark.query.wand import wand_topk
+    idx_dir = os.path.join(RUNTIME, f"bench_idx_hybrid_{n_docs}")
+    h = build_index(
+        spark, docs, idx_dir,
+        IndexParams(doc_block_span=8192, n_sub_blocks=16,
+                    corpus_fingerprint=f"bench-hybrid:{n_docs}"),
+        text_col="content",
+    )
+    before = _stage_totals(spark)
+    t0 = time.monotonic()
+    lex = wand_topk(spark, h, qdf, k=20)
+    probes = emb.join(F.broadcast(pdf.select("vec_id")), "vec_id")
+    knn = cosine_topk(emb, k=20, queries=probes)
+    page = knn.join(F.broadcast(pdf), "vec_id").select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank",
+    )
+    fused = hybrid.hybrid_rrf_topk(
+        docs, qdf, emb, pdf, k=10, k_each=20, text_col="content",
+        dense_page=page, lex_page=lex,
+    ).collect()
+    wall_fuse = time.monotonic() - t0
+    after = _stage_totals(spark)
+    by_q: dict = {}
+    for r in fused:
+        by_q.setdefault(r.query_id, []).append(r.doc_id)
+    out["hybrid_rrf_10x"] = {
+        "docs": n_docs, "vecs": n_vecs, "rows": len(fused),
+        "wall_s": round(wall_fuse, 2),
+        "shuffle_write_mb": round(
+            (after["shuffle_write"] - before["shuffle_write"]) / 2**20, 1),
+        "shuffle_read_mb": round(
+            (after["shuffle_read"] - before["shuffle_read"]) / 2**20, 1),
+        # lexical-miss/dense-hit probe: the all-stopword query still
+        # pages (dense-only), and its page is exactly the dense top-10
+        "stopword_query_rows": len(by_q.get(3, [])),
+    }
+
+    # multi-index: two parity halves, coordinator merge
+    halves = []
+    for name, rem in (("even", 0), ("odd", 1)):
+        idx_dir = os.path.join(RUNTIME, f"bench_idx_multi_{name}_{n_docs}")
+        h = build_index(
+            spark, docs.filter(F.col("doc_id") % 2 == rem), idx_dir,
+            IndexParams(doc_block_span=8192, n_sub_blocks=16,
+                        corpus_fingerprint=f"bench-multi:{name}:{n_docs}"),
+            text_col="content",
+        )
+        halves.append((name, h))
+    before = _stage_totals(spark)
+    t0 = time.monotonic()
+    merged = multi.multi_index_topk(spark, halves, qdf, k=10).collect()
+    wall_multi = time.monotonic() - t0
+    after = _stage_totals(spark)
+    parity_ok = all(
+        (r.doc_id % 2 == 0) == (r._index == "even") for r in merged
+    )
+    out["multi_index_10x"] = {
+        "docs": n_docs, "rows": len(merged),
+        "wall_s": round(wall_multi, 2),
+        "shuffle_write_mb": round(
+            (after["shuffle_write"] - before["shuffle_write"]) / 2**20, 1),
+        "shuffle_read_mb": round(
+            (after["shuffle_read"] - before["shuffle_read"]) / 2**20, 1),
+        "parity_probe_ok": parity_ok,
+    }
+    emb.unpersist()
+    _merge_smoke_results(out)
+    return out
+
+
 def _merge_smoke_results(rows: dict) -> None:
     """Read-modify-write SMOKE10X_RESULTS.json so independently-run
     smokes (--smoke10x / --smoke-phrase / --smoke-streaming) compose
@@ -1115,6 +1230,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-percolate":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
         print(json.dumps({"smoke_percolate": run_smoke_percolate(n)}))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-hybrid":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+        print(json.dumps({"smoke_hybrid": run_smoke_hybrid(n)}))
     elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-sorted":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
         print(json.dumps({"smoke_sorted": run_smoke_sorted(n)}))

@@ -177,6 +177,7 @@ def hybrid_rrf_topk(
     rrf_k: int = RRF_K,
     text_col: str = "text",
     dense_page: DataFrame | None = None,
+    lex_page: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 + dense cosine, fused by RRF.
 
@@ -188,9 +189,12 @@ def hybrid_rrf_topk(
     pre-computed (query_id, doc_id, rank) page — at corpus scale wire
     the LSH/IVF ANN top-k here (tests do; the exact default is the
     fixture-scale oracle, same contract as bitext_mine's
-    ``candidates=``).
+    ``candidates=``).  ``lex_page`` is the symmetric lexical hook: wire
+    the WAND index page there (the brute-force default is the oracle
+    twin's shape).
     """
-    lex = bm25_topk(docs, queries, k=k_each, text_col=text_col)
+    lex = (bm25_topk(docs, queries, k=k_each, text_col=text_col)
+           if lex_page is None else lex_page)
     dense = (_dense_page(embeddings, probe_map, k_each)
              if dense_page is None else dense_page)
     return rrf_fuse([lex, dense], k=k, rrf_k=rrf_k)
@@ -206,12 +210,15 @@ def hybrid_linear_topk(
     weights: tuple[float, float] = LINEAR_WEIGHTS,
     text_col: str = "text",
     dense_page: DataFrame | None = None,
+    lex_page: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 + dense cosine, fused by weighted min-max (ES ``linear``
     retriever semantics, pinned as documented in the module header).
-    ``dense_page`` is the scale hook: any (query_id, doc_id, score)
-    page replaces the exact default (see :func:`hybrid_rrf_topk`)."""
-    lex = bm25_topk(docs, queries, k=k_each, text_col=text_col)
+    ``dense_page`` / ``lex_page`` are the scale hooks: pre-computed
+    (query_id, doc_id, score) pages replace the exact/brute-force
+    defaults (see :func:`hybrid_rrf_topk`)."""
+    lex = (bm25_topk(docs, queries, k=k_each, text_col=text_col)
+           if lex_page is None else lex_page)
     dense = (_dense_page(embeddings, probe_map, k_each)
              if dense_page is None else dense_page)
     return linear_fuse([lex, dense], weights, k=k)
