@@ -1521,10 +1521,51 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p90_dl", null_long)
         .withColumn("kind", F.lit("sampler"))
     )
+    # weighted_avg: value = n_chars, weight = 1 + doc_id % 5 (a stored
+    # numeric field at serving time, like terms_set's required column)
+    wavg = (
+        facets.weighted_avg_from_index(
+            spark, handle, qdf,
+            _docs(spark, sf_dir).select(
+                "doc_id", F.col("lang").alias("facet"),
+                F.col("n_chars").cast("long").alias("value"),
+                (F.lit(1) + F.col("doc_id") % 5).cast("long")
+                .alias("weight"),
+            ),
+        )
+        .select(
+            "query_id", "facet", "n_docs",
+            F.col("w_avg").alias("top_score"),
+            null_long.alias("min_dl"), null_long.alias("max_dl"),
+            null_dbl.alias("avg_dl"), null_long.alias("bg_df"),
+            null_long.alias("p50_dl"), null_long.alias("p90_dl"),
+        )
+        .withColumn("kind", F.lit("weighted_avg"))
+    )
+    # significant_text = sampler > significant_terms (ES's documented
+    # composition): JLH over the top-scored sample only
+    sigtext = (
+        facets.significant_text_from_index(
+            spark, handle, qdf, _docs(spark, sf_dir),
+            shard_size=SAMPLER_SHARD_SIZE, size=SIG_TERMS_SIZE,
+            min_doc_count=SIG_TERMS_MIN_DOC_COUNT,
+        )
+        .select(
+            "query_id",
+            F.col("term").alias("facet"),
+            F.col("fg_df").alias("n_docs"),
+            F.col("sig_score").alias("top_score"),
+            null_long.alias("min_dl"), null_long.alias("max_dl"),
+            null_dbl.alias("avg_dl"), "bg_df",
+            null_long.alias("p50_dl"), null_long.alias("p90_dl"),
+        )
+        .withColumn("kind", F.lit("sig_text"))
+    )
     return (
         terms.unionByName(histo).unionByName(sig).unionByName(pct)
         .unionByName(comp).unionByName(adj).unionByName(rare)
-        .unionByName(pipe).unionByName(samp)
+        .unionByName(pipe).unionByName(samp).unionByName(wavg)
+        .unionByName(sigtext)
     )
 
 
@@ -2161,6 +2202,30 @@ def oracle_sql() -> dict[str, str]:
             + facets.sampler_stats_sql(
                 "documents", DRIVER_QUERY_SET,
                 shard_size=SAMPLER_SHARD_SIZE, text_col="text")
+            + ") UNION ALL SELECT query_id, facet, n_docs,"
+            " w_avg AS top_score,"
+            " CAST(NULL AS BIGINT) AS min_dl,"
+            " CAST(NULL AS BIGINT) AS max_dl,"
+            " CAST(NULL AS DOUBLE) AS avg_dl,"
+            " CAST(NULL AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'weighted_avg' AS kind FROM ("
+            + facets.weighted_avg_sql(
+                "documents", DRIVER_QUERY_SET, "lang", "n_chars",
+                "1 + doc_id % 5", text_col="text")
+            + ") UNION ALL SELECT query_id, term AS facet,"
+            " fg_df AS n_docs, sig_score AS top_score,"
+            " CAST(NULL AS BIGINT) AS min_dl,"
+            " CAST(NULL AS BIGINT) AS max_dl,"
+            " CAST(NULL AS DOUBLE) AS avg_dl, bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'sig_text' AS kind FROM ("
+            + facets.significant_text_sql(
+                "documents", DRIVER_QUERY_SET,
+                shard_size=SAMPLER_SHARD_SIZE, size=SIG_TERMS_SIZE,
+                min_doc_count=SIG_TERMS_MIN_DOC_COUNT, text_col="text")
             + ")"
         ),
         "search_modes": _modes_sql() + " UNION ALL " + _join_sql(),

@@ -964,3 +964,176 @@ SELECT s.query_id, '_sample' AS facet,
 FROM sample s
 GROUP BY s.query_id, facet
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted_avg aggregation (Elasticsearch WeightedAvgAggregation):
+# per-bucket avg of a value field weighted by a weight field —
+# sum(v*w)/sum(w).  With integer value/weight fields both sums are
+# exact BIGINTs and the single final division is the only float op, so
+# the engines agree bit-for-bit.  One map-side-combinable hash agg.
+
+
+def weighted_avg_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    attrs: DataFrame,
+    value_col: str = "value",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """(query_id, facet, n_docs, w_avg) — the match set joined with the
+    per-doc ``attrs`` (doc_id, facet, value, weight); weight-0 rows
+    contribute nothing (ES drops docs missing the weight)."""
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+
+    m = scored_matches_from_index(spark, handle, queries).select(
+        "query_id", "doc_id"
+    )
+    j = m.join(attrs, "doc_id")
+    return (
+        j.groupBy("query_id", "facet")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(value_col) * F.col(weight_col)).alias("vw"),
+            F.sum(F.col(weight_col)).alias("w"),
+        )
+        .filter(F.col("w") != 0)
+        .select(
+            "query_id", "facet", "n_docs",
+            F.round(F.col("vw").cast("double") / F.col("w"),
+                    SCORE_DECIMALS).alias("w_avg"),
+        )
+    )
+
+
+def weighted_avg_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    facet_col: str,
+    value_expr: str,
+    weight_expr: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`weighted_avg_from_index`
+    with attrs derived from ``table``'s own columns."""
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+attrs AS (
+  SELECT {id_col} AS doc_id, {facet_col} AS facet,
+         CAST({value_expr} AS BIGINT) AS v,
+         CAST({weight_expr} AS BIGINT) AS w
+  FROM {table}
+)
+SELECT s.query_id, a.facet, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(a.v * a.w) AS DOUBLE) / sum(a.w),
+             {SCORE_DECIMALS}) AS w_avg
+FROM scored s JOIN attrs a USING (doc_id)
+GROUP BY s.query_id, a.facet
+HAVING sum(a.w) <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# significant_text (Elasticsearch SignificantTextAggregator): the
+# free-text variant of significant_terms, which ES documents should run
+# under a `sampler` agg — JLH over the foreground counts of the TOP
+# SCORED docs only, so one noisy long-tail match can't pollute the
+# signal and the re-tokenize cost is bounded by shard_size, not the
+# match set.  Composition of the two kernels above: the sampler cut
+# feeds _sig_from_matchset unchanged.
+
+
+def significant_text_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    docs: DataFrame,
+    shard_size: int = 50,
+    size: int = 5,
+    min_doc_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, term, fg_df, bg_df, sig_score) — significant_terms
+    over each query's top-``shard_size`` sample (fg_n = the SAMPLE
+    size, exactly ES's sampler>significant_text shape)."""
+    from instructor_embedding_spark.query.bm25 import tokenized
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+
+    s = scored_matches_from_index(spark, handle, queries)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score_raw"), SCORE_DECIMALS).desc(),
+        F.col("doc_id").asc(),
+    )
+    sample = (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shard_size)
+        .select("query_id", "doc_id")
+    )
+    matched_docs = docs.join(
+        sample.select(F.col("doc_id").alias(id_col)).distinct(), id_col
+    )
+    doc_terms = tokenized(matched_docs, text_col, id_col).select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+    )
+    return _sig_from_matchset(
+        sample, doc_terms, handle.term_stats(spark), handle.n_docs,
+        size, min_doc_count,
+    )
+
+
+def significant_text_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    shard_size: int = 50,
+    size: int = 5,
+    min_doc_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly
+    :func:`significant_text_from_index`."""
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+m AS (
+  SELECT query_id, doc_id FROM (
+    SELECT s.query_id, s.doc_id, row_number() OVER (
+      PARTITION BY s.query_id
+      ORDER BY round(s.score_raw, {SCORE_DECIMALS}) DESC, s.doc_id ASC
+    ) AS rn
+    FROM scored s
+  ) WHERE rn <= {int(shard_size)}
+),
+fgn AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS fg_n FROM m GROUP BY query_id
+),
+fg AS (
+  SELECT m.query_id, tf.term, CAST(count(*) AS BIGINT) AS fg_df
+  FROM m JOIN tf USING (doc_id)
+  GROUP BY m.query_id, tf.term
+  HAVING count(*) >= {int(min_doc_count)}
+),
+sig AS (
+  SELECT fg.query_id, fg.term, fg.fg_df, df.df AS bg_df,
+         fg.fg_df / fgn.fg_n AS fgr,
+         df.df / stats.n AS bgr
+  FROM fg JOIN fgn USING (query_id) JOIN df USING (term) CROSS JOIN stats
+),
+sigscore AS (
+  SELECT query_id, term, fg_df, bg_df,
+         round((fgr - bgr) * (fgr / bgr), {SCORE_DECIMALS}) AS sig_score
+  FROM sig WHERE fgr > bgr
+)
+SELECT query_id, term, fg_df, bg_df, sig_score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sig_score DESC, term
+  ) AS rn
+  FROM sigscore
+)
+WHERE rn <= {int(size)}
+"""

@@ -431,3 +431,88 @@ def test_sampler_stats_twin_and_sample_cut(spark, corpus, queries,
         ).collect()
     )
     assert full_spark == full
+
+
+def test_weighted_avg_twin_and_hand_value(spark, corpus, queries,
+                                          facets_index):
+    from instructor_embedding_spark.query.facets import (
+        weighted_avg_from_index, weighted_avg_sql,
+    )
+    attrs = corpus.select(
+        "doc_id", F.col("lang").alias("facet"),
+        F.length("content").cast("long").alias("value"),
+        (F.lit(1) + F.col("doc_id") % 5).cast("long").alias("weight"),
+    )
+    got = sorted(
+        tuple(r) for r in weighted_avg_from_index(
+            spark, facets_index, queries, attrs,
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content", "lang").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(weighted_avg_sql(
+            "docs", QUERIES, "lang", "length(content)",
+            "1 + doc_id % 5", text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # hand re-derivation: the weighted mean over the match set equals
+    # sum(v*w)/sum(w) computed row-by-row driver-side
+    from instructor_embedding_spark.query.bm25 import bm25_topk
+    m = bm25_topk(corpus, queries, k=10 ** 9, text_col="content") \
+        .select("query_id", "doc_id")
+    rows = m.join(attrs, "doc_id").collect()
+    agg = {}
+    for r in rows:
+        key = (r.query_id, r.facet)
+        vw, w, n = agg.get(key, (0, 0, 0))
+        agg[key] = (vw + r.value * r.weight, w + r.weight, n + 1)
+    expect = sorted(
+        (q, f, n, round(vw / w, 6))
+        for (q, f), (vw, w, n) in agg.items() if w
+    )
+    assert got == expect
+
+
+def test_significant_text_is_sig_over_the_sample(spark, corpus, queries,
+                                                 facets_index):
+    from instructor_embedding_spark.query.facets import (
+        significant_text_from_index, significant_text_sql,
+    )
+    got = sorted(
+        tuple(r) for r in significant_text_from_index(
+            spark, facets_index, queries, corpus,
+            shard_size=15, size=5, min_doc_count=2, text_col="content",
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(significant_text_sql(
+            "docs", QUERIES, shard_size=15, size=5, min_doc_count=2,
+            text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # a huge shard_size degenerates to plain significant_terms over the
+    # full match set (same background dictionary)
+    from instructor_embedding_spark.query.facets import (
+        significant_terms_from_index,
+    )
+    full_text = sorted(
+        tuple(r) for r in significant_text_from_index(
+            spark, facets_index, queries, corpus,
+            shard_size=10 ** 9, size=5, min_doc_count=2,
+            text_col="content",
+        ).collect()
+    )
+    full_terms = sorted(
+        tuple(r) for r in significant_terms_from_index(
+            spark, facets_index, queries, corpus,
+            size=5, min_doc_count=2, text_col="content",
+        ).collect()
+    )
+    assert full_text == full_terms
