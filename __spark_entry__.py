@@ -363,6 +363,10 @@ TOP_HITS_K = 3
 #: sampler shard_size: the stats sub-agg sees only each query's 50
 #: best-scoring matches (ES SamplerAggregator default is 100/shard)
 SAMPLER_SHARD_SIZE = 50
+#: sharded terms agg: 2 pinned shards (doc_id parity), per-shard top-10
+#: cut — small enough that the error bound is non-trivially exercised
+SHARDED_N = 2
+SHARDED_SHARD_SIZE = 10
 
 
 def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1561,11 +1565,31 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("kind", F.lit("sig_text"))
     )
+    # sharded terms agg: ES's cross-shard merge semantics with the
+    # doc_count_error_upper_bound riding bg_df
+    sharded = (
+        facets.sharded_terms_from_index(
+            spark, handle, qdf, _docs(spark, sf_dir),
+            n_shards=SHARDED_N, shard_size=SHARDED_SHARD_SIZE,
+            size=SIG_TERMS_SIZE,
+        )
+        .select(
+            "query_id",
+            F.col("term").alias("facet"),
+            F.col("merged_df").alias("n_docs"),
+            null_dbl.alias("top_score"),
+            null_long.alias("min_dl"), null_long.alias("max_dl"),
+            null_dbl.alias("avg_dl"),
+            F.col("err_bound").alias("bg_df"),
+            null_long.alias("p50_dl"), null_long.alias("p90_dl"),
+        )
+        .withColumn("kind", F.lit("terms_sharded"))
+    )
     return (
         terms.unionByName(histo).unionByName(sig).unionByName(pct)
         .unionByName(comp).unionByName(adj).unionByName(rare)
         .unionByName(pipe).unionByName(samp).unionByName(wavg)
-        .unionByName(sigtext)
+        .unionByName(sigtext).unionByName(sharded)
     )
 
 
@@ -2226,6 +2250,20 @@ def oracle_sql() -> dict[str, str]:
                 "documents", DRIVER_QUERY_SET,
                 shard_size=SAMPLER_SHARD_SIZE, size=SIG_TERMS_SIZE,
                 min_doc_count=SIG_TERMS_MIN_DOC_COUNT, text_col="text")
+            + ") UNION ALL SELECT query_id, term AS facet,"
+            " merged_df AS n_docs,"
+            " CAST(NULL AS DOUBLE) AS top_score,"
+            " CAST(NULL AS BIGINT) AS min_dl,"
+            " CAST(NULL AS BIGINT) AS max_dl,"
+            " CAST(NULL AS DOUBLE) AS avg_dl,"
+            " err_bound AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'terms_sharded' AS kind FROM ("
+            + facets.sharded_terms_sql(
+                "documents", DRIVER_QUERY_SET, n_shards=SHARDED_N,
+                shard_size=SHARDED_SHARD_SIZE, size=SIG_TERMS_SIZE,
+                text_col="text")
             + ")"
         ),
         "search_modes": _modes_sql() + " UNION ALL " + _join_sql(),

@@ -1137,3 +1137,170 @@ FROM (
 )
 WHERE rn <= {int(size)}
 """
+
+
+# ---------------------------------------------------------------------------
+# sharded terms aggregation (Elasticsearch's ACTUAL cross-shard terms
+# agg semantics, made deterministic): each shard returns only its local
+# top-``shard_size`` term buckets, the coordinator sums what it got,
+# and every merged bucket carries doc_count_error_upper_bound = the sum,
+# over shards that did NOT return the term, of that shard's smallest
+# returned count (the most that shard could have contributed without
+# making its own cut).  A shard that returned ALL its terms (fewer than
+# shard_size) provably contributes 0 error.  ES's approximation is a
+# consequence of distribution; here the shard function is pinned
+# (doc_id % n_shards) so the approximation itself is reproducible and
+# oracle-comparable — the point is gating the MERGE SEMANTICS, error
+# bound included, not hiding it.
+
+
+def sharded_terms_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    docs: DataFrame,
+    n_shards: int = 2,
+    shard_size: int = 10,
+    size: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, term, merged_df, err_bound) — the coordinator-merged
+    top-``size`` term buckets of each query's match set under per-shard
+    top-``shard_size`` cuts, with ES's documented error bound."""
+    from instructor_embedding_spark.query.bm25 import tokenized
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+
+    matches = scored_matches_from_index(spark, handle, queries).select(
+        "query_id", "doc_id", (F.col("doc_id") % n_shards).alias("shard")
+    )
+    matched_docs = docs.join(
+        matches.select(F.col("doc_id").alias(id_col)).distinct(), id_col
+    )
+    doc_terms = tokenized(matched_docs, text_col, id_col).select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+    )
+    local = (
+        matches.join(doc_terms, "doc_id")
+        .groupBy("query_id", "shard", "term")
+        .agg(F.count(F.lit(1)).alias("df_local"))
+    )
+    w = Window.partitionBy("query_id", "shard").orderBy(
+        F.col("df_local").desc(), F.col("term").asc()
+    )
+    ranked = local.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") <= shard_size).select(
+        "query_id", "shard", "term", "df_local"
+    )
+    # per (query, shard): the smallest count that made the cut, and
+    # whether the shard was truncated at all (n_terms >= shard_size —
+    # an untruncated shard returned everything, so its floor is 0)
+    floors = ranked.groupBy("query_id", "shard").agg(
+        F.min(F.when(F.col("rn") <= shard_size, F.col("df_local")))
+        .alias("kth"),
+        F.count(F.lit(1)).alias("n_terms"),
+    ).select(
+        "query_id", "shard",
+        F.when(F.col("n_terms") >= shard_size, F.col("kth"))
+        .otherwise(F.lit(0)).alias("floor"),
+    )
+    merged = kept.groupBy("query_id", "term").agg(
+        F.sum("df_local").alias("merged_df")
+    )
+    # error = total floor over ALL shards minus the floors of shards
+    # that DID return the term (only absent shards can hide counts)
+    tot = floors.groupBy("query_id").agg(
+        F.sum("floor").alias("floor_all")
+    )
+    present = (
+        kept.join(floors, ["query_id", "shard"])
+        .groupBy("query_id", "term")
+        .agg(F.sum("floor").alias("floor_present"))
+    )
+    out = (
+        merged.join(present, ["query_id", "term"])
+        .join(F.broadcast(tot), "query_id")
+        .select(
+            "query_id", "term", "merged_df",
+            (F.col("floor_all") - F.col("floor_present"))
+            .cast("long").alias("err_bound"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("merged_df").desc(), F.col("term").asc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= size)
+        .drop("rn")
+    )
+
+
+def sharded_terms_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    n_shards: int = 2,
+    shard_size: int = 10,
+    size: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly
+    :func:`sharded_terms_from_index`."""
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+m AS (
+  SELECT DISTINCT query_id, doc_id, doc_id % {int(n_shards)} AS shard
+  FROM scored
+),
+local AS (
+  SELECT m.query_id, m.shard, tf.term,
+         CAST(count(*) AS BIGINT) AS df_local
+  FROM m JOIN tf USING (doc_id)
+  GROUP BY m.query_id, m.shard, tf.term
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id, shard
+    ORDER BY df_local DESC, term ASC
+  ) AS rn
+  FROM local
+),
+kept AS (
+  SELECT query_id, shard, term, df_local FROM ranked
+  WHERE rn <= {int(shard_size)}
+),
+floors AS (
+  SELECT query_id, shard,
+         CASE WHEN count(*) >= {int(shard_size)}
+              THEN min(CASE WHEN rn <= {int(shard_size)}
+                            THEN df_local END)
+              ELSE 0 END AS floor
+  FROM ranked GROUP BY query_id, shard
+),
+merged AS (
+  SELECT query_id, term, CAST(sum(df_local) AS BIGINT) AS merged_df
+  FROM kept GROUP BY query_id, term
+),
+tot AS (SELECT query_id, sum(floor) AS floor_all FROM floors
+        GROUP BY query_id),
+present AS (
+  SELECT k.query_id, k.term, sum(f.floor) AS floor_present
+  FROM kept k JOIN floors f USING (query_id, shard)
+  GROUP BY k.query_id, k.term
+)
+SELECT query_id, term, merged_df, err_bound FROM (
+  SELECT merged.query_id, merged.term, merged.merged_df,
+         CAST(tot.floor_all - present.floor_present AS BIGINT)
+           AS err_bound,
+         row_number() OVER (
+           PARTITION BY merged.query_id
+           ORDER BY merged.merged_df DESC, merged.term ASC
+         ) AS rn
+  FROM merged
+  JOIN present USING (query_id, term)
+  JOIN tot USING (query_id)
+)
+WHERE rn <= {int(size)}
+"""

@@ -516,3 +516,48 @@ def test_significant_text_is_sig_over_the_sample(spark, corpus, queries,
         ).collect()
     )
     assert full_text == full_terms
+
+
+def test_sharded_terms_twin_and_error_bound(spark, corpus, queries,
+                                            facets_index):
+    from instructor_embedding_spark.query.facets import (
+        sharded_terms_from_index, sharded_terms_sql,
+    )
+    got = sorted(
+        tuple(r) for r in sharded_terms_from_index(
+            spark, facets_index, queries, corpus,
+            n_shards=2, shard_size=5, size=8, text_col="content",
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(sharded_terms_sql(
+            "docs", QUERIES, n_shards=2, shard_size=5, size=8,
+            text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # the ES guarantee: merged_df underestimates the TRUE df by at most
+    # err_bound, and never overestimates
+    from instructor_embedding_spark.query.facets import rare_terms_sql
+    # rare_terms with a huge cap = the exact per-(query, term)
+    # foreground counts
+    true_df = {
+        (q, t): n for q, t, n in con.execute(
+            rare_terms_sql("docs", QUERIES, max_doc_count=10 ** 9,
+                           text_col="content")
+        ).fetchall()
+    }
+    for q, term, merged, err in got:
+        t = true_df[(q, term)]
+        assert merged <= t <= merged + err, (q, term, merged, err, t)
+    # with one shard (no distribution) the agg is exact: zero error
+    one = sharded_terms_from_index(
+        spark, facets_index, queries, corpus,
+        n_shards=1, shard_size=10 ** 9, size=8, text_col="content",
+    ).collect()
+    assert one and all(r.err_bound == 0 for r in one)
+    for r in one:
+        assert r.merged_df == true_df[(r.query_id, r.term)]
