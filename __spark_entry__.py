@@ -1399,20 +1399,28 @@ def _q_search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three ES aggregations over one index-decoded match set, kind-
-    tagged into one union: terms agg on ``lang`` (+ dl stats sub-agg),
-    dl histogram agg, and significant_terms (JLH).  The sig rows map
-    into the shared shape as facet=term, n_docs=fg_df,
-    top_score=sig_score, with the dl-stats columns NULL and a
-    ``bg_df`` column the facet kinds leave NULL."""
+    """The ES aggregation kinds over ONE index-decoded match set,
+    kind-tagged into one union.  The sig rows map into the shared shape
+    as facet=term, n_docs=fg_df, top_score=sig_score, with the dl-stats
+    columns NULL and a ``bg_df`` column the facet kinds leave NULL.
+
+    The match set decodes ONCE (cached) and feeds every kind via the
+    ``scored=`` hook — without it each of the 11 branches would re-run
+    the segment decode (review finding)."""
+    from instructor_embedding_spark.query.wand import (
+        scored_matches_from_index,
+    )
+
     handle = _index_for(spark, sf_dir)
     qdf = _queries_df(spark)
+    m = scored_matches_from_index(spark, handle, qdf).cache()
     null_long = F.lit(None).cast("long")
     lang_facets = _docs(spark, sf_dir).select(
         "doc_id", F.col("lang").alias("facet")
     )
     terms = (
-        facets.facet_counts_from_index(spark, handle, qdf, lang_facets)
+        facets.facet_counts_from_index(spark, handle, qdf, lang_facets,
+                                       scored=m)
         .withColumn("bg_df", null_long)
         .withColumn("p50_dl", null_long)
         .withColumn("p90_dl", null_long)
@@ -1420,7 +1428,7 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     histo = (
         facets.facet_histogram_from_index(
-            spark, handle, qdf, FACET_HISTO_INTERVAL,
+            spark, handle, qdf, FACET_HISTO_INTERVAL, scored=m,
         )
         .withColumn("bg_df", null_long)
         .withColumn("p50_dl", null_long)
@@ -1431,6 +1439,7 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         facets.significant_terms_from_index(
             spark, handle, qdf, _docs(spark, sf_dir),
             size=SIG_TERMS_SIZE, min_doc_count=SIG_TERMS_MIN_DOC_COUNT,
+            scored=m,
         )
         .select(
             "query_id",
@@ -1448,7 +1457,7 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pct = (
         facets.facet_percentiles_from_index(spark, handle, qdf,
-                                            lang_facets)
+                                            lang_facets, scored=m)
         .select(
             "query_id", "facet", "n_docs",
             F.lit(None).cast("double").alias("top_score"),
@@ -1463,7 +1472,7 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = (
         facets.composite_page_from_index(
             spark, handle, qdf, lang_facets, FACET_HISTO_INTERVAL,
-            after=COMPOSITE_AFTER, size=COMPOSITE_SIZE,
+            after=COMPOSITE_AFTER, size=COMPOSITE_SIZE, scored=m,
         )
         .withColumn("bg_df", null_long)
         .withColumn("p50_dl", null_long)
@@ -1486,7 +1495,7 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = (
         facets.rare_terms_from_index(
             spark, handle, qdf, _docs(spark, sf_dir),
-            max_doc_count=RARE_MAX_DOC_COUNT,
+            max_doc_count=RARE_MAX_DOC_COUNT, scored=m,
         )
         .select(
             "query_id",
@@ -1503,7 +1512,7 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cumulative_sum, bg_df the derivative (NULL first bucket)
     pipe = (
         facets.histogram_pipeline_from_index(
-            spark, handle, qdf, FACET_HISTO_INTERVAL,
+            spark, handle, qdf, FACET_HISTO_INTERVAL, scored=m,
         )
         .select(
             "query_id", "facet",
@@ -1518,7 +1527,7 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     samp = (
         facets.sampler_stats_from_index(
-            spark, handle, qdf, shard_size=SAMPLER_SHARD_SIZE,
+            spark, handle, qdf, shard_size=SAMPLER_SHARD_SIZE, scored=m,
         )
         .withColumn("bg_df", null_long)
         .withColumn("p50_dl", null_long)
@@ -1536,6 +1545,7 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(1) + F.col("doc_id") % 5).cast("long")
                 .alias("weight"),
             ),
+            scored=m,
         )
         .select(
             "query_id", "facet", "n_docs",
@@ -1552,7 +1562,7 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         facets.significant_text_from_index(
             spark, handle, qdf, _docs(spark, sf_dir),
             shard_size=SAMPLER_SHARD_SIZE, size=SIG_TERMS_SIZE,
-            min_doc_count=SIG_TERMS_MIN_DOC_COUNT,
+            min_doc_count=SIG_TERMS_MIN_DOC_COUNT, scored=m,
         )
         .select(
             "query_id",
@@ -1571,7 +1581,7 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         facets.sharded_terms_from_index(
             spark, handle, qdf, _docs(spark, sf_dir),
             n_shards=SHARDED_N, shard_size=SHARDED_SHARD_SIZE,
-            size=SIG_TERMS_SIZE,
+            size=SIG_TERMS_SIZE, scored=m,
         )
         .select(
             "query_id",

@@ -139,25 +139,66 @@ def facet_histogram(
 # the driver gate's SQL oracle covers whichever path the entry wires.
 
 
-def facet_counts_from_index(spark, handle, queries: DataFrame,
-                            facets_df: DataFrame) -> DataFrame:
-    """``facets_df`` is a (doc_id, facet) projection of the doc store —
-    the doc-values column an engine keeps alongside the inverted index."""
+
+def _decoded(spark, handle, queries: DataFrame,
+             scored: DataFrame | None) -> DataFrame:
+    """The shared index-decoded match set (query_id, doc_id, dl,
+    score_raw).  Every *_from_index aggregation takes an optional
+    pre-decoded ``scored`` so one decode (cached by the caller) can
+    feed the whole kind union — the gated entry decodes ONCE; a None
+    keeps each function self-contained."""
+    if scored is not None:
+        return scored
     from instructor_embedding_spark.query.wand import (
         scored_matches_from_index,
     )
-    m = scored_matches_from_index(spark, handle, queries)
+    return scored_matches_from_index(spark, handle, queries)
+
+
+def _matched_doc_terms(docs: DataFrame, matches: DataFrame,
+                       text_col: str, id_col: str) -> DataFrame:
+    """Distinct (doc_id, term) pairs of ONLY the matched documents —
+    the semi-join-pruned doc-store re-tokenize every term-level
+    aggregation shares (the engine's term-vectors analog)."""
+    from instructor_embedding_spark.query.bm25 import tokenized
+
+    matched_docs = docs.join(
+        matches.select(F.col("doc_id").alias(id_col)).distinct(), id_col
+    )
+    return tokenized(matched_docs, text_col, id_col).select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+    )
+
+
+def _sample_cut(scored: DataFrame, shard_size: int) -> DataFrame:
+    """The deterministic sampler cut: each query's top-``shard_size``
+    scored docs by (round-6 score DESC, doc_id ASC).  sampler_stats and
+    significant_text compose over exactly this one definition."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score_raw"), SCORE_DECIMALS).desc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shard_size)
+    )
+
+
+def facet_counts_from_index(spark, handle, queries: DataFrame,
+                            facets_df: DataFrame,
+                            scored: DataFrame | None = None) -> DataFrame:
+    """``facets_df`` is a (doc_id, facet) projection of the doc store —
+    the doc-values column an engine keeps alongside the inverted index."""
+    m = _decoded(spark, handle, queries, scored)
     return _bucket_agg(m.join(facets_df, "doc_id"))
 
 
 def facet_histogram_from_index(spark, handle, queries: DataFrame,
-                               interval: int) -> DataFrame:
+                               interval: int,
+                               scored: DataFrame | None = None) -> DataFrame:
     """dl comes straight off the index's packed doc_lens — no doc-store
     access at all for the length histogram."""
-    from instructor_embedding_spark.query.wand import (
-        scored_matches_from_index,
-    )
-    m = scored_matches_from_index(spark, handle, queries)
+    m = _decoded(spark, handle, queries, scored)
     return _bucket_agg(m.withColumn("facet", _histo_bucket(interval)))
 
 
@@ -214,13 +255,11 @@ def facet_percentiles(
 
 
 def facet_percentiles_from_index(spark, handle, queries: DataFrame,
-                                 facets_df: DataFrame) -> DataFrame:
+                                 facets_df: DataFrame,
+                                 scored: DataFrame | None = None) -> DataFrame:
     """Index-served twin of :func:`facet_percentiles` (dl rides the
     decoded match set straight off packed doc_lens)."""
-    from instructor_embedding_spark.query.wand import (
-        scored_matches_from_index,
-    )
-    m = scored_matches_from_index(spark, handle, queries)
+    m = _decoded(spark, handle, queries, scored)
     return _pct_agg(m.join(facets_df, "doc_id"))
 
 
@@ -372,6 +411,7 @@ def significant_terms_from_index(
     min_doc_count: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Index-served variant: the match set decodes from the compressed
     segments (term In() pushdown), the background df comes straight off
@@ -379,18 +419,10 @@ def significant_terms_from_index(
     re-tokenized for the foreground counts — the doc-store access is a
     semi-join-pruned scan, the engine's term-vectors analog.  Parity
     with :func:`significant_terms` is pytest-asserted."""
-    from instructor_embedding_spark.query.wand import (
-        scored_matches_from_index,
-    )
-    matches = scored_matches_from_index(spark, handle, queries).select(
+    matches = _decoded(spark, handle, queries, scored).select(
         "query_id", "doc_id"
     )
-    matched_docs = docs.join(
-        matches.select(F.col("doc_id").alias(id_col)).distinct(), id_col
-    )
-    doc_terms = tokenized(matched_docs, text_col, id_col).select(
-        "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
-    )
+    doc_terms = _matched_doc_terms(docs, matches, text_col, id_col)
     return _sig_from_matchset(
         matches, doc_terms, handle.term_stats(spark), handle.n_docs,
         size, min_doc_count,
@@ -558,17 +590,14 @@ def composite_page_from_index(
     interval: int,
     after: tuple[str, int] | None = None,
     size: int = 10,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, facet, n_docs, top_score, min_dl, max_dl, avg_dl) —
     one page of (facet, dl-bucket) composite buckets per query, strictly
     after the ``after`` key in (facet ASC, bucket ASC) order.  The facet
     column renders the composite key as ``facet:bucket`` so composite
     rows union into the shared facets result shape."""
-    from instructor_embedding_spark.query.wand import (
-        scored_matches_from_index,
-    )
-
-    m = scored_matches_from_index(spark, handle, queries)
+    m = _decoded(spark, handle, queries, scored)
     b = m.join(facets_df, "doc_id").withColumn(
         "bucket", (F.floor(F.col("dl") / interval) * interval).cast("long")
     )
@@ -731,25 +760,16 @@ def rare_terms_from_index(
     max_doc_count: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, term, fg_df) — match-set terms with foreground doc
     count <= ``max_doc_count``.  Match set decodes from the segments;
     only matched docs are re-tokenized (the same semi-join-pruned
     doc-store scan significant_terms uses)."""
-    from instructor_embedding_spark.query.bm25 import tokenized
-    from instructor_embedding_spark.query.wand import (
-        scored_matches_from_index,
-    )
-
-    matches = scored_matches_from_index(spark, handle, queries).select(
+    matches = _decoded(spark, handle, queries, scored).select(
         "query_id", "doc_id"
     )
-    matched_docs = docs.join(
-        matches.select(F.col("doc_id").alias(id_col)).distinct(), id_col
-    )
-    doc_terms = tokenized(matched_docs, text_col, id_col).select(
-        "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
-    )
+    doc_terms = _matched_doc_terms(docs, matches, text_col, id_col)
     return (
         matches.join(doc_terms, "doc_id")
         .groupBy("query_id", "term")
@@ -791,13 +811,15 @@ def histogram_pipeline_from_index(
     handle,
     queries: DataFrame,
     interval: int,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, facet, n_docs, cum_docs, deriv_docs) — the dl
     histogram with a cumulative_sum and a derivative pipeline agg over
     the bucket stream, ordered by the numeric bucket key.  ``facet``
     keeps the histogram's string bucket key; ``deriv_docs`` is NULL for
     each query's first bucket (ES derivative semantics)."""
-    h = facet_histogram_from_index(spark, handle, queries, interval)
+    h = facet_histogram_from_index(spark, handle, queries, interval,
+                                   scored=scored)
     b = h.withColumn("bucket_num", F.col("facet").cast("long"))
     w = (
         Window.partitionBy("query_id")
@@ -855,17 +877,12 @@ def top_hits_from_index(
     queries: DataFrame,
     facets_df: DataFrame,
     k: int = 3,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, facet, rank, doc_id, score) — the top-``k`` docs of
     each (query, facet) bucket by (round-6 score DESC, doc_id ASC),
     scored from the compressed index."""
-    from instructor_embedding_spark.query.wand import (
-        scored_matches_from_index,
-    )
-
-    m = scored_matches_from_index(spark, handle, queries).join(
-        facets_df, "doc_id"
-    )
+    m = _decoded(spark, handle, queries, scored).join(facets_df, "doc_id")
     w = Window.partitionBy("query_id", "facet").orderBy(
         F.round(F.col("score_raw"), SCORE_DECIMALS).desc(),
         F.col("doc_id").asc(),
@@ -920,22 +937,14 @@ def sampler_stats_from_index(
     handle,
     queries: DataFrame,
     shard_size: int = 50,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """The engine's stats sub-agg over each query's top-``shard_size``
     scored docs (facet pinned to '_sample'): the ES `sampler` >
     `stats` composition."""
-    from instructor_embedding_spark.query.wand import (
-        scored_matches_from_index,
-    )
-    s = scored_matches_from_index(spark, handle, queries)
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("score_raw"), SCORE_DECIMALS).desc(),
-        F.col("doc_id").asc(),
-    )
-    sample = (
-        s.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= shard_size)
-        .withColumn("facet", F.lit("_sample"))
+    s = _decoded(spark, handle, queries, scored)
+    sample = _sample_cut(s, shard_size).withColumn(
+        "facet", F.lit("_sample")
     )
     return _bucket_agg(sample)
 
@@ -981,15 +990,12 @@ def weighted_avg_from_index(
     attrs: DataFrame,
     value_col: str = "value",
     weight_col: str = "weight",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, facet, n_docs, w_avg) — the match set joined with the
     per-doc ``attrs`` (doc_id, facet, value, weight); weight-0 rows
     contribute nothing (ES drops docs missing the weight)."""
-    from instructor_embedding_spark.query.wand import (
-        scored_matches_from_index,
-    )
-
-    m = scored_matches_from_index(spark, handle, queries).select(
+    m = _decoded(spark, handle, queries, scored).select(
         "query_id", "doc_id"
     )
     j = m.join(attrs, "doc_id")
@@ -1056,31 +1062,14 @@ def significant_text_from_index(
     min_doc_count: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, term, fg_df, bg_df, sig_score) — significant_terms
     over each query's top-``shard_size`` sample (fg_n = the SAMPLE
     size, exactly ES's sampler>significant_text shape)."""
-    from instructor_embedding_spark.query.bm25 import tokenized
-    from instructor_embedding_spark.query.wand import (
-        scored_matches_from_index,
-    )
-
-    s = scored_matches_from_index(spark, handle, queries)
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("score_raw"), SCORE_DECIMALS).desc(),
-        F.col("doc_id").asc(),
-    )
-    sample = (
-        s.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= shard_size)
-        .select("query_id", "doc_id")
-    )
-    matched_docs = docs.join(
-        sample.select(F.col("doc_id").alias(id_col)).distinct(), id_col
-    )
-    doc_terms = tokenized(matched_docs, text_col, id_col).select(
-        "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
-    )
+    s = _decoded(spark, handle, queries, scored)
+    sample = _sample_cut(s, shard_size).select("query_id", "doc_id")
+    doc_terms = _matched_doc_terms(docs, sample, text_col, id_col)
     return _sig_from_matchset(
         sample, doc_terms, handle.term_stats(spark), handle.n_docs,
         size, min_doc_count,
@@ -1164,24 +1153,15 @@ def sharded_terms_from_index(
     size: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, term, merged_df, err_bound) — the coordinator-merged
     top-``size`` term buckets of each query's match set under per-shard
     top-``shard_size`` cuts, with ES's documented error bound."""
-    from instructor_embedding_spark.query.bm25 import tokenized
-    from instructor_embedding_spark.query.wand import (
-        scored_matches_from_index,
-    )
-
-    matches = scored_matches_from_index(spark, handle, queries).select(
+    matches = _decoded(spark, handle, queries, scored).select(
         "query_id", "doc_id", (F.col("doc_id") % n_shards).alias("shard")
     )
-    matched_docs = docs.join(
-        matches.select(F.col("doc_id").alias(id_col)).distinct(), id_col
-    )
-    doc_terms = tokenized(matched_docs, text_col, id_col).select(
-        "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
-    )
+    doc_terms = _matched_doc_terms(docs, matches, text_col, id_col)
     local = (
         matches.join(doc_terms, "doc_id")
         .groupBy("query_id", "shard", "term")
