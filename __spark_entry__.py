@@ -327,6 +327,21 @@ HYBRID_K_EACH = 20
 HYBRID_PROBE_MAP: list[tuple[int, int]] = [
     (qid, 53 * qid) for qid, _ in DRIVER_QUERY_SET
 ]
+#: rank_feature fixtures (saturation ids 3700+, log 3800+, sigmoid
+#: 3900+): additive feature boost over n_chars — saturation pivot at
+#: the fixture's n_chars median band so the bound and the midpoint both
+#: bite; sigmoid exponent pinned to the INTEGER 2 (expanded to repeated
+#: multiplication — libm pow's last ulp is not cross-engine safe)
+RANK_FEATURE_SAT = {"pivot": 300.0, "boost": 2.0}
+RANK_FEATURE_LOG = {"scale": 0.01, "boost": 1.5}
+RANK_FEATURE_SIG = {"pivot": 300.0, "exponent": 2, "boost": 2.0}
+#: filtered-kNN fixture (ids 4000+, ES kNN `filter`, PRE-filter
+#: semantics): dense top-k over the CAPPED embeddings fixture with
+#: candidates restricted to vec_id % 3 = 0 — every returned neighbor
+#: passes the filter and every probe still fills k (a post-filter
+#: would fall short); probes are the hybrid modes' pinned 53·qid rows
+#: (drawn from the FULL table — a probe need not be a candidate)
+KNN_FILTER_MOD = 3
 #: query-string fixture (ids 2801+): one clause kind per query over the
 #: documents vocabulary — plain OR, MUST, MUST_NOT, exact phrase,
 #: trailing-* prefix, ~1 fuzzy, a kitchen-sink combination, and the two
@@ -367,6 +382,25 @@ SAMPLER_SHARD_SIZE = 50
 #: cut — small enough that the error bound is non-trivially exercised
 SHARDED_N = 2
 SHARDED_SHARD_SIZE = 10
+#: filters agg (ES FiltersAggregator): reuses the adjacency named term
+#: filters, with other_bucket=true semantics
+FILTERS_OTHER_KEY = "_other_"
+#: range agg boundaries over dl (ES key format "lo-hi", * = open end);
+#: disjoint AND covering, so the buckets partition each match set and
+#: EVERY query returns all three rows — the all-stopword query keeps
+#: its zero-count bucket list (ES returns configured ranges always)
+RANGE_BUCKETS: list[tuple[int | None, int | None]] = [
+    (None, 30), (30, 60), (60, None),
+]
+#: multi_terms composite (lang × dl-bucket) per-query size cut
+#: (n_docs DESC, key ASC — the ES bucket order, pinned tiebreak)
+MULTI_TERMS_SIZE = 5
+#: percentile_ranks pinned probe values over dl (cumulative percent
+#: at dl ≤ v)
+PCT_RANK_VALUES: tuple[int, ...] = (30, 60)
+#: diversified_sampler: sampler cut with ≤ max_per_value docs per lang —
+#: tight enough that the cap provably bites next to SAMPLER_SHARD_SIZE
+DIV_SAMPLER_MAX_PER_VALUE = 10
 
 
 def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,6 +500,26 @@ def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, _offset_queries_df(spark, 3400), _emb(spark, sf_dir),
             _probe_map_df(spark, 3400), k=TOP_K, k_each=HYBRID_K_EACH,
         ).withColumn("mode", F.lit("hybrid_linear")),
+        # rank_feature (ES RankFeatureQuery): bounded monotone feature
+        # boost ADDED over the match set, one mode per function family
+        modes.rank_feature_topk(
+            docs, _offset_queries_df(spark, 3700), "n_chars",
+            function="saturation", k=TOP_K, **RANK_FEATURE_SAT,
+        ).withColumn("mode", F.lit("rank_feature_sat")),
+        modes.rank_feature_topk(
+            docs, _offset_queries_df(spark, 3800), "n_chars",
+            function="log", k=TOP_K, **RANK_FEATURE_LOG,
+        ).withColumn("mode", F.lit("rank_feature_log")),
+        modes.rank_feature_topk(
+            docs, _offset_queries_df(spark, 3900), "n_chars",
+            function="sigmoid", k=TOP_K, **RANK_FEATURE_SIG,
+        ).withColumn("mode", F.lit("rank_feature_sig")),
+        # filtered dense kNN (ES kNN `filter`): exact kernel over the
+        # capped fixture with the pre-filter semi-join; neighbor vec_id
+        # serves as doc_id (shared 0-based id domain, like hybrid)
+        _q_knn_filtered(spark, sf_dir).withColumn(
+            "mode", F.lit("knn_filtered")
+        ),
         # top_hits agg (ES TopHitsAggregator): top-3 docs per (query,
         # lang) bucket, bucket key folded into the mode tag
         facets.top_hits_from_index(
@@ -494,6 +548,73 @@ def _q_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score, mode) shape and disjoint query-id offsets — folded into the
     # same mode-tagged union to keep the registry at the 50-entry cap.
     return out.unionByName(_q_join_parent_child(spark, sf_dir))
+
+
+def _q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered dense kNN (ES kNN ``filter``, pre-filter semantics):
+    the exact kernel over the CAPPED fixture (r4 discipline — no gated
+    entry crossJoins an uncapped fixture), candidates restricted to
+    vec_id % KNN_FILTER_MOD = 0 via the kernel's semi-join; the LSH
+    scale path takes the same ``neighbor_filter=`` (twin-tested in
+    tests/test_analytics.py)."""
+    pm = _probe_map_df(spark, 4000)
+    probes = _emb(spark, sf_dir).join(pm.select("vec_id"), "vec_id")
+    capped = _capped_emb(spark, sf_dir)
+    allowed = capped.filter(
+        F.col("vec_id") % KNN_FILTER_MOD == 0
+    ).select("vec_id")
+    knn = similarity.cosine_topk(
+        capped, k=TOP_K, queries=probes, neighbor_filter=allowed,
+    )
+    return knn.join(pm, "vec_id").select(
+        "query_id", "rank",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("cosine").alias("score"),
+    )
+
+
+def _knn_filtered_sql() -> str:
+    pm_vals = ", ".join(
+        f"({qid}, {vid})" for qid, vid in _offset_probe_map(4000)
+    )
+    return f"""
+WITH pm(query_id, vid) AS (VALUES {pm_vals}),
+e AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vid, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+capped AS (
+  SELECT vid, v, nrm FROM (
+    SELECT n.*, row_number() OVER (
+      ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS rn
+    FROM n
+  ) WHERE rn <= {ANN_EXACT_CAP}
+),
+scored AS (
+  SELECT pm.query_id, b.vid AS doc_id,
+         list_sum(list_transform(range(1, len(a.v) + 1),
+                                 i -> a.v[i] * b.v[i]))
+           / (a.nrm * b.nrm) AS cos_raw
+  FROM n a
+  JOIN pm ON a.vid = pm.vid
+  JOIN capped b ON a.vid <> b.vid AND b.vid % {KNN_FILTER_MOD} = 0
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(cos_raw, 6) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, round(cos_raw, 6) AS score
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 def _offset_queries(offset: int) -> list[tuple[int, str]]:
@@ -548,6 +669,16 @@ def _modes_sql() -> str:
         ("terms_set", modes.terms_set_topk_sql(
             "documents", _offset_queries(3100), "1 + doc_id % 3",
             k=TOP_K)),
+        ("rank_feature_sat", modes.rank_feature_topk_sql(
+            "documents", _offset_queries(3700), "n_chars",
+            function="saturation", k=TOP_K, **RANK_FEATURE_SAT)),
+        ("rank_feature_log", modes.rank_feature_topk_sql(
+            "documents", _offset_queries(3800), "n_chars",
+            function="log", k=TOP_K, **RANK_FEATURE_LOG)),
+        ("rank_feature_sig", modes.rank_feature_topk_sql(
+            "documents", _offset_queries(3900), "n_chars",
+            function="sigmoid", k=TOP_K, **RANK_FEATURE_SIG)),
+        ("knn_filtered", _knn_filtered_sql()),
         ("hybrid_rrf", hybrid.hybrid_rrf_topk_sql(
             "documents", _offset_queries(3300), "embeddings",
             _offset_probe_map(3300), k=TOP_K, k_each=HYBRID_K_EACH)),
@@ -1595,11 +1726,110 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("kind", F.lit("terms_sharded"))
     )
+    # filters agg with other_bucket (ES FiltersAggregator): named
+    # term-predicate buckets (non-exclusive) + the none-of-them bucket
+    flt = (
+        facets.filters_agg_from_index(
+            spark, handle, qdf, _docs(spark, sf_dir), ADJ_FILTERS,
+            other_key=FILTERS_OTHER_KEY, scored=m,
+        )
+        .withColumn("bg_df", null_long)
+        .withColumn("p50_dl", null_long)
+        .withColumn("p90_dl", null_long)
+        .withColumn("kind", F.lit("filters"))
+    )
+    # range agg (ES RangeAggregator): explicit [from, to) dl buckets,
+    # empty buckets KEPT per query (zero-count, NULL stats)
+    rng = (
+        facets.range_agg_from_index(
+            spark, handle, qdf, RANGE_BUCKETS, scored=m,
+        )
+        .withColumn("bg_df", null_long)
+        .withColumn("p50_dl", null_long)
+        .withColumn("p90_dl", null_long)
+        .withColumn("kind", F.lit("range_dl"))
+    )
+    # multi_terms agg (ES MultiTermsAggregation): composite
+    # (lang, dl-bucket) keys, top-size by (n_docs DESC, key ASC)
+    mterms = (
+        facets.multi_terms_from_index(
+            spark, handle, qdf, lang_facets, FACET_HISTO_INTERVAL,
+            size=MULTI_TERMS_SIZE, scored=m,
+        )
+        .withColumn("bg_df", null_long)
+        .withColumn("p50_dl", null_long)
+        .withColumn("p90_dl", null_long)
+        .withColumn("kind", F.lit("multi_terms"))
+    )
+    # extended_stats (ES ExtendedStatsAggregation): std_dev rides
+    # top_score, the exact-integer Σdl² rides bg_df
+    ext = (
+        facets.extended_stats_from_index(
+            spark, handle, qdf, lang_facets, scored=m,
+        )
+        .select(
+            "query_id", "facet", "n_docs",
+            F.col("std_dev").alias("top_score"),
+            "min_dl", "max_dl", "avg_dl",
+            F.col("sum_sq").alias("bg_df"),
+            null_long.alias("p50_dl"), null_long.alias("p90_dl"),
+        )
+        .withColumn("kind", F.lit("ext_stats"))
+    )
+    # percentile_ranks (ES PercentileRanksAggregation): cumulative
+    # percent at dl ≤ v, one row per (bucket, pinned value)
+    pctr = (
+        facets.percentile_ranks_from_index(
+            spark, handle, qdf, lang_facets, PCT_RANK_VALUES, scored=m,
+        )
+        .select(
+            "query_id", "facet", "n_docs",
+            F.col("pct_rank").alias("top_score"),
+            null_long.alias("min_dl"), null_long.alias("max_dl"),
+            null_dbl.alias("avg_dl"), null_long.alias("bg_df"),
+            null_long.alias("p50_dl"), null_long.alias("p90_dl"),
+        )
+        .withColumn("kind", F.lit("pct_ranks"))
+    )
+    # diversified_sampler (ES DiversifiedAggregatorFactory): the
+    # sampler cut with a per-lang diversity cap before the stats sub-agg
+    divs = (
+        facets.diversified_sampler_stats_from_index(
+            spark, handle, qdf,
+            _docs(spark, sf_dir).select(
+                "doc_id", F.col("lang").alias("dvalue")
+            ),
+            shard_size=SAMPLER_SHARD_SIZE,
+            max_per_value=DIV_SAMPLER_MAX_PER_VALUE, scored=m,
+        )
+        .withColumn("bg_df", null_long)
+        .withColumn("p50_dl", null_long)
+        .withColumn("p90_dl", null_long)
+        .withColumn("kind", F.lit("div_sampler"))
+    )
+    # sibling pipeline aggs (ES max_bucket/min_bucket/avg_bucket) over
+    # the dl histogram bucket stream: avg rides top_score
+    extrema = (
+        facets.bucket_extrema_from_index(
+            spark, handle, qdf, FACET_HISTO_INTERVAL, scored=m,
+        )
+        .select(
+            "query_id", "facet", "n_docs",
+            F.col("avg_count").alias("top_score"),
+            null_long.alias("min_dl"), null_long.alias("max_dl"),
+            null_dbl.alias("avg_dl"), null_long.alias("bg_df"),
+            null_long.alias("p50_dl"), null_long.alias("p90_dl"),
+        )
+        .withColumn("kind", F.lit("bucket_stats"))
+    )
     return (
         terms.unionByName(histo).unionByName(sig).unionByName(pct)
         .unionByName(comp).unionByName(adj).unionByName(rare)
         .unionByName(pipe).unionByName(samp).unionByName(wavg)
         .unionByName(sigtext).unionByName(sharded)
+        .unionByName(flt).unionByName(rng).unionByName(mterms)
+        .unionByName(ext).unionByName(pctr).unionByName(divs)
+        .unionByName(extrema)
     )
 
 
@@ -2273,6 +2503,68 @@ def oracle_sql() -> dict[str, str]:
             + facets.sharded_terms_sql(
                 "documents", DRIVER_QUERY_SET, n_shards=SHARDED_N,
                 shard_size=SHARDED_SHARD_SIZE, size=SIG_TERMS_SIZE,
+                text_col="text")
+            + ") UNION ALL SELECT *, CAST(NULL AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'filters' AS kind FROM ("
+            + facets.filters_agg_sql(
+                "documents", DRIVER_QUERY_SET, ADJ_FILTERS,
+                other_key=FILTERS_OTHER_KEY, text_col="text")
+            + ") UNION ALL SELECT *, CAST(NULL AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'range_dl' AS kind FROM ("
+            + facets.range_agg_sql(
+                "documents", DRIVER_QUERY_SET, RANGE_BUCKETS,
+                text_col="text")
+            + ") UNION ALL SELECT *, CAST(NULL AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'multi_terms' AS kind FROM ("
+            + facets.multi_terms_sql(
+                "documents", DRIVER_QUERY_SET, "lang",
+                FACET_HISTO_INTERVAL, size=MULTI_TERMS_SIZE,
+                text_col="text")
+            + ") UNION ALL SELECT query_id, facet, n_docs,"
+            " std_dev AS top_score, min_dl, max_dl, avg_dl,"
+            " sum_sq AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'ext_stats' AS kind FROM ("
+            + facets.extended_stats_sql(
+                "documents", DRIVER_QUERY_SET, "lang", text_col="text")
+            + ") UNION ALL SELECT query_id, facet, n_docs,"
+            " pct_rank AS top_score,"
+            " CAST(NULL AS BIGINT) AS min_dl,"
+            " CAST(NULL AS BIGINT) AS max_dl,"
+            " CAST(NULL AS DOUBLE) AS avg_dl,"
+            " CAST(NULL AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'pct_ranks' AS kind FROM ("
+            + facets.percentile_ranks_sql(
+                "documents", DRIVER_QUERY_SET, "lang", PCT_RANK_VALUES,
+                text_col="text")
+            + ") UNION ALL SELECT *, CAST(NULL AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'div_sampler' AS kind FROM ("
+            + facets.diversified_sampler_stats_sql(
+                "documents", DRIVER_QUERY_SET, "lang",
+                shard_size=SAMPLER_SHARD_SIZE,
+                max_per_value=DIV_SAMPLER_MAX_PER_VALUE, text_col="text")
+            + ") UNION ALL SELECT query_id, facet, n_docs,"
+            " avg_count AS top_score,"
+            " CAST(NULL AS BIGINT) AS min_dl,"
+            " CAST(NULL AS BIGINT) AS max_dl,"
+            " CAST(NULL AS DOUBLE) AS avg_dl,"
+            " CAST(NULL AS BIGINT) AS bg_df,"
+            " CAST(NULL AS BIGINT) AS p50_dl,"
+            " CAST(NULL AS BIGINT) AS p90_dl,"
+            " 'bucket_stats' AS kind FROM ("
+            + facets.bucket_extrema_sql(
+                "documents", DRIVER_QUERY_SET, FACET_HISTO_INTERVAL,
                 text_col="text")
             + ")"
         ),

@@ -84,7 +84,8 @@ def _norm(a):
 def cosine_topk(embeddings: DataFrame, k: int = 10,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding",
-                queries: DataFrame | None = None) -> DataFrame:
+                queries: DataFrame | None = None,
+                neighbor_filter: DataFrame | None = None) -> DataFrame:
     """(vec_id, rank, neighbor_id, cosine) — exact brute-force kNN.
 
     O(n²) scoring; at cluster scale this is the per-bucket re-rank kernel,
@@ -93,7 +94,13 @@ def cosine_topk(embeddings: DataFrame, k: int = 10,
     ``queries`` (same schema) restricts the LEFT side: exact top-k over
     the full corpus for just those vectors — O(|queries|·n), the shape
     the 10× smokes use to measure approximate-index recall against exact
-    ground truth on a sample without paying the full n²."""
+    ground truth on a sample without paying the full n².
+
+    ``neighbor_filter`` (an id-column DataFrame) restricts the RIGHT
+    side — ES kNN's ``filter`` with PRE-filter semantics: only allowed
+    vectors are candidates, so the result still holds k neighbors (a
+    post-filter would return fewer); the semi-join prunes BEFORE the
+    pair scoring, never after."""
     e = embeddings.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -102,12 +109,15 @@ def cosine_topk(embeddings: DataFrame, k: int = 10,
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("n", _norm(F.col("v")))
+    ne = e if neighbor_filter is None else e.join(
+        neighbor_filter.select(F.col(id_col).alias("vid")), "vid", "semi"
+    )
     a = qe.select(
         F.col("vid").alias("vec_id"),
         F.col("v").alias("va"),
         F.col("n").alias("na"),
     )
-    b = e.select(
+    b = ne.select(
         F.col("vid").alias("neighbor_id"),
         F.col("v").alias("vb"),
         F.col("n").alias("nb"),
@@ -139,11 +149,13 @@ def cosine_topk(embeddings: DataFrame, k: int = 10,
 
 def cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    probe_ids: list[int] | None = None) -> str:
+                    probe_ids: list[int] | None = None,
+                    allowed_pred: str | None = None) -> str:
     """DuckDB oracle: the same brute-force kNN via explicit list arithmetic
     (double precision to match Spark's).  ``probe_ids`` restricts the
     LEFT side to those vectors — the ``queries=`` twin of
-    :func:`cosine_topk`."""
+    :func:`cosine_topk`.  ``allowed_pred`` is a predicate over ``b.vid``
+    restricting the RIGHT side — the ``neighbor_filter=`` twin."""
     probe_cond = (
         ""
         if probe_ids is None
@@ -151,6 +163,8 @@ def cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
             ", ".join(str(int(p)) for p in probe_ids)
         )
     )
+    if allowed_pred is not None:
+        probe_cond += f" AND ({allowed_pred})"
     return f"""
 WITH e AS (
   SELECT {id_col} AS vid,
@@ -477,7 +491,8 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
                     n_tables: int = 8,
                     bucket_cap: int = LSH_BUCKET_CAP,
                     carry_vectors: bool = False,
-                    n: int | None = None) -> DataFrame:
+                    n: int | None = None,
+                    neighbor_filter: DataFrame | None = None) -> DataFrame:
     """Approximate kNN: MULTI-TABLE random-hyperplane LSH + exact re-rank.
 
     High-dim near-orthogonal vectors defeat a single signature (recall
@@ -507,7 +522,15 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
 
     ``n``: precomputed corpus count (skips the eager count() this call
     otherwise issues to derive P — pass it when composing with other
-    derived-parameter ops, or cache the input)."""
+    derived-parameter ops, or cache the input).
+
+    ``neighbor_filter``: id-column DataFrame restricting the RIGHT side
+    (ES kNN ``filter``, PRE-filter semantics — see :func:`cosine_topk`).
+    Applied to the candidate pairs BEFORE the exact rerank, so excluded
+    vectors never cost a dot product; they do still occupy bucket slots
+    under the hot-bucket cap (for a highly selective filter, filtering
+    the signature input on the neighbor side would be the further
+    optimization — at that point candidates per bucket shrink too)."""
     if planes_per_table is None:
         planes_per_table = derive_planes_per_table(
             embeddings.count() if n is None else n
@@ -530,9 +553,13 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
         ).filter(F.col("bsz") <= bucket_cap).drop("bsz")
         a = e.select(F.col("vid").alias("vec_id"), F.col("v").alias("va"),
                      F.col("n").alias("na"), "tbl", "sig")
-        b = e.select(F.col("vid").alias("neighbor_id"),
-                     F.col("v").alias("vb"), F.col("n").alias("nb"),
-                     "tbl", "sig")
+        eb = e if neighbor_filter is None else e.join(
+            neighbor_filter.select(F.col(id_col).alias("vid")),
+            "vid", "semi",
+        )
+        b = eb.select(F.col("vid").alias("neighbor_id"),
+                      F.col("v").alias("vb"), F.col("n").alias("nb"),
+                      "tbl", "sig")
         scored = (
             a.join(b, ["tbl", "sig"])
             .filter(F.col("vec_id") != F.col("neighbor_id"))
@@ -548,6 +575,13 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
         cand = bucketed_candidate_pairs(
             base, dim, planes_per_table, n_tables, bucket_cap
         )
+        if neighbor_filter is not None:
+            cand = cand.join(
+                neighbor_filter.select(
+                    F.col(id_col).alias("neighbor_id")
+                ),
+                "neighbor_id", "semi",
+            )
         scored = score_candidate_pairs(base, cand)
     w = Window.partitionBy("vec_id").orderBy(
         F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id").asc()
@@ -661,12 +695,16 @@ def lsh_cosine_topk_sql(table: str, k: int = 10, id_col: str = "vec_id",
                         vec_col: str = "embedding", dim: int = 64,
                         planes_per_table: int | None = None,
                         n_tables: int = 8,
-                        bucket_cap: int = LSH_BUCKET_CAP) -> str:
+                        bucket_cap: int = LSH_BUCKET_CAP,
+                        allowed_pred: str | None = None) -> str:
     """DuckDB oracle for :func:`lsh_cosine_topk` — the SAME approximate
     result (see :func:`lsh_pairs_ctes` for the shared candidate
-    contract), ranked per query id."""
+    contract), ranked per query id.  ``allowed_pred`` is a predicate
+    over ``neighbor_id`` — the ``neighbor_filter=`` twin (applied to the
+    candidate pairs before ranking, like the Spark semi-join)."""
     ctes = lsh_pairs_ctes(table, id_col, vec_col, dim, planes_per_table,
                           n_tables, bucket_cap)
+    flt = f"WHERE ({allowed_pred})" if allowed_pred is not None else ""
     return f"""
 WITH {ctes},
 ranked AS (
@@ -676,7 +714,7 @@ ranked AS (
            ORDER BY round(cos_raw, 6) DESC, neighbor_id ASC
          ) AS BIGINT) AS rank,
          neighbor_id, round(cos_raw, 6) AS cosine
-  FROM pairs
+  FROM pairs {flt}
 )
 SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {k}
 """

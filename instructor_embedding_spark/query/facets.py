@@ -1284,3 +1284,576 @@ SELECT query_id, term, merged_df, err_bound FROM (
 )
 WHERE rn <= {int(size)}
 """
+
+# ---------------------------------------------------------------------------
+# filters aggregation (Elasticsearch FiltersAggregator with
+# `other_bucket`): NAMED predicate buckets over the match set — each
+# (name, term) filter buckets the matched docs whose analyzed text
+# contains the term (non-exclusive: a doc can sit in several named
+# buckets), plus an `_other_` bucket for matched docs in none of them.
+# Scale shape: membership is one semi-join-pruned re-tokenize of ONLY
+# the matched docs (the shared _matched_doc_terms kernel) joined to the
+# broadcast filter list; the bucket stats are the shared map-side
+# hash aggregate.  The other-bucket is a left_anti join against the
+# O(matched) membership set — never corpus-sized.
+
+
+def filters_agg_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    docs: DataFrame,
+    filters: list[tuple[str, str]],
+    other_key: str = "_other_",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, facet, n_docs, top_score, min_dl, max_dl, avg_dl) —
+    one row per (query, named filter bucket) plus the ``other_key``
+    bucket (ES ``other_bucket: true``).  Buckets with no members for a
+    query are absent (ES drops empty filters buckets from the keyed
+    response only when `min_doc_count` prunes them; pinned: absent)."""
+    m = _decoded(spark, handle, queries, scored)
+    fdf = spark.createDataFrame(filters, "name string, term string")
+    membership = (
+        _matched_doc_terms(docs, m, text_col, id_col)
+        .join(F.broadcast(fdf), "term")
+        .select("doc_id", F.col("name").alias("facet"))
+        .distinct()
+    )
+    named = _bucket_agg(m.join(membership, "doc_id"))
+    other = _bucket_agg(
+        m.join(membership.select("doc_id").distinct(), "doc_id",
+               "left_anti")
+        .withColumn("facet", F.lit(other_key))
+    )
+    return named.unionByName(other)
+
+
+def filters_agg_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    filters: list[tuple[str, str]],
+    other_key: str = "_other_",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`filters_agg_from_index`."""
+    vals = ", ".join(
+        "('{}', '{}')".format(n.replace("'", "''"), t.replace("'", "''"))
+        for n, t in filters
+    )
+    ok = other_key.replace("'", "''")
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+flt(name, term) AS (VALUES {vals}),
+hits AS (
+  SELECT DISTINCT t.doc_id, flt.name
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks) t
+  JOIN flt USING (term)
+)
+SELECT s.query_id, h.name AS facet,
+       {_STATS_SELECT}
+FROM scored s JOIN hits h USING (doc_id)
+GROUP BY s.query_id, h.name
+UNION ALL
+SELECT s.query_id, '{ok}' AS facet,
+       {_STATS_SELECT}
+FROM scored s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM hits)
+GROUP BY s.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# range aggregation (Elasticsearch RangeAggregator): EXPLICIT
+# [from, to) boundary buckets over document length, ES key format
+# "from-to" with `*` for an open end.  Two semantics the histogram kind
+# does not pin: (a) boundaries are arbitrary, not a uniform interval;
+# (b) EVERY configured bucket appears for EVERY query — empty buckets
+# come back with doc_count 0 (ES returns all configured ranges
+# unconditionally), so the all-stopword query yields its full
+# zero-count bucket list instead of vanishing.  Scale shape: the range
+# list is O(1) and broadcast; each matched row lands in at most one
+# bucket (ranges here are disjoint, though ES allows overlap — the
+# non-equi join handles either); the backfill join is |queries|×|ranges|.
+
+
+def _range_key(lo: int | None, hi: int | None) -> str:
+    return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+
+
+def range_agg_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    ranges: list[tuple[int | None, int | None]],
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, facet, n_docs, top_score, min_dl, max_dl, avg_dl) —
+    one row per (query, configured range) with n_docs=0 and NULL stats
+    for empty buckets."""
+    m = _decoded(spark, handle, queries, scored)
+    rdf = spark.createDataFrame(
+        [(_range_key(lo, hi), lo, hi) for lo, hi in ranges],
+        "facet string, lo long, hi long",
+    )
+    matched = m.join(
+        F.broadcast(rdf),
+        (F.col("lo").isNull() | (F.col("dl") >= F.col("lo")))
+        & (F.col("hi").isNull() | (F.col("dl") < F.col("hi"))),
+    )
+    agged = _bucket_agg(matched)
+    all_buckets = queries.select("query_id").crossJoin(
+        F.broadcast(rdf.select("facet"))
+    )
+    return (
+        all_buckets.join(agged, ["query_id", "facet"], "left")
+        .select(
+            "query_id", "facet",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
+            .alias("n_docs"),
+            "top_score", "min_dl", "max_dl", "avg_dl",
+        )
+    )
+
+
+def range_agg_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    ranges: list[tuple[int | None, int | None]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`range_agg_from_index`."""
+    vals = ", ".join(
+        "('{}', {}, {})".format(
+            _range_key(lo, hi),
+            "CAST(NULL AS BIGINT)" if lo is None else f"CAST({lo} AS BIGINT)",
+            "CAST(NULL AS BIGINT)" if hi is None else f"CAST({hi} AS BIGINT)",
+        )
+        for lo, hi in ranges
+    )
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+rng(facet, lo, hi) AS (VALUES {vals}),
+agged AS (
+  SELECT s.query_id, r.facet,
+         {_STATS_SELECT}
+  FROM scored s JOIN rng r
+    ON (r.lo IS NULL OR s.dl >= r.lo) AND (r.hi IS NULL OR s.dl < r.hi)
+  GROUP BY s.query_id, r.facet
+)
+SELECT qr.query_id, qr.facet,
+       CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+       a.top_score, a.min_dl, a.max_dl, a.avg_dl
+FROM (SELECT q.query_id, r.facet FROM q CROSS JOIN rng r) qr
+LEFT JOIN agged a USING (query_id, facet)
+"""
+
+
+# ---------------------------------------------------------------------------
+# multi_terms aggregation (Elasticsearch MultiTermsAggregation): buckets
+# keyed by a TUPLE of terms sources — here (doc facet, dl histogram
+# bucket), rendered "facet|bucket" (ES joins key parts with `|` in
+# `key_as_string`).  ES orders buckets by doc count desc and keeps the
+# top `size`; pinned tiebreak: composite key asc.  Scale shape: one
+# map-side-combinable hash agg over the composite key plus a per-query
+# WindowGroupLimit over O(buckets) rows for the size cut.
+
+
+def multi_terms_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    facets_df: DataFrame,
+    interval: int,
+    size: int = 10,
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, facet, n_docs, top_score, min_dl, max_dl, avg_dl) —
+    the top-``size`` composite (facet, dl-bucket) buckets per query by
+    (n_docs DESC, key ASC)."""
+    m = _decoded(spark, handle, queries, scored)
+    keyed = (
+        m.join(facets_df, "doc_id")
+        .withColumn(
+            "facet",
+            F.concat_ws("|", F.col("facet"), _histo_bucket(interval)),
+        )
+    )
+    agged = _bucket_agg(keyed)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_docs").desc(), F.col("facet").asc()
+    )
+    return (
+        agged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= size)
+        .drop("rn")
+    )
+
+
+def multi_terms_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    facet_col: str,
+    interval: int,
+    size: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`multi_terms_from_index`."""
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+agged AS (
+  SELECT s.query_id,
+         d.{facet_col} || '|' ||
+           CAST(CAST(floor(s.dl / {int(interval)}) AS BIGINT)
+                * {int(interval)} AS VARCHAR) AS facet,
+         {_STATS_SELECT}
+  FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}
+  GROUP BY s.query_id, facet
+)
+SELECT query_id, facet, n_docs, top_score, min_dl, max_dl, avg_dl
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY n_docs DESC, facet ASC
+  ) AS rn FROM agged
+) WHERE rn <= {int(size)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# extended_stats aggregation (Elasticsearch ExtendedStatsAggregation):
+# the stats sub-agg plus sum_of_squares, variance and std_deviation
+# over document length per facet bucket.  Exactness strategy: Σdl and
+# Σdl² accumulate as BIGINTs (order-free, map-side combinable in both
+# engines), then variance_pop = (n·Σx² − (Σx)²) / n² is ONE double
+# expression over exact integers, and std_dev = sqrt of that same
+# double (IEEE sqrt is correctly rounded, so the engines agree
+# bit-for-bit).  The integer numerator bounds the valid domain:
+# n·Σdl² must stay under 2^63 — fine for gate fixtures and any
+# per-bucket n·dl² ≤ ~10^18; at larger bucket mass use a
+# per-partition Welford merge instead (the float path this exact
+# oracle would then cross-check at fixture scale).
+
+
+def extended_stats_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    facets_df: DataFrame,
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, facet, n_docs, min_dl, max_dl, avg_dl, sum_sq,
+    variance, std_dev) — ES extended_stats over dl per facet bucket
+    (population variance, ES default)."""
+    m = _decoded(spark, handle, queries, scored)
+    g = (
+        m.join(facets_df, "doc_id")
+        .groupBy("query_id", "facet")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("dl").alias("min_dl"),
+            F.max("dl").alias("max_dl"),
+            F.sum("dl").alias("s"),
+            F.sum(F.col("dl") * F.col("dl")).alias("sum_sq"),
+        )
+    )
+    var_raw = (
+        (F.col("n_docs") * F.col("sum_sq") - F.col("s") * F.col("s"))
+        .cast("double")
+        / (F.col("n_docs") * F.col("n_docs"))
+    )
+    return g.select(
+        "query_id", "facet", "n_docs", "min_dl", "max_dl",
+        F.round(F.col("s").cast("double") / F.col("n_docs"),
+                SCORE_DECIMALS).alias("avg_dl"),
+        "sum_sq",
+        F.round(var_raw, SCORE_DECIMALS).alias("variance"),
+        F.round(F.sqrt(var_raw), SCORE_DECIMALS).alias("std_dev"),
+    )
+
+
+def extended_stats_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    facet_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly
+    :func:`extended_stats_from_index`."""
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+g AS (
+  SELECT s.query_id, d.{facet_col} AS facet,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         min(s.dl) AS min_dl, max(s.dl) AS max_dl,
+         CAST(sum(s.dl) AS BIGINT) AS s,
+         CAST(sum(s.dl * s.dl) AS BIGINT) AS sum_sq
+  FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}
+  GROUP BY s.query_id, d.{facet_col}
+)
+SELECT query_id, facet, n_docs, min_dl, max_dl,
+       round(CAST(s AS DOUBLE) / n_docs, {SCORE_DECIMALS}) AS avg_dl,
+       sum_sq,
+       round(CAST(n_docs * sum_sq - s * s AS DOUBLE) / (n_docs * n_docs),
+             {SCORE_DECIMALS}) AS variance,
+       round(sqrt(CAST(n_docs * sum_sq - s * s AS DOUBLE)
+                  / (n_docs * n_docs)), {SCORE_DECIMALS}) AS std_dev
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# percentile_ranks aggregation (Elasticsearch PercentileRanksAggregation):
+# the INVERSE of percentiles — for each pinned value v, the percentage
+# of the bucket's docs with dl ≤ v (ES reports the cumulative percent
+# at v).  With exact integer counts the rank is 100·count(dl≤v)/n in
+# ONE double expression, so both engines agree bit-for-bit — no TDigest
+# needed at oracle scale.  One map-side-combinable hash agg; the pinned
+# value list rides as conditional-sum columns, unpivoted after.
+
+
+def percentile_ranks_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    facets_df: DataFrame,
+    values: tuple[int, ...],
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, facet, n_docs, pct_rank) — facet is
+    "<bucket>:<=<v>" per pinned value v; pct_rank ∈ [0, 100]."""
+    m = _decoded(spark, handle, queries, scored)
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.sum((F.col("dl") <= F.lit(int(v))).cast("long"))
+        .alias(f"c_{i}")
+        for i, v in enumerate(values)
+    ]
+    g = m.join(facets_df, "doc_id").groupBy("query_id", "facet").agg(*aggs)
+    stacked = g.select(
+        "query_id", "facet", "n_docs",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(int(v)).alias("v"), F.col(f"c_{i}").alias("c")
+            )
+            for i, v in enumerate(values)
+        ])).alias("vc"),
+    )
+    return stacked.select(
+        "query_id",
+        F.concat_ws(":<=", F.col("facet"), F.col("vc.v").cast("string"))
+        .alias("facet"),
+        "n_docs",
+        F.round(
+            (F.lit(100.0) * F.col("vc.c")) / F.col("n_docs"),
+            SCORE_DECIMALS,
+        ).alias("pct_rank"),
+    )
+
+
+def percentile_ranks_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    facet_col: str,
+    values: tuple[int, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly
+    :func:`percentile_ranks_from_index`."""
+    vals = ", ".join(f"({int(v)})" for v in values)
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+vals(v) AS (VALUES {vals})
+SELECT s.query_id,
+       d.{facet_col} || ':<=' || CAST(v.v AS VARCHAR) AS facet,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round((100.0 * sum(CASE WHEN s.dl <= v.v THEN 1 ELSE 0 END))
+             / count(*), {SCORE_DECIMALS}) AS pct_rank
+FROM scored s
+JOIN {table} d ON s.doc_id = d.{id_col}
+CROSS JOIN vals v
+GROUP BY s.query_id, d.{facet_col}, v.v
+"""
+
+# ---------------------------------------------------------------------------
+# diversified_sampler aggregation (Elasticsearch
+# DiversifiedAggregatorFactory): the sampler cut with a per-value
+# diversity cap — at most ``max_per_value`` docs sharing a diversity
+# field value (e.g. lang) may enter the sample, de-duplicating
+# near-identical sources before sub-aggs run.  ES's greedy collector
+# (walk global rank order, skip a doc whose value already holds
+# max_per_value, stop at shard_size) decomposes into two window cuts:
+# a doc with per-value rank > max_per_value is ALWAYS skipped (its
+# better-ranked same-value peers precede it in global order and fill
+# the cap first), and a doc within its value cap is never skipped by
+# the cap — so greedy = (per-(query, value) rank ≤ max_per_value) then
+# (global rank over survivors ≤ shard_size).  Both cuts are
+# WindowGroupLimit-able; no sequential state.
+
+
+def diversified_sampler_stats_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    diversity_df: DataFrame,
+    shard_size: int = 50,
+    max_per_value: int = 5,
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """The stats sub-agg over each query's diversified sample (facet
+    pinned to '_diversified'): the ES `diversified_sampler` > `stats`
+    composition.  ``diversity_df`` is (doc_id, dvalue)."""
+    s = _decoded(spark, handle, queries, scored).join(diversity_df,
+                                                      "doc_id")
+    order = (
+        F.round(F.col("score_raw"), SCORE_DECIMALS).desc(),
+        F.col("doc_id").asc(),
+    )
+    wv = Window.partitionBy("query_id", "dvalue").orderBy(*order)
+    wg = Window.partitionBy("query_id").orderBy(*order)
+    sample = (
+        s.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") <= max_per_value)
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= shard_size)
+        .withColumn("facet", F.lit("_diversified"))
+    )
+    return _bucket_agg(sample)
+
+
+def diversified_sampler_stats_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    diversity_col: str,
+    shard_size: int = 50,
+    max_per_value: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly
+    :func:`diversified_sampler_stats_from_index`."""
+    return f"""{_scored_ctes_sql(table, queries_values, text_col, id_col)},
+capped AS (
+  SELECT * FROM (
+    SELECT s.*, d.{diversity_col} AS dvalue, row_number() OVER (
+      PARTITION BY s.query_id, d.{diversity_col}
+      ORDER BY round(s.score_raw, {SCORE_DECIMALS}) DESC, s.doc_id ASC
+    ) AS vr
+    FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}
+  ) WHERE vr <= {int(max_per_value)}
+),
+sample AS (
+  SELECT * FROM (
+    SELECT capped.*, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+    ) AS rn
+    FROM capped
+  ) WHERE rn <= {int(shard_size)}
+)
+SELECT s.query_id, '_diversified' AS facet,
+       {_STATS_SELECT}
+FROM sample s
+GROUP BY s.query_id, facet
+"""
+
+
+# ---------------------------------------------------------------------------
+# sibling pipeline aggregations (Elasticsearch max_bucket / min_bucket /
+# avg_bucket): one output row per query summarizing the dl-histogram
+# bucket stream — the key and count of the fullest bucket, the key and
+# count of the emptiest NON-EMPTY bucket (histograms here drop empty
+# buckets, matching the parent agg ES siblings read), and the mean
+# bucket count.  Pinned tiebreak: smallest numeric bucket key.  Scale
+# shape: one window/agg over O(buckets) rows per query — never doc rows.
+
+
+def bucket_extrema_from_index(
+    spark,
+    handle,
+    queries: DataFrame,
+    interval: int,
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, facet, n_docs, avg_count) — three rows per matching
+    query: facet 'max:<key>' (n_docs = fullest bucket count),
+    'min:<key>' (emptiest), and 'avg_bucket' (n_docs NULL, avg_count =
+    mean bucket count, round 6)."""
+    h = facet_histogram_from_index(
+        spark, handle, queries, interval, scored=scored,
+    ).select("query_id", "facet", "n_docs")
+    b = h.withColumn("bucket_num", F.col("facet").cast("long"))
+    null_dbl = F.lit(None).cast("double")
+    wmax = Window.partitionBy("query_id").orderBy(
+        F.col("n_docs").desc(), F.col("bucket_num").asc()
+    )
+    wmin = Window.partitionBy("query_id").orderBy(
+        F.col("n_docs").asc(), F.col("bucket_num").asc()
+    )
+    mx = (
+        b.withColumn("rn", F.row_number().over(wmax))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.concat(F.lit("max:"), F.col("facet")).alias("facet"),
+            "n_docs",
+            null_dbl.alias("avg_count"),
+        )
+    )
+    mn = (
+        b.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.concat(F.lit("min:"), F.col("facet")).alias("facet"),
+            "n_docs",
+            null_dbl.alias("avg_count"),
+        )
+    )
+    av = (
+        b.groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum("n_docs").cast("double") / F.count(F.lit(1)),
+                SCORE_DECIMALS,
+            ).alias("avg_count")
+        )
+        .select(
+            "query_id", F.lit("avg_bucket").alias("facet"),
+            F.lit(None).cast("long").alias("n_docs"), "avg_count",
+        )
+    )
+    return mx.unionByName(mn).unionByName(av)
+
+
+def bucket_extrema_sql(
+    table: str,
+    queries_values: list[tuple[int, str]],
+    interval: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`bucket_extrema_from_index`."""
+    histo = facet_histogram_sql(table, queries_values, interval,
+                                text_col, id_col)
+    return f"""
+WITH h AS ({histo}),
+b AS (SELECT query_id, facet, n_docs,
+             CAST(facet AS BIGINT) AS bucket_num FROM h)
+SELECT query_id, 'max:' || facet AS facet, n_docs,
+       CAST(NULL AS DOUBLE) AS avg_count
+FROM (SELECT b.*, row_number() OVER (
+        PARTITION BY query_id ORDER BY n_docs DESC, bucket_num ASC
+      ) AS rn FROM b) WHERE rn = 1
+UNION ALL
+SELECT query_id, 'min:' || facet AS facet, n_docs,
+       CAST(NULL AS DOUBLE) AS avg_count
+FROM (SELECT b.*, row_number() OVER (
+        PARTITION BY query_id ORDER BY n_docs ASC, bucket_num ASC
+      ) AS rn FROM b) WHERE rn = 1
+UNION ALL
+SELECT query_id, 'avg_bucket' AS facet, CAST(NULL AS BIGINT) AS n_docs,
+       round(CAST(sum(n_docs) AS DOUBLE) / count(*),
+             {SCORE_DECIMALS}) AS avg_count
+FROM b GROUP BY query_id
+"""

@@ -1328,3 +1328,123 @@ def sorted_topk_from_index(
         block_filter=block_filter,
     )
     return sort_over(matches, attrs, k=k, ascending=ascending)
+
+
+# ---------------------------------------------------------------------------
+# rank_feature query (ES RankFeatureQuery over a rank_feature-mapped
+# numeric field): boosts relevance by a BOUNDED monotone function of a
+# per-doc feature, ADDED to the BM25 score (the documented bool
+# { must: [match], should: [rank_feature] } shape — feature-only docs
+# never enter the match set; contrast function_score, whose
+# field_value_factor multiplies/adds an UNBOUNDED fv).  Functions:
+#
+#   saturation: boost · x / (x + pivot)          (default, ≤ boost)
+#   log:        boost · ln(scale · x + 1)
+#   sigmoid:    boost · x^e / (x^e + pivot^e)    (e pinned to an INTEGER)
+#
+# Determinism: saturation/sigmoid are one division over doubles both
+# engines build identically; sigmoid's x^e expands to repeated
+# multiplication (never libm pow, whose last-ulp may differ across
+# engines); log reuses the ln both engines already gate in
+# function_score.  The attribute join shuffles on doc_id — the key the
+# scored aggregate already produced.
+
+RANK_FEATURE_FUNCTIONS = ("saturation", "log", "sigmoid")
+
+
+def _int_pow(col, e: int):
+    out = F.lit(1.0)
+    for _ in range(e):
+        out = out * col
+    return out
+
+
+def rank_feature_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    field_col: str,
+    function: str = "saturation",
+    pivot: float = 100.0,
+    boost: float = 1.0,
+    scale: float = 1.0,
+    exponent: int = 2,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — BM25 + the rank_feature
+    contribution over the match set."""
+    if function not in RANK_FEATURE_FUNCTIONS:
+        raise ValueError(
+            f"function must be one of {RANK_FEATURE_FUNCTIONS}"
+        )
+    if function == "sigmoid" and (exponent < 1 or exponent != int(exponent)):
+        raise ValueError("sigmoid exponent must be a positive integer")
+    scored, _, _, _ = _scored_base(docs, queries, text_col, id_col)
+    x = F.col(field_col).cast("double")
+    if function == "saturation":
+        fv = F.lit(float(boost)) * (x / (x + F.lit(float(pivot))))
+    elif function == "log":
+        fv = F.lit(float(boost)) * F.log(
+            F.lit(float(scale)) * x + F.lit(1.0)
+        )
+    else:
+        xe = _int_pow(x, int(exponent))
+        pe = float(pivot) ** int(exponent)
+        fv = F.lit(float(boost)) * (xe / (xe + F.lit(pe)))
+    attrs = docs.select(F.col(id_col).alias("doc_id"), fv.alias("fv"))
+    j = scored.join(attrs, "doc_id").withColumn(
+        "score_raw", F.col("score_raw") + F.col("fv")
+    )
+    w = Window.partitionBy("query_id").orderBy(_r6().desc(), F.col("doc_id"))
+    return _final(
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rank_feature_topk_sql(
+    table: str,
+    queries_values,
+    field_col: str,
+    function: str = "saturation",
+    pivot: float = 100.0,
+    boost: float = 1.0,
+    scale: float = 1.0,
+    exponent: int = 2,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle computing exactly :func:`rank_feature_topk`."""
+    if function not in RANK_FEATURE_FUNCTIONS:
+        raise ValueError(
+            f"function must be one of {RANK_FEATURE_FUNCTIONS}"
+        )
+    x = f"CAST(d.{field_col} AS DOUBLE)"
+    if function == "saturation":
+        fv = f"{float(boost)!r} * ({x} / ({x} + {float(pivot)!r}))"
+    elif function == "log":
+        fv = f"{float(boost)!r} * ln({float(scale)!r} * {x} + 1.0)"
+    else:
+        xe = " * ".join(["1.0"] + [x] * int(exponent))
+        pe = float(pivot) ** int(exponent)
+        fv = f"{float(boost)!r} * (({xe}) / (({xe}) + {pe!r}))"
+    return f"""
+WITH {_base_ctes(table, text_col, id_col)},
+{_scored_ctes(queries_values)},
+blended AS (
+  SELECT s.query_id, s.doc_id, s.score_raw + {fv} AS score_raw
+  FROM scored s JOIN {table} d ON s.doc_id = d.{id_col}
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score_raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+         ) AS BIGINT) AS rank,
+         doc_id, round(score_raw, {SCORE_DECIMALS}) AS score
+  FROM blended
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""

@@ -1082,3 +1082,88 @@ FROM sig a JOIN sig b ON a.doc_id + 1 = b.doc_id AND a.doc_id % 2 = 0
     # extreme pairs; a correlated family makes MOST pairs extreme
     extreme = sum(1 for n in agree if n in (0, MINHASH_K))
     assert extreme <= 12, (extreme, sorted(agree))
+
+
+def test_knn_neighbor_filter_prefilter_semantics(spark, sf_small_dir):
+    """ES kNN `filter` (PRE-filter): only allowed vectors are candidates
+    and the result still fills k — exact kernel vs its DuckDB twin, plus
+    the defining contrast with a post-filter."""
+    import duckdb
+
+    from instructor_embedding_spark.analytics.similarity import (
+        cosine_topk, cosine_topk_sql,
+    )
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet").cache()
+    probes = emb.filter("vec_id < 5")
+    allowed = emb.filter("vec_id % 3 = 0").select("vec_id")
+    got = sorted(
+        tuple(r) for r in cosine_topk(
+            emb, k=5, queries=probes, neighbor_filter=allowed,
+        ).collect()
+    )
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    con = duckdb.connect()
+    con.register("emb", pdf)
+    want = sorted(
+        (int(q), int(rk), int(d), round(float(c), 6))
+        for q, rk, d, c in con.execute(cosine_topk_sql(
+            "emb", k=5, probe_ids=[0, 1, 2, 3, 4],
+            allowed_pred="b.vid % 3 = 0",
+        )).fetchall()
+    )
+    assert got == want and got
+    # pre-filter semantics: every neighbor passes the filter AND every
+    # probe still gets its full k (a post-filter of the unfiltered
+    # top-k would fall short wherever it dropped a hit)
+    assert all(d % 3 == 0 for _, _, d, _ in got)
+    by_q: dict[int, int] = {}
+    for q, *_ in got:
+        by_q[q] = by_q.get(q, 0) + 1
+    assert all(n == 5 for n in by_q.values())
+    post = sorted(
+        r for r in (
+            tuple(x) for x in cosine_topk(emb, k=5, queries=probes)
+            .collect()
+        )
+        if r[2] % 3 == 0
+    )
+    assert len(post) < len(got)  # post-filter loses hits; pre keeps k
+
+
+def test_knn_neighbor_filter_lsh_twin_and_subset(spark, sf_small_dir):
+    """The LSH scale path under the same filter: twin parity (derived
+    planes are deterministic), every neighbor allowed, and the filtered
+    result is the allowed-restricted rerank of the SAME candidate set."""
+    import duckdb
+
+    from instructor_embedding_spark.analytics.similarity import (
+        lsh_cosine_topk, lsh_cosine_topk_sql,
+    )
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet").cache()
+    allowed = emb.filter("vec_id % 3 = 0").select("vec_id")
+    got = sorted(
+        tuple(r) for r in lsh_cosine_topk(
+            emb, k=5, planes_per_table=4, n_tables=8,
+            neighbor_filter=allowed,
+        ).collect()
+    )
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    con = duckdb.connect()
+    con.register("emb", pdf)
+    want = sorted(
+        (int(q), int(rk), int(d), round(float(c), 6))
+        for q, rk, d, c in con.execute(lsh_cosine_topk_sql(
+            "emb", k=5, planes_per_table=4, n_tables=8,
+            allowed_pred="neighbor_id % 3 = 0",
+        )).fetchall()
+    )
+    assert got == want and got
+    assert all(d % 3 == 0 for _, _, d, _ in got)
+    # carry_vectors parity under the filter too
+    inline = sorted(
+        tuple(r) for r in lsh_cosine_topk(
+            emb, k=5, planes_per_table=4, n_tables=8,
+            neighbor_filter=allowed, carry_vectors=True,
+        ).collect()
+    )
+    assert inline == got

@@ -561,3 +561,318 @@ def test_sharded_terms_twin_and_error_bound(spark, corpus, queries,
     assert one and all(r.err_bound == 0 for r in one)
     for r in one:
         assert r.merged_df == true_df[(r.query_id, r.term)]
+
+
+def test_filters_agg_twin_and_other_bucket(spark, corpus, queries,
+                                           facets_index):
+    from instructor_embedding_spark.query.facets import (
+        filters_agg_from_index, filters_agg_sql,
+    )
+    filters = [("hash", "hash"), ("joins", "join"), ("sorting", "sort")]
+    got = sorted(
+        tuple(r) for r in filters_agg_from_index(
+            spark, facets_index, queries, corpus, filters,
+            text_col="content",
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(filters_agg_sql(
+            "docs", QUERIES, filters, text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # other-bucket arithmetic: per query, n(_other_) = |match set| -
+    # |docs in >=1 named bucket| (buckets are NON-exclusive so the
+    # named counts can overlap; re-derive from the raw sets)
+    from instructor_embedding_spark.query.bm25 import (
+        bm25_topk, tf_table, tokenized,
+    )
+    m = bm25_topk(corpus, queries, k=10 ** 9, text_col="content") \
+        .select("query_id", "doc_id")
+    member = {
+        r.doc_id
+        for r in tf_table(tokenized(corpus, "content", "doc_id"))
+        .filter(F.col("term").isin([t for _, t in filters]))
+        .select("doc_id").distinct().collect()
+    }
+    per_q: dict[int, list[int]] = {}
+    for r in m.collect():
+        per_q.setdefault(r.query_id, []).append(r.doc_id)
+    others = {q: sum(1 for d in ds if d not in member)
+              for q, ds in per_q.items()}
+    got_other = {q: n for q, f, n, *_ in got if f == "_other_"}
+    assert got_other == {q: n for q, n in others.items() if n > 0}
+
+
+def test_range_agg_twin_partition_and_empty_buckets(spark, corpus,
+                                                    queries, facets_index):
+    from instructor_embedding_spark.query.facets import (
+        range_agg_from_index, range_agg_sql,
+    )
+    ranges = [(None, 30), (30, 60), (60, None)]
+    got_df = range_agg_from_index(spark, facets_index, queries, ranges)
+    got = sorted(tuple(r) for r in got_df.collect())
+    pdf = corpus.select("doc_id", "content").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(range_agg_sql(
+            "docs", QUERIES, ranges, text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # every query gets EVERY configured bucket (ES returns all ranges),
+    # including the all-stopword query as zero-count rows
+    assert {(q, f) for q, f, *_ in got} == {
+        (q, f) for q, _ in QUERIES
+        for f in ("*-30", "30-60", "60-*")
+    }
+    assert all(n == 0 for q, f, n, *_ in got if q == 3)
+    # disjoint ranges partition the match set: bucket counts sum to the
+    # match-set size per query
+    from instructor_embedding_spark.query.bm25 import bm25_topk
+    m = bm25_topk(corpus, queries, k=10 ** 9, text_col="content")
+    sizes = {r.query_id: r.n for r in
+             m.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    per_q: dict[int, int] = {}
+    for q, f, n, *_ in got:
+        per_q[q] = per_q.get(q, 0) + n
+    for q, tot in per_q.items():
+        assert tot == sizes.get(q, 0)
+
+
+def test_multi_terms_twin_and_key_composition(spark, corpus, queries,
+                                              facets_index):
+    from instructor_embedding_spark.query.facets import (
+        facet_counts_from_index, multi_terms_from_index, multi_terms_sql,
+    )
+    lang_facets = corpus.select("doc_id", F.col("lang").alias("facet"))
+    got = sorted(
+        tuple(r) for r in multi_terms_from_index(
+            spark, facets_index, queries, lang_facets, 16, size=10 ** 9,
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content", "lang").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(multi_terms_sql(
+            "docs", QUERIES, "lang", 16, size=10 ** 9,
+            text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # uncut composite buckets marginalize exactly to the single-source
+    # terms agg: summing n_docs over the dl part recovers terms_lang
+    terms = sorted(
+        (r.query_id, r.facet, r.n_docs)
+        for r in facet_counts_from_index(
+            spark, facets_index, queries, lang_facets,
+        ).collect()
+    )
+    marg: dict[tuple[int, str], int] = {}
+    for q, f, n, *_ in got:
+        lang = f.split("|")[0]
+        marg[(q, lang)] = marg.get((q, lang), 0) + n
+    assert terms == sorted((q, f, n) for (q, f), n in marg.items())
+    # the size cut keeps the count-desc/key-asc head
+    cut = sorted(
+        tuple(r) for r in multi_terms_from_index(
+            spark, facets_index, queries, lang_facets, 16, size=3,
+        ).collect()
+    )
+    by_q: dict[int, list] = {}
+    for row in got:
+        by_q.setdefault(row[0], []).append(row)
+    expect_cut = sorted(
+        row
+        for q, rows in by_q.items()
+        for row in sorted(rows, key=lambda r: (-r[2], r[1]))[:3]
+    )
+    assert cut == expect_cut
+
+
+def test_extended_stats_twin_and_numpy_variance(spark, corpus, queries,
+                                                facets_index):
+    import numpy as np
+
+    from instructor_embedding_spark.query.facets import (
+        extended_stats_from_index, extended_stats_sql,
+    )
+    lang_facets = corpus.select("doc_id", F.col("lang").alias("facet"))
+    got = sorted(
+        tuple(r) for r in extended_stats_from_index(
+            spark, facets_index, queries, lang_facets,
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content", "lang").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(extended_stats_sql(
+            "docs", QUERIES, "lang", text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # population variance/std re-derived with numpy over the raw dl
+    # values of one bucket
+    from instructor_embedding_spark.query.bm25 import bm25_topk, tokenized
+    m = (
+        bm25_topk(corpus, queries, k=10 ** 9, text_col="content")
+        .join(corpus.select("doc_id", "lang"), "doc_id")
+        .filter("query_id = 1 AND lang = 'en'")
+        .join(tokenized(corpus, "content").select("doc_id", "dl"),
+              "doc_id")
+    )
+    dls = np.array([r.dl for r in m.select("dl").collect()], dtype=np.int64)
+    row = next(r for r in got if r[0] == 1 and r[1] == "en")
+    assert row[2] == dls.size
+    assert row[7] == pytest.approx(float(np.var(dls)), abs=1e-6)
+    assert row[8] == pytest.approx(float(np.std(dls)), abs=1e-6)
+
+
+def test_percentile_ranks_twin_and_monotonicity(spark, corpus, queries,
+                                                facets_index):
+    from instructor_embedding_spark.query.facets import (
+        percentile_ranks_from_index, percentile_ranks_sql,
+    )
+    lang_facets = corpus.select("doc_id", F.col("lang").alias("facet"))
+    got = sorted(
+        tuple(r) for r in percentile_ranks_from_index(
+            spark, facets_index, queries, lang_facets, (30, 60, 10 ** 6),
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content", "lang").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(percentile_ranks_sql(
+            "docs", QUERIES, "lang", (30, 60, 10 ** 6),
+            text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # ranks are cumulative percentages: bounded, monotone in v, and
+    # exactly 100 at a value above every dl
+    by_bucket: dict[tuple[int, str], dict[int, float]] = {}
+    for q, f, n, pct in got:
+        assert 0.0 <= pct <= 100.0
+        bucket, v = f.rsplit(":<=", 1)
+        by_bucket.setdefault((q, bucket), {})[int(v)] = pct
+    for ranks in by_bucket.values():
+        assert ranks[30] <= ranks[60] <= ranks[10 ** 6]
+        assert ranks[10 ** 6] == 100.0
+
+
+def test_diversified_sampler_twin_cap_and_greedy(spark, corpus, queries,
+                                                 facets_index):
+    from instructor_embedding_spark.query.facets import (
+        diversified_sampler_stats_from_index,
+        diversified_sampler_stats_sql,
+        sampler_stats_from_index,
+    )
+    div = corpus.select("doc_id", F.col("lang").alias("dvalue"))
+    got = sorted(
+        tuple(r) for r in diversified_sampler_stats_from_index(
+            spark, facets_index, queries, div, shard_size=8,
+            max_per_value=3,
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content", "lang").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(diversified_sampler_stats_sql(
+            "docs", QUERIES, "lang", shard_size=8, max_per_value=3,
+            text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # the two-window cut equals ES's greedy collector, simulated
+    # driver-side over the raw ranked match set
+    from instructor_embedding_spark.query.bm25 import bm25_topk, tokenized
+    ranked = (
+        bm25_topk(corpus, queries, k=10 ** 9, text_col="content")
+        .join(corpus.select("doc_id", "lang"), "doc_id")
+        .join(tokenized(corpus, "content").select("doc_id", "dl"),
+              "doc_id")
+        .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+        .collect()
+    )
+    sim: dict[int, list] = {}
+    taken: dict[tuple[int, str], int] = {}
+    for r in ranked:
+        picks = sim.setdefault(r.query_id, [])
+        if len(picks) >= 8:
+            continue
+        if taken.get((r.query_id, r.lang), 0) >= 3:
+            continue
+        taken[(r.query_id, r.lang)] = taken.get((r.query_id, r.lang), 0) + 1
+        picks.append(r)
+    expect = sorted(
+        (
+            q, "_diversified", len(ps),
+            round(max(p.score for p in ps), 6),
+            min(p.dl for p in ps), max(p.dl for p in ps),
+            round(sum(p.dl for p in ps) / len(ps), 6),
+        )
+        for q, ps in sim.items() if ps
+    )
+    assert got == expect
+    # a huge cap degenerates to the plain sampler
+    wide = sorted(
+        tuple(r) for r in diversified_sampler_stats_from_index(
+            spark, facets_index, queries, div, shard_size=8,
+            max_per_value=10 ** 9,
+        ).collect()
+    )
+    plain = sorted(
+        (q, "_diversified", n, ts, lo, hi, av)
+        for q, _, n, ts, lo, hi, av in (
+            tuple(r) for r in sampler_stats_from_index(
+                spark, facets_index, queries, shard_size=8,
+            ).collect()
+        )
+    )
+    assert wide == plain
+
+
+def test_bucket_extrema_twin_and_invariants(spark, corpus, queries,
+                                            facets_index):
+    from instructor_embedding_spark.query.facets import (
+        bucket_extrema_from_index, facet_histogram_from_index,
+    )
+    from instructor_embedding_spark.query.facets import bucket_extrema_sql
+    got = sorted(
+        tuple(r) for r in bucket_extrema_from_index(
+            spark, facets_index, queries, 16,
+        ).collect()
+    )
+    pdf = corpus.select("doc_id", "content").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r) for r in con.execute(bucket_extrema_sql(
+            "docs", QUERIES, 16, text_col="content",
+        )).fetchall()
+    )
+    assert got == want and got
+    # re-derive against the raw histogram: max/min counts and keys, avg
+    h = facet_histogram_from_index(spark, facets_index, queries, 16)
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for r in h.collect():
+        buckets.setdefault(r.query_id, []).append((int(r.facet), r.n_docs))
+    for q, bs in buckets.items():
+        mx_n = max(n for _, n in bs)
+        mx_key = min(k for k, n in bs if n == mx_n)
+        mn_n = min(n for _, n in bs)
+        mn_key = min(k for k, n in bs if n == mn_n)
+        rows = {f: (n, a) for qq, f, n, a in got if qq == q}
+        assert rows[f"max:{mx_key}"][0] == mx_n
+        assert rows[f"min:{mn_key}"][0] == mn_n
+        assert rows["avg_bucket"][1] == round(
+            sum(n for _, n in bs) / len(bs), 6)

@@ -603,3 +603,53 @@ def test_sorted_early_termination_ties_not_pruned(spark):
             spark, h, qdf, attrs, k=1, ascending=False
         ).collect()
         assert verdicts and not any(r.pruned for r in verdicts)
+
+
+# ---------------------------------------------------------------------------
+# rank_feature
+
+
+def test_rank_feature_twin_all_functions(spark, corpus, queries, oracle):
+    for fn, kw in (
+        ("saturation", dict(pivot=300.0, boost=2.0)),
+        ("log", dict(scale=0.1, boost=1.5)),
+        ("sigmoid", dict(pivot=300.0, exponent=2, boost=2.0)),
+    ):
+        got = _rows(modes.rank_feature_topk(
+            corpus, queries, "n_chars", function=fn, k=10,
+            text_col="content", **kw,
+        ))
+        want = _twin(oracle, modes.rank_feature_topk_sql(
+            "docs", QUERIES, "n_chars", function=fn, k=10,
+            text_col="content", **kw,
+        ))
+        assert got == want and got, fn
+        # match set unchanged: feature-only docs never enter (the
+        # must[match] + should[rank_feature] bool shape)
+        plain = {(q, d) for q, _, d, _ in _rows(
+            bm25_topk(corpus, queries, k=10 ** 9, text_col="content"))}
+        assert all((q, d) in plain for q, _, d, _ in got)
+        # all-stopword query stays empty
+        assert not [r for r in got if r[0] == 3]
+
+
+def test_rank_feature_saturation_semantics(spark, corpus, queries):
+    # contribution is bounded by boost and equals boost/2 at x = pivot:
+    # score(doc) - bm25(doc) ∈ (0, boost), == boost/2 where
+    # n_chars == pivot
+    boost, some_chars = 2.0, None
+    plain = {(r[0], r[2]): r[3] for r in _rows(
+        bm25_topk(corpus, queries, k=10 ** 9, text_col="content"))}
+    chars = {r.doc_id: r.n_chars for r in
+             corpus.select("doc_id", "n_chars").collect()}
+    pivot = float(chars[0])
+    got = _rows(modes.rank_feature_topk(
+        corpus, queries, "n_chars", function="saturation",
+        pivot=pivot, boost=boost, k=10 ** 9, text_col="content",
+    ))
+    for q, _, d, s in got:
+        contrib = s - plain[(q, d)]
+        assert -1e-6 < contrib < boost
+        if chars[d] == pivot:
+            assert contrib == pytest.approx(boost / 2, abs=2e-6)
+    assert any(chars[d] == pivot for _, _, d, _ in got)
