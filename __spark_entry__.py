@@ -22,7 +22,7 @@ from instructor_embedding_spark.index.build import (
     build_index,
     load_index,
 )
-from instructor_embedding_spark.index import deletes
+from instructor_embedding_spark.index import deletes, reblock
 from instructor_embedding_spark.index.manifest import ManifestStore
 from instructor_embedding_spark.analytics import (
     clustering,
@@ -48,6 +48,7 @@ from instructor_embedding_spark.query import (
     facets,
     hybrid,
     joins,
+    mlt,
     modes,
     multi,
     phrase,
@@ -189,6 +190,17 @@ REGEXP_SET: list[tuple[int, str]] = [
     (1302, "s[aeiou]rt"),
     (1303, "b(at|un)ch"),
     (1304, "zz.*qx"),
+]
+
+#: more_like_this fixture (ids 1501+): (query_id, source doc_id) —
+#: 1501-1503 single-source queries over pinned docs; 1504 likes TWO
+#: docs (tf sums across sources, BOTH excluded from its results).
+MLT_LIKES: list[tuple[int, int]] = [
+    (1501, 7),
+    (1502, 42),
+    (1503, 123),
+    (1504, 7),
+    (1504, 200),
 ]
 
 #: term-suggester fixture: the SAME inputs run under all three ES
@@ -798,6 +810,19 @@ def _compacted_index_for(spark: SparkSession, sf_dir: str):
     return deletes.compact_deletes(spark, handle, out_dir)
 
 
+def _reblocked_index_for(spark: SparkSession, sf_dir: str):
+    """Re-block the shared index (span 1024/8 → 512/8) without
+    re-tokenizing — the ES shrink/split analog (index/reblock.py).
+    reblock_index short-circuits on its own manifest, so repeat gate runs
+    reuse the rewritten dir like every other checkpointed index."""
+    handle = _index_for(spark, sf_dir)
+    tag = hashlib.sha1(f"{sf_dir}:reblocked".encode()).hexdigest()[:10]
+    out_dir = os.path.join(RUNTIME_DIR, f"index_{tag}")
+    return reblock.reblock_index(
+        spark, handle, out_dir, doc_block_span=512, n_sub_blocks=8
+    )
+
+
 def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered retrieval + the delete lifecycle, one gated union:
 
@@ -833,7 +858,15 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ids 1301+: regexp retrieval — anchored full-match dictionary
       expansion in the Java/RE2 common subset (validated; lookaround /
       backrefs / possessive quantifiers rejected), same cap and WAND
-      machinery."""
+      machinery;
+    - ids 1401+: retrieval over a RE-BLOCKED index (span 1024→512
+      rewrite of the shared index without re-tokenizing, the ES
+      shrink/split analog) — block geometry is physical layout, so the
+      oracle is the same full-corpus brute-force BM25;
+    - ids 1501+: more_like_this — each query's source docs' top
+      round-6 tf·idf terms (tf/df floors, max_query_terms cap) run as
+      a disjunctive BM25 through the same WAND pipeline, the source
+      docs themselves excluded (query/mlt.py)."""
     handle = _tombstoned_index_for(spark, sf_dir)
     doc_filter = _docs(spark, sf_dir).filter(F.col("lang") == "zh").select(
         "doc_id"
@@ -893,11 +926,18 @@ def _q_bm25_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id long, after_score double, after_doc long",
         ),
     )
+    reb = wand.wand_topk(
+        spark, _reblocked_index_for(spark, sf_dir),
+        _offset_queries_df(spark, 1400), k=TOP_K,
+    )
+    more = mlt.mlt_topk(
+        spark, handle, _docs(spark, sf_dir), MLT_LIKES, k=TOP_K
+    )
     return (
         base.unionByName(live).unionByName(fresh).unionByName(conj)
         .unionByName(pfx).unionByName(fz).unionByName(wc).unionByName(rx)
         .unionByName(neg).unionByName(msm).unionByName(bst)
-        .unionByName(page2)
+        .unionByName(page2).unionByName(reb).unionByName(more)
     )
 
 
@@ -2823,6 +2863,21 @@ ORDER BY doc_id LIMIT 50
                 text_col="text",
             )
             + f") WHERE rank > {TOP_K}"
+            # re-blocked index (span 1024→512): physical layout only —
+            # full-corpus BM25 must be rank- and score-identical
+            + " UNION ALL SELECT * FROM ("
+            + bm25.bm25_topk_sql(
+                "documents", _offset_queries(1400), k=TOP_K,
+                text_col="text",
+            )
+            + ")"
+            # more_like_this: round-6 tf·idf interesting-term selection,
+            # disjunctive BM25, source docs excluded
+            + " UNION ALL SELECT * FROM ("
+            + mlt.mlt_topk_sql(
+                "documents", MLT_LIKES, k=TOP_K, text_col="text",
+            )
+            + ")"
         ),
         "phrase_topk": (
             "SELECT phrase_id, rank, doc_id, matches,"

@@ -91,11 +91,16 @@ def _expansion_bm25_sql(
     k: int,
     text_col: str,
     id_col: str,
+    scored_where: str = "",
 ) -> str:
     """Shared DuckDB BM25 body over a caller-supplied expansion:
     ``expansion_ctes`` must define CTEs ending in ``qt(query_id, term)``
     (it may reference the ``df`` dictionary CTE); ranking/rounding/
-    tie-break are identical to every other retrieval twin."""
+    tie-break are identical to every other retrieval twin.
+
+    ``scored_where`` is an optional WHERE clause injected into the
+    scoring aggregation (e.g. more-like-this excludes each query's own
+    source documents before ranking)."""
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id, {sql_tokens_expr(text_col)} AS tokens FROM {table}
@@ -121,6 +126,7 @@ scored AS (
   JOIN df USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats
+  {scored_where}
   GROUP BY qt.query_id, tf.doc_id
 ),
 ranked AS (
