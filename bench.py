@@ -1079,6 +1079,87 @@ def run_smoke_streaming(n_docs: int = 50_000, n_batches: int = 4) -> dict:
     return out
 
 
+def run_smoke_reblock(n_docs: int = 200_000) -> dict:
+    """Re-block 10× smoke: the operator's value claim is "geometry change
+    WITHOUT the tokenize pass" — measure it.  Builds at the default span
+    (8192/16), re-blocks to 2048/16, then rebuilds from scratch at the
+    target geometry, asserting the re-blocked segments + doc_lens are
+    ROW-IDENTICAL to the rebuild and recording both walls + the re-block
+    shuffle volume (the speedup ratio is the headline)."""
+    from instructor_embedding_spark.index.build import (
+        IndexParams,
+        build_index,
+    )
+    from instructor_embedding_spark.index.reblock import reblock_index
+    from instructor_embedding_spark.session import get_spark
+    from instructor_embedding_spark.shipping import ensure_shipped
+
+    spark = get_spark(
+        app_name="ies-smoke-reblock", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    ensure_shipped(spark, RUNTIME)
+
+    docs = _bench_corpus(spark, n_docs)
+    src_dir = os.path.join(RUNTIME, f"smoke_reblock_src_{n_docs}")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    src = build_index(
+        spark, docs, src_dir,
+        IndexParams(doc_block_span=8192, n_sub_blocks=16,
+                    corpus_fingerprint=f"smoke-reblock:{n_docs}"),
+        text_col="content",
+    )
+    build_wall = time.monotonic() - t0
+
+    re_dir = os.path.join(RUNTIME, f"smoke_reblock_out_{n_docs}")
+    shutil.rmtree(re_dir, ignore_errors=True)
+    before = _stage_totals(spark)
+    t0 = time.monotonic()
+    re = reblock_index(spark, src, re_dir,
+                       doc_block_span=2048, n_sub_blocks=16)
+    reblock_wall = time.monotonic() - t0
+    after = _stage_totals(spark)
+
+    fresh_dir = os.path.join(RUNTIME, f"smoke_reblock_fresh_{n_docs}")
+    shutil.rmtree(fresh_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    fresh = build_index(
+        spark, docs, fresh_dir,
+        IndexParams(doc_block_span=2048, n_sub_blocks=16,
+                    corpus_fingerprint=f"smoke-reblock:{n_docs}"),
+        text_col="content",
+    )
+    rebuild_wall = time.monotonic() - t0
+
+    def _identical(a, b):
+        return (a.exceptAll(b).count() == 0
+                and b.exceptAll(a).count() == 0)
+
+    seg_ok = _identical(re.segments(spark), fresh.segments(spark))
+    dl_ok = _identical(re.doc_lens(spark), fresh.doc_lens(spark))
+    out = {
+        "reblock_10x": {
+            "docs": n_docs,
+            "from_span": 8192,
+            "to_span": 2048,
+            "build_wall_s": round(build_wall, 2),
+            "reblock_wall_s": round(reblock_wall, 2),
+            "rebuild_wall_s": round(rebuild_wall, 2),
+            "reblock_vs_rebuild": round(reblock_wall / rebuild_wall, 3),
+            "reblock_shuffle_write_mb": round(
+                (after["shuffle_write"] - before["shuffle_write"]) / 2**20,
+                1),
+            "segments_row_identical_to_rebuild": seg_ok,
+            "doc_lens_row_identical_to_rebuild": dl_ok,
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
+        }
+    }
+    _merge_smoke_results(out)
+    return out
+
+
 def main() -> None:
     from instructor_embedding_spark import datagen
     from instructor_embedding_spark.query.wand import wand_topk
@@ -1239,6 +1320,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-streaming":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
         print(json.dumps({"smoke_streaming": run_smoke_streaming(n)}))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--smoke-reblock":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+        print(json.dumps({"smoke_reblock": run_smoke_reblock(n)}))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else BENCH_DOCS
         print(json.dumps({"scaling": run_scaling(n)}))

@@ -26,6 +26,15 @@ query.  Exclusion is a per-(query, doc) left-anti join AFTER the top-k
 kernel: the kernel fetches k + (max source docs per query) so the final
 cut is exact without per-query state inside the kernel.
 
+Relation to ``query/modes.mlt_topk``: the same brute-force/index pairing
+as bm25.bm25_topk vs wand.wand_topk — modes.py carries the minimal
+brute-force form (single seed doc, query_id = seed id, no floors, gated
+in ``search_modes``), this module is the INDEX-BACKED path with the full
+ES parameter surface: multiple source docs per query (tf summed across
+them, ALL excluded), min_term_freq / min_doc_freq floors, dictionary-
+driven selection (term_stats, never a corpus re-scan), and block-max
+WAND retrieval.
+
 Reference parity: the reference's nearest analog is embedding-space
 nearest-neighbor retrieval (RetrievalEvaluator.py); more-like-this is its
 lexical counterpart, part of the fulltext surface (SURVEY.md §2.5 graft

@@ -478,7 +478,13 @@ def mlt_topk(docs: DataFrame, seeds: DataFrame, k: int = 10,
     characteristic terms by round(tf·idf, 6) (term ASC tiebreak — the
     deterministic Lucene MoreLikeThis interestingness order), then run
     ordinary OR-semantics BM25 with those terms, excluding the seed
-    itself.  query_id = the seed's doc_id."""
+    itself.  query_id = the seed's doc_id.
+
+    This is the minimal brute-force form; ``query/mlt.py`` is the
+    index-backed twin with the full ES parameter surface (multi-source
+    queries with summed tf, min_term_freq / min_doc_freq floors,
+    dictionary-driven selection, WAND retrieval) — the same pairing as
+    bm25_topk vs wand_topk."""
     toks = tokenized(docs, text_col, id_col)
     stats = corpus_stats(toks)
     tf = tf_table(toks)
