@@ -4,6 +4,7 @@
     python -m instructor_embedding_spark.cli build  --input DIR --index DIR
     python -m instructor_embedding_spark.cli query  --index DIR --query "..."
     python -m instructor_embedding_spark.cli merge  --sources A B --out DIR
+    python -m instructor_embedding_spark.cli reblock --index DIR --out DIR --block-span N
     python -m instructor_embedding_spark.cli datagen --docs N --out DIR
 
 Mirrors the reference's CLI shape (examples/evaluate_model.py — task name +
@@ -146,6 +147,26 @@ def cmd_merge(args) -> dict:
             "sources": len(handles)}
 
 
+def cmd_reblock(args) -> dict:
+    from instructor_embedding_spark.index.build import load_index
+    from instructor_embedding_spark.index.reblock import reblock_index
+
+    spark = _spark(args)
+    src = load_index(spark, args.index)
+    t0 = time.monotonic()
+    h = reblock_index(
+        spark, src, args.out,
+        doc_block_span=args.block_span, n_sub_blocks=args.sub_blocks,
+    )
+    dt = time.monotonic() - t0
+    return {
+        "cmd": "reblock", "out": args.out, "n_docs": h.n_docs,
+        "from_span": src.params.doc_block_span,
+        "to_span": h.params.doc_block_span,
+        "seconds": round(dt, 2),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="instructor_embedding_spark")
     p.add_argument("--master", default=None)
@@ -180,6 +201,17 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--sources", nargs="+", required=True)
     m.add_argument("--out", required=True)
 
+    rb = sub.add_parser(
+        "reblock",
+        help="rewrite an index to a new block geometry without"
+             " re-tokenizing (ES shrink/split analog)",
+    )
+    rb.add_argument("--index", required=True)
+    rb.add_argument("--out", required=True)
+    rb.add_argument("--block-span", type=int, required=True)
+    rb.add_argument("--sub-blocks", type=int, default=None,
+                    help="defaults to the source index's value")
+
     dd = sub.add_parser("dedup")
     dd.add_argument("--input", required=True)
     dd.add_argument("--out", required=True)
@@ -191,7 +223,8 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     out = {
         "datagen": cmd_datagen, "build": cmd_build,
-        "query": cmd_query, "merge": cmd_merge, "dedup": cmd_dedup,
+        "query": cmd_query, "merge": cmd_merge, "reblock": cmd_reblock,
+        "dedup": cmd_dedup,
     }[args.cmd](args)
     print(json.dumps(out))
     return 0

@@ -55,3 +55,19 @@ def test_cli_phrase_filter_dedup(tmp_path):
     out = _run(["dedup", "--input", docs, "--out", pairs,
                 "--method", "simhash"])
     assert out["rows"] >= 0 and out["method"] == "simhash"
+
+
+def test_cli_reblock_is_query_invisible(tmp_path):
+    docs = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    re_idx = str(tmp_path / "re_idx")
+    _run(["datagen", "--docs", "200", "--out", docs])
+    _run(["build", "--input", docs, "--index", idx,
+          "--block-span", "64", "--sub-blocks", "4"])
+    out = _run(["reblock", "--index", idx, "--out", re_idx,
+                "--block-span", "32", "--sub-blocks", "8"])
+    assert out["from_span"] == 64 and out["to_span"] == 32
+    q = ["--query", "parse varint block header", "-k", "3"]
+    a = _run(["query", "--index", idx, *q])["results"]
+    b = _run(["query", "--index", re_idx, *q])["results"]
+    assert a == b and len(a) == 3
