@@ -72,15 +72,22 @@ FROM {table} GROUP BY 1 HAVING count(*) > 1
 
 # --------------------------------------------------------------- shingles
 
-def _shingles_col(text_col: str):
-    """Distinct token 3-shingles as an array column (JVM expressions).
+def _shingles_of(toks):
+    """Distinct token 3-shingles from an already-materialized token-array
+    COLUMN (JVM expressions).
 
     Built from ZIPPED SLICES of the token array, never by indexing the
     tokenizer expression inside a lambda: ``toks[i]`` inside a transform
     re-evaluates the whole regex tokenizer per element (measured
     quadratic — ~0.6 s/doc on long docs); slices evaluate it a constant
-    number of times per row."""
-    toks = tokens_col(text_col)
+    number of times per row.
+
+    Callers must pass a plain column REFERENCE (``F.col('toks')`` from a
+    prior select), not the tokenizer expression itself: this expression
+    references its input 5× and inlining the regex tokenizer at each
+    reference re-tokenizes every document 5× (plus once more per
+    inferred filter) — measured 14 tokenizer evaluations per doc in the
+    r5 lsh plan vs 1 with the two-step select (OPTIMIZATION_r06.md)."""
     n = F.size(toks)
     ln = F.greatest(n - (SHINGLE - 1), F.lit(0))
     z = F.arrays_zip(
@@ -100,6 +107,17 @@ def _shingles_col(text_col: str):
             ),
         ).otherwise(F.array())
     )
+
+
+def _shingled(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, sh) — tokens materialized in their own select so the
+    shingle expression's 5 references resolve to a column, not 5 inlined
+    copies of the regex tokenizer (CollapseProject keeps multi-referenced
+    non-trivial aliases in their own Project)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(text_col).alias("toks"),
+    ).select("doc_id", _shingles_of(F.col("toks")).alias("sh"))
 
 
 def _shingles_sql(text_col: str) -> str:
@@ -171,41 +189,39 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
     Documents with no shingles are dropped (nothing to compare).
 
-    Map-side: one transform materializes x per shingle, and each h_i is
-    an ``array_min(transform(...))`` over those — no explode, no shuffle,
-    and the md5 is computed ONCE per shingle instead of K times (the
-    dominant cost: the digest is ~8× the multiply-mod).  BIGINT
-    signatures also ride the band shuffle at 8 bytes instead of 32-char
-    hex.  Inputs with fewer splits than cores are repartitioned first
-    (the digest work is CPU-bound and per-row deterministic, so
-    partitioning cannot change results; at real scale splits >> cores
-    and the branch never fires)."""
+    Shape (r6): tokens → shingles → EXPLODE → one md5/x per shingle row →
+    ``groupBy(doc_id).agg(min(affine_i))`` — the per-doc min is a partial
+    (map-side) aggregation, so the only shuffle carries the 8 partial
+    minima per (doc, map task), not the shingles.  This replaces the r5
+    ``array_min(transform(xs, …))`` form whose plan re-evaluated the
+    tokenizer 14× per document (7 inlined references × the inferred
+    Generate filter — see OPTIMIZATION_r06.md; results are identical:
+    min over the same distinct-shingle x values).  The md5 is computed
+    ONCE per shingle (the dominant cost: the digest is ~8× the
+    multiply-mod), and BIGINT signatures ride the band shuffle at 8
+    bytes instead of 32-char hex.  Inputs with fewer splits than cores
+    are repartitioned first (the digest work is CPU-bound and per-row
+    deterministic, so partitioning cannot change results; at real scale
+    splits >> cores and the branch never fires)."""
     spark = docs.sparkSession
     target = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        _shingles_col(text_col).alias("sh"),
+    x = _shingled(docs, text_col, id_col).select(
+        "doc_id", F.explode("sh").alias("shingle")
     ).select(
         "doc_id",
-        F.size("sh").alias("nsh"),
-        F.transform(
-            F.transform("sh", F.md5),
-            lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
-            % F.lit(MINHASH_P),
-        ).alias("xs"),
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+            % F.lit(MINHASH_P)
+        ).alias("x"),
     )
-    cols = [
-        F.array_min(
-            F.transform(
-                "xs",
-                lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P),
-            )
-        ).alias(f"h{i}")
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P))
+        .alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
     ]
-    return base.filter(F.col("nsh") > 0).select("doc_id", *cols)
+    return x.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures_sql(table: str, text_col: str = "text",
@@ -261,7 +277,14 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
         "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
     ).filter(F.col("bsz") <= bucket_cap).drop("bsz")
 
-    a, b = bands.alias("a"), bands.alias("b")
+    # sort-merge (not broadcast) self-join: both sides are the SAME
+    # windowed subtree already exchanged + sorted on (band, key), so the
+    # planner reuses one exchange and the signature pipeline is computed
+    # ONCE; the r5 broadcast plan rebuilt the whole tokenize→minhash
+    # lineage a second time for the build side (plan diff in
+    # OPTIMIZATION_r06.md).  At scale SMJ is also the safe strategy for
+    # a bucket join whose total size grows with the corpus.
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
     pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -324,10 +347,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     """(doc_a, doc_b, jaccard) for LSH candidates with exact Jaccard ≥
     threshold — the verify stage after LSH recall."""
     cand = lsh_candidate_pairs(docs, text_col, id_col).select("doc_a", "doc_b")
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        _shingles_col(text_col).alias("sh"),
-    )
+    sh = _shingled(docs, text_col, id_col)
     j = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a")
                   .withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -436,7 +456,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING,
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
 
-    a, b = bands.alias("a"), bands.alias("b")
+    # merge hint: both sides shuffle the SAME subtree on (band, key), so
+    # one exchange is computed and reused; a broadcast build side would
+    # recompute the whole tokenize→simhash lineage a second time
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

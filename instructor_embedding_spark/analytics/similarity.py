@@ -452,9 +452,14 @@ def bucketed_candidate_pairs(base: DataFrame, dim: int,
         F.col("vec_id") < F.col("neighbor_id") if canonical
         else F.col("vec_id") != F.col("neighbor_id")
     )
+    # merge hint: both join inputs are the SAME windowed subtree already
+    # exchanged on (tbl, sig), so the planner reuses one exchange and the
+    # signature pipeline runs ONCE; a broadcast build side would recompute
+    # the whole signature lineage a second time (OPTIMIZATION_r06.md)
     return (
         e.select(F.col("vid").alias("vec_id"), "tbl", "sig")
-        .join(e.select(F.col("vid").alias("neighbor_id"), "tbl", "sig"),
+        .join(e.select(F.col("vid").alias("neighbor_id"), "tbl", "sig")
+              .hint("merge"),
               ["tbl", "sig"])
         .filter(pred)
         .select("vec_id", "neighbor_id")
@@ -561,7 +566,7 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 10,
                       F.col("v").alias("vb"), F.col("n").alias("nb"),
                       "tbl", "sig")
         scored = (
-            a.join(b, ["tbl", "sig"])
+            a.join(b.hint("merge"), ["tbl", "sig"])
             .filter(F.col("vec_id") != F.col("neighbor_id"))
             .select(
                 "vec_id", "neighbor_id",
@@ -785,9 +790,12 @@ def lsh_euclidean_topk(embeddings: DataFrame, k: int = 10,
         "bsz", F.count(F.lit(1)).over(Window.partitionBy("tbl", "sig"))
     ).filter(F.col("bsz") <= bucket_cap).drop("bsz")
 
+    # merge hint: reuse the windowed (tbl, sig) exchange for both join
+    # sides instead of recomputing the signature pipeline for a broadcast
     cand = (
         e.select(F.col("vid").alias("vec_id"), "tbl", "sig")
-        .join(e.select(F.col("vid").alias("neighbor_id"), "tbl", "sig"),
+        .join(e.select(F.col("vid").alias("neighbor_id"), "tbl", "sig")
+              .hint("merge"),
               ["tbl", "sig"])
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")

@@ -8,21 +8,48 @@ shuffle (≈240 tokens/doc → ~10^14 shuffled rows at 10^12 docs); the only
 remaining wide stages are the df aggregation and the salted segment
 repartition, both over the already-aggregated triples (~20× smaller).
 
+The kernel is batch-vectorized (guide §4.2, same amortization pattern as
+``build_positions``): the regex split runs per doc (C-speed), then ONE
+``pd.factorize`` + ``np.lexsort`` over the whole Arrow batch groups
+(doc, term) occurrences — the length/stopword filter runs once per
+UNIQUE batch term instead of once per token, and tf/dl fall out of run
+lengths and bincounts.  No per-token Python dict ops, no per-doc Counter
+(the r5 per-doc loop was the single largest index-build stage — see
+OPTIMIZATION_r06.md).
+
 Output is token-identical to the declarative path (tested against
-explode+groupBy in tests/test_bm25.py / test_index_wand.py rank gates).
+explode+groupBy in tests/test_bm25.py / test_index_wand.py rank gates);
+row ORDER within a batch differs from the r5 kernel (term-grouped, not
+per-doc insertion order), which no consumer observes — every downstream
+stage aggregates or re-sorts by key.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from instructor_embedding_spark.functions.tokenize import term_counts
+from instructor_embedding_spark.functions.tokenize import (
+    MIN_TOKEN_LEN,
+    _BOUNDARY_C,
+    _SPLIT_C,
+    _STOPSET,
+)
 
 TF_SCHEMA = "doc_id long, term string, tf long, dl long"
+
+_EMPTY = pd.DataFrame(
+    {
+        "doc_id": pd.Series([], dtype="int64"),
+        "term": pd.Series([], dtype="object"),
+        "tf": pd.Series([], dtype="int64"),
+        "dl": pd.Series([], dtype="int64"),
+    }
+)
 
 
 def tf_pairs_map_side(
@@ -41,27 +68,84 @@ def tf_pairs_map_side(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids: list[int] = []
-            terms: list[str | None] = []
-            tfs: list[int] = []
-            dls: list[int] = []
-            for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                counts, dl = term_counts(txt)
-                n = len(counts)
-                ids.extend([did] * n)
-                terms.extend(counts.keys())
-                tfs.extend(counts.values())
-                dls.extend([dl] * n)
-                if include_doc_rows:
-                    # one NULL-term row per doc carries dl (covers
-                    # zero-token docs) — doc_stats falls out of the same
-                    # single tokenize pass
-                    ids.append(did)
-                    terms.append(None)
-                    tfs.append(0)
-                    dls.append(dl)
-            yield pd.DataFrame(
-                {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
+            n_rows = len(pdf)
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            raw_per_doc = [
+                _SPLIT_C.split(_BOUNDARY_C.sub(" ", t).lower()) if t else []
+                for t in pdf["text"]
+            ]
+            counts = np.fromiter(
+                (len(r) for r in raw_per_doc), dtype=np.int64, count=n_rows
             )
+            total = int(counts.sum())
+            if total == 0:
+                if include_doc_rows and n_rows:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": doc_ids,
+                            "term": np.full(n_rows, None, dtype=object),
+                            "tf": np.zeros(n_rows, dtype=np.int64),
+                            "dl": np.zeros(n_rows, dtype=np.int64),
+                        }
+                    )
+                else:
+                    yield _EMPTY
+                continue
+
+            # flatten all raw split pieces; group by (doc row, term code)
+            ridx = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+            flat = np.empty(total, dtype=object)
+            i = 0
+            for pieces in raw_per_doc:
+                flat[i:i + len(pieces)] = pieces
+                i += len(pieces)
+            codes, uniques = pd.factorize(flat)  # C-speed hash
+            # length/stopword filter per UNIQUE term, broadcast via codes
+            keep_u = np.fromiter(
+                (len(u) >= MIN_TOKEN_LEN and u not in _STOPSET
+                 for u in uniques),
+                dtype=bool, count=len(uniques),
+            )
+            keep = keep_u[codes]
+            rk, ck = ridx[keep], codes[keep]
+            # dl per doc row = retained occurrences (zero-token docs stay 0)
+            dls = np.bincount(rk, minlength=n_rows).astype(np.int64)
+
+            order = np.lexsort((ck, rk))
+            sr, sc = rk[order], ck[order]
+            if sr.size:
+                new_grp = np.empty(sr.size, dtype=bool)
+                new_grp[0] = True
+                new_grp[1:] = (sr[1:] != sr[:-1]) | (sc[1:] != sc[:-1])
+                gstarts = np.flatnonzero(new_grp)
+                tf = np.diff(np.append(gstarts, sr.size)).astype(np.int64)
+                out_rows = sr[gstarts]
+                out = {
+                    "doc_id": doc_ids[out_rows],
+                    "term": uniques[sc[gstarts]],
+                    "tf": tf,
+                    "dl": dls[out_rows],
+                }
+            else:
+                out = {
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "term": np.empty(0, dtype=object),
+                    "tf": np.empty(0, dtype=np.int64),
+                    "dl": np.empty(0, dtype=np.int64),
+                }
+            if include_doc_rows:
+                # one NULL-term row per doc carries dl (covers zero-token
+                # docs) — doc_stats falls out of the same single pass
+                out = {
+                    "doc_id": np.concatenate([out["doc_id"], doc_ids]),
+                    "term": np.concatenate(
+                        [out["term"], np.full(n_rows, None, dtype=object)]
+                    ),
+                    "tf": np.concatenate(
+                        [out["tf"], np.zeros(n_rows, dtype=np.int64)]
+                    ),
+                    "dl": np.concatenate([out["dl"], dls]),
+                }
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(gen, schema=TF_SCHEMA)

@@ -58,11 +58,20 @@ def doc_stats(toks: DataFrame) -> DataFrame:
     return toks.select("doc_id", "dl")
 
 
-def tf_table(toks: DataFrame) -> DataFrame:
-    """(doc_id, term, tf, dl) — one shuffle, map-side partial agg."""
+def tf_table(toks: DataFrame, terms: DataFrame | None = None) -> DataFrame:
+    """(doc_id, term, tf, dl) — one shuffle, map-side partial agg.
+
+    ``terms`` (a one-column ``term`` DataFrame) restricts the table to
+    those terms BEFORE the aggregation shuffle: the broadcast semi-join
+    sits between the explode and the groupBy, so non-query tokens never
+    enter the exchange (groups are per-term, so dropping whole terms
+    early is exact).  Callers that need the full vocabulary (dictionary
+    builds, facets) omit it."""
+    ex = toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+    if terms is not None:
+        ex = ex.join(F.broadcast(terms), "term", "left_semi")
     return (
-        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("doc_id", "dl", "term")
+        ex.groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("doc_id", "term", "tf", "dl")
     )
@@ -148,9 +157,14 @@ def bm25_topk(
     """
     toks = tokenized(docs, text_col, id_col, use_pandas_udf)
     stats = corpus_stats(toks)
-    tf = tf_table(toks)
-    ts = term_stats(tf, stats)
     qt = query_terms(queries, use_pandas_udf)
+    # scored/idf only ever consume QUERY terms, so restrict the tf
+    # aggregation to them before its shuffle (exact: groups are
+    # per-term; df/idf for a query term is unchanged).  At corpus scale
+    # this shrinks the tf exchange from every (doc, term) pair to the
+    # query-matched ones.
+    tf = tf_table(toks, terms=qt.select("term").distinct())
+    ts = term_stats(tf, stats)
 
     contrib = bm25_score_col(F.col("tf"), F.col("dl"), F.col("idf"), stats.avgdl)
     if term_boosts is not None:
@@ -235,12 +249,17 @@ def bm25_topk_fielded(
 
     Integer-valued weights keep wdl sums exactly representable, so both
     engines compute identical corpus stats without rounding."""
+    qt = query_terms(queries, use_pandas_udf)
+    _qterms = qt.select("term").distinct()
     parts = []
     dl_cols = []
     for col, w in fields:
         toks = tokenized(docs, col, id_col, use_pandas_udf)
         parts.append(
             toks.select("doc_id", F.explode("tokens").alias("term"))
+            # query-term-restricted before the aggregation shuffle (see
+            # tf_table): wtf/df are only ever consumed for query terms
+            .join(F.broadcast(_qterms), "term", "left_semi")
             .groupBy("doc_id", "term")
             .agg((F.count(F.lit(1)) * F.lit(float(w))).alias("wtf"))
         )
@@ -269,7 +288,6 @@ def bm25_topk_fielded(
             / (F.col("df") + F.lit(0.5))
         ),
     )
-    qt = query_terms(queries, use_pandas_udf)
     contrib = F.col("idf") * (
         F.col("wtf") * (K1 + 1.0)
         / (F.col("wtf")
@@ -393,11 +411,14 @@ def dismax_topk(
     on the SAME (query_id, doc_id) key — AQE coalesces the second
     shuffle onto the first's partitioning."""
     qt = query_terms(queries)
+    qterms = qt.select("term").distinct()
     per_field = []
     for col, boost in fields:
         toks = tokenized(docs, col, id_col)
         stats = corpus_stats(toks)
-        tf = tf_table(toks)
+        # query-term-restricted per-field tf (see bm25_topk): each
+        # field's df/idf for a query term is unchanged
+        tf = tf_table(toks, terms=qterms)
         ts = term_stats(tf, stats)
         contrib = bm25_score_col(
             F.col("tf"), F.col("dl"), F.col("idf"), stats.avgdl
@@ -673,9 +694,11 @@ def explain_topk(
     broadcast semi-join over the scoring pass, nothing more."""
     toks = tokenized(docs, text_col, id_col)
     stats = corpus_stats(toks)
-    tf = tf_table(toks)
-    ts = term_stats(tf, stats)
     qt = query_terms(queries)
+    # query-term-restricted tf aggregation (see bm25_topk): explain's
+    # rows are query terms only, and df/idf per query term is unchanged
+    tf = tf_table(toks, terms=qt.select("term").distinct())
+    ts = term_stats(tf, stats)
     contrib = bm25_score_col(
         F.col("tf"), F.col("dl"), F.col("idf"), stats.avgdl
     )

@@ -112,6 +112,89 @@ def build_positions(docs: DataFrame, span: int,
     return src.mapInPandas(gen, schema=POSITIONS_SCHEMA)
 
 
+_EMPTY_PHRASE = pd.DataFrame(
+    {
+        "phrase_id": pd.Series([], dtype="int64"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "matches": pd.Series([], dtype="int64"),
+    }
+)
+
+
+def _conjunctive_block_prune(hits: DataFrame,
+                             need: dict[int, int]) -> DataFrame:
+    """Drop (phrase_id, doc_block) groups that do not contain EVERY
+    distinct query term of the phrase — the positions-family analog of
+    WAND's ``require_all`` block skip (query/wand.py): a doc's position
+    rows all share its doc_block, so a block missing a term cannot hold
+    a conjunctive match, and its pos_bytes never need to shuffle into
+    (or be decoded by) the Arrow kernel.
+
+    The survivor set is computed from a second, narrow scan of the same
+    term-pruned positions (term + doc_block only — column pruning keeps
+    pos_bytes out of it) and broadcast back as a semi-join, so the heavy
+    rows still shuffle exactly once.  Pure prune: result-identical by
+    construction (the kernels also require all terms per doc).  Queries
+    whose distinct-term count is 1 are left alone (every block with the
+    term survives — the aggregation would be pure overhead)."""
+    if not any(n >= 2 for n in need.values()):
+        return hits
+    spark = hits.sparkSession
+    need_df = spark.createDataFrame(
+        [(int(p), int(n)) for p, n in need.items()],
+        "phrase_id long, n_need long",
+    )
+    ok = (
+        hits.groupBy("phrase_id", "doc_block")
+        .agg(F.count_distinct("term").alias("n_present"))
+        .join(F.broadcast(need_df), "phrase_id")
+        .filter(F.col("n_present") >= F.col("n_need"))
+        .select("phrase_id", "doc_block")
+    )
+    return hits.join(F.broadcast(ok), ["phrase_id", "doc_block"],
+                     "left_semi")
+
+
+def conjunctive_skip_stats(
+    positions: DataFrame,
+    phrases: list[tuple[int, str]],
+) -> DataFrame:
+    """(phrase_id, blocks_with_any_term, blocks_conjunctive) — the
+    observability surface for the block prune (the positions-family
+    twin of ``wand_scan_stats``): ``blocks_with_any_term`` is what the
+    r5 pipeline shipped to the kernel, ``blocks_conjunctive`` is what
+    ships after the prune."""
+    term_orders = {pid: tokenize_py(text) for pid, text in phrases}
+    term_orders = {p: t for p, t in term_orders.items() if t}
+    pairs = [
+        (pid, t) for pid, terms in term_orders.items() for t in set(terms)
+    ]
+    spark = positions.sparkSession
+    pt = spark.createDataFrame(pairs, "phrase_id long, term string")
+    need = {p: len(set(t)) for p, t in term_orders.items()}
+    need_df = spark.createDataFrame(
+        [(int(p), int(n)) for p, n in need.items()],
+        "phrase_id long, n_need long",
+    )
+    all_terms = sorted({t for _, t in pairs})
+    hits = positions.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(pt), "term"
+    )
+    per_block = hits.groupBy("phrase_id", "doc_block").agg(
+        F.count_distinct("term").alias("n_present")
+    )
+    return (
+        per_block.join(F.broadcast(need_df), "phrase_id")
+        .groupBy("phrase_id")
+        .agg(
+            F.count(F.lit(1)).alias("blocks_with_any_term"),
+            F.sum(
+                (F.col("n_present") >= F.col("n_need")).cast("long")
+            ).alias("blocks_conjunctive"),
+        )
+    )
+
+
 def _phrase_kernel(term_orders: dict[int, list[str]]):
     """One (phrase_id, doc_block) group: adjacency-check each doc that has
     every phrase term."""
@@ -121,6 +204,12 @@ def _phrase_kernel(term_orders: dict[int, list[str]]):
         terms = term_orders[phrase_id]
         m = len(terms)
         n_distinct = len(set(terms))  # duplicate-term phrases need fewer rows
+        if pdf["term"].nunique() < n_distinct:
+            # block-level require-all: a term missing from the whole
+            # block (possible when the pre-shuffle prune is bypassed by
+            # a direct kernel caller) rules out every doc without the
+            # per-doc groupby dispatch
+            return _EMPTY_PHRASE
         out_docs: list[int] = []
         out_matches: list[int] = []
         for doc_id, grp in pdf.groupby("doc_id"):
@@ -178,6 +267,9 @@ def phrase_topk(
 
     hits = positions.filter(F.col("term").isin(all_terms)).join(
         F.broadcast(pt), "term"
+    )
+    hits = _conjunctive_block_prune(
+        hits, {p: len(set(t)) for p, t in term_orders.items()}
     )
     cand = hits.groupBy("phrase_id", "doc_block").applyInPandas(
         _phrase_kernel(term_orders), schema=PHRASE_OUT_SCHEMA
@@ -282,6 +374,8 @@ def _proximity_kernel(term_sets: dict[int, list[str]], slops: dict[int, int]):
         phrase_id = int(pdf["phrase_id"].iloc[0])
         terms = term_sets[phrase_id]
         w = len(terms) + slops[phrase_id]
+        if pdf["term"].nunique() < len(terms):
+            return _EMPTY_PHRASE  # block-level require-all (see phrase)
         out_docs: list[int] = []
         out_matches: list[int] = []
         for doc_id, grp in pdf.groupby("doc_id"):
@@ -352,6 +446,9 @@ def proximity_topk(
 
     hits = positions.filter(F.col("term").isin(all_terms)).join(
         F.broadcast(pt), "term"
+    )
+    hits = _conjunctive_block_prune(
+        hits, {p: len(t) for p, t in term_sets.items()}
     )
     cand = hits.groupBy("phrase_id", "doc_block").applyInPandas(
         _proximity_kernel(term_sets, slops), schema=PHRASE_OUT_SCHEMA
@@ -438,6 +535,8 @@ def _ordered_proximity_kernel(term_orders: dict[int, list[str]],
         terms = term_orders[phrase_id]
         w = len(terms) + slops[phrase_id]
         n_distinct = len(set(terms))
+        if pdf["term"].nunique() < n_distinct:
+            return _EMPTY_PHRASE  # block-level require-all (see phrase)
         out_docs: list[int] = []
         out_matches: list[int] = []
         for doc_id, grp in pdf.groupby("doc_id"):
@@ -500,6 +599,9 @@ def ordered_proximity_topk(
 
     hits = positions.filter(F.col("term").isin(all_terms)).join(
         F.broadcast(pt), "term"
+    )
+    hits = _conjunctive_block_prune(
+        hits, {p: len(set(t)) for p, t in term_orders.items()}
     )
     cand = hits.groupBy("phrase_id", "doc_block").applyInPandas(
         _ordered_proximity_kernel(term_orders, slops),

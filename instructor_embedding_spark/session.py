@@ -38,6 +38,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate copies the generator expression into a
+        # pushed-down Filter (size(e) > 0 AND isnotnull(e)).  Every
+        # explode in this engine generates from an EXPENSIVE expression
+        # (the regex tokenizer / shingle builder), so the inferred filter
+        # re-evaluates the tokenizer once more per row for a guard the
+        # Generate node already performs (explode of an empty array emits
+        # no rows).  Excluding the rule removes the duplicate evaluation
+        # at every scale; measured -35% on the tf aggregation
+        # (OPTIMIZATION_r06.md).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
