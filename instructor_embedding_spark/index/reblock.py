@@ -15,15 +15,16 @@ Why this exists at 100 TB: block span is the salt unit that splits
 stopword-skewed terms across shuffle partitions AND the WAND block-max
 granularity.  The right span depends on corpus size and query shape — and
 both change over an index's life (incremental merges grow N by orders of
-magnitude).  Re-blocking is one decode→re-key→re-encode shuffle over the
-compressed postings (bytes moved ≈ compressed index size, no text), versus
+magnitude).  Re-blocking is two shuffles over the
+compressed postings — the attach-dls grouping and the new-geometry merge
+re-key (bytes moved ≈ 2× compressed index size, no text) — versus
 a full rebuild that re-reads and re-tokenizes every document.
 
 Pipeline (all stages reuse the merge/compaction machinery, so re-block can
 never drift from the build path):
 
-  segments ⋈ doc_lens ─ _attach_dls ─► runs-with-dls
-    ─ split kernel (re-key each run at new-block boundaries) ─► fragments
+  segments ⋈ doc_lens ─ _attach_dls ∘ split kernel (ONE grouped pass:
+    attach dls, then re-key each run at new-block boundaries) ─► fragments
     ─ shuffle by hash(term, new_block) ─ _merge_kernel(new geometry) ─►
       segments'   (sub_offsets / sub_max recomputed for the new sub-span)
   doc_lens ─ split kernel ─► fragments ─ groupBy(new_block)
@@ -201,10 +202,14 @@ def reblock_index(
     target geometry (tests/test_reblock.py byte-compares), but never
     touches document text.  Resumable like merge: a complete manifest for
     the same (source, geometry) short-circuits."""
+    # `if X is None` (not `or`): an explicit invalid 0 must reach
+    # IndexParams' positivity validation, not silently fall back
     params = replace(
         src.params,
-        doc_block_span=doc_block_span or src.params.doc_block_span,
-        n_sub_blocks=n_sub_blocks or src.params.n_sub_blocks,
+        doc_block_span=(src.params.doc_block_span
+                        if doc_block_span is None else doc_block_span),
+        n_sub_blocks=(src.params.n_sub_blocks
+                      if n_sub_blocks is None else n_sub_blocks),
     )
     store = ManifestStore(out_dir)
     phash = params_hash({**asdict(params), "source": src.index_dir,
@@ -245,7 +250,20 @@ def reblock_index(
             F.col("doc_ids_bin").alias("src_ids_bin"),
             F.col("dls_bin").alias("src_dls_bin"),
         )
-        runs = (
+        # attach-dls and the split kernel are both whole-hash-partition
+        # passes over the SAME (term, doc_block) grouping, so they chain
+        # inside ONE applyInPandas: the r5 form ran them as two groupBys
+        # on an identical key, paying a second full shuffle of the
+        # compressed postings for nothing (the grouped-map output loses
+        # its partitioning info, so the planner cannot elide it).  Bytes
+        # moved is now attach + the new-geometry merge re-key ≈ 2× the
+        # compressed index, as the module docstring claims.
+        split = _split_runs_kernel(new_span)
+
+        def _attach_and_split(pdf: pd.DataFrame) -> pd.DataFrame:
+            return split(_attach_dls(pdf))
+
+        fragments = (
             src.segments(spark)
             .withColumn("idf_new", F.col("idf"))
             .join(dl_all, "doc_block")
@@ -253,15 +271,7 @@ def reblock_index(
                 F.pmod(F.hash("term", "doc_block"), F.lit(nparts))
                 .alias("part")
             )
-            .applyInPandas(_attach_dls, schema=_RUN_WITH_DLS_SCHEMA)
-        )
-        fragments = (
-            runs.groupBy(
-                F.pmod(F.hash("term", "doc_block"), F.lit(nparts))
-                .alias("part")
-            )
-            .applyInPandas(_split_runs_kernel(new_span),
-                           schema=_RUN_WITH_DLS_SCHEMA)
+            .applyInPandas(_attach_and_split, schema=_RUN_WITH_DLS_SCHEMA)
         )
         p_segments = os.path.join(out_dir, "segments")
         (

@@ -1533,7 +1533,31 @@ FROM (
 # n·Σdl² must stay under 2^63 — fine for gate fixtures and any
 # per-bucket n·dl² ≤ ~10^18; at larger bucket mass use a
 # per-partition Welford merge instead (the float path this exact
-# oracle would then cross-check at fixture scale).
+# oracle would then cross-check at fixture scale).  The domain is
+# ENFORCED at runtime: a bucket with n·Σdl² past 2^62 (2× safety
+# margin) raises instead of silently wrapping in non-ANSI mode.
+
+
+def _ext_stats_var_raw(facet_col: str = "facet"):
+    """Population-variance double expression over the exact BIGINT
+    accumulators (n_docs, sum_sq, s), guarded: buckets whose n·Σdl²
+    exceeds 2^62 raise loudly (non-ANSI Spark would otherwise wrap the
+    BIGINT product and return a wrong variance/std_dev).  s² ≤ n·Σdl²
+    by Cauchy-Schwarz, so the one check covers both products."""
+    over = F.col("sum_sq") > F.expr(f"{1 << 62} div n_docs")
+    var = (
+        (F.col("n_docs") * F.col("sum_sq") - F.col("s") * F.col("s"))
+        .cast("double")
+        / (F.col("n_docs") * F.col("n_docs"))
+    )
+    return F.when(
+        over,
+        F.raise_error(F.concat(
+            F.lit("extended_stats int64 domain exceeded "
+                  "(n_docs*sum_sq > 2^62) for bucket "),
+            F.col(facet_col).cast("string"),
+        )),
+    ).otherwise(var)
 
 
 def extended_stats_from_index(
@@ -1558,11 +1582,7 @@ def extended_stats_from_index(
             F.sum(F.col("dl") * F.col("dl")).alias("sum_sq"),
         )
     )
-    var_raw = (
-        (F.col("n_docs") * F.col("sum_sq") - F.col("s") * F.col("s"))
-        .cast("double")
-        / (F.col("n_docs") * F.col("n_docs"))
-    )
+    var_raw = _ext_stats_var_raw()
     return g.select(
         "query_id", "facet", "n_docs", "min_dl", "max_dl",
         F.round(F.col("s").cast("double") / F.col("n_docs"),

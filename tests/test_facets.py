@@ -876,3 +876,24 @@ def test_bucket_extrema_twin_and_invariants(spark, corpus, queries,
         assert rows[f"min:{mn_key}"][0] == mn_n
         assert rows["avg_bucket"][1] == round(
             sum(n for _, n in bs) / len(bs), 6)
+
+
+def test_extended_stats_int64_domain_guard(spark):
+    """A bucket whose n_docs * sum_sq exceeds 2^62 must raise loudly
+    (ADVICE r5: non-ANSI Spark would wrap the BIGINT product and return
+    a wrong variance), while in-domain buckets compute normally."""
+    from instructor_embedding_spark.query.facets import _ext_stats_var_raw
+
+    ok = spark.createDataFrame(
+        [(4, 30, 10, "en")],
+        "n_docs long, sum_sq long, s long, facet string",
+    ).select(_ext_stats_var_raw().alias("v"))
+    # n*sum_sq - s^2 = 120 - 100 = 20; / n^2 -> 1.25
+    assert ok.collect()[0]["v"] == pytest.approx(1.25)
+
+    bad = spark.createDataFrame(
+        [(1 << 32, 1 << 31, 1 << 31, "de")],
+        "n_docs long, sum_sq long, s long, facet string",
+    ).select(_ext_stats_var_raw().alias("v"))
+    with pytest.raises(Exception, match="int64 domain exceeded"):
+        bad.collect()
