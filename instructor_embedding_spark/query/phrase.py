@@ -121,14 +121,15 @@ _EMPTY_PHRASE = pd.DataFrame(
 )
 
 
-def _conjunctive_block_prune(hits: DataFrame,
-                             need: dict[int, int]) -> DataFrame:
+def _conjunctive_block_prune(hits: DataFrame, need: dict[int, int],
+                             enabled: bool = False) -> DataFrame:
     """Drop (phrase_id, doc_block) groups that do not contain EVERY
-    distinct query term of the phrase — the positions-family analog of
-    WAND's ``require_all`` block skip (query/wand.py): a doc's position
-    rows all share its doc_block, so a block missing a term cannot hold
-    a conjunctive match, and its pos_bytes never need to shuffle into
-    (or be decoded by) the Arrow kernel.
+    distinct query term of the phrase BEFORE the kernel shuffle — the
+    pre-exchange escalation of the in-kernel block skip (which mirrors
+    WAND's ``require_all`` check and always runs): a doc's position rows
+    all share its doc_block, so a block missing a term cannot hold a
+    conjunctive match, and with the prune its pos_bytes never even
+    shuffle into the Arrow kernel.
 
     The survivor set is computed from a second, narrow scan of the same
     term-pruned positions (term + doc_block only — column pruning keeps
@@ -136,8 +137,16 @@ def _conjunctive_block_prune(hits: DataFrame,
     rows still shuffle exactly once.  Pure prune: result-identical by
     construction (the kernels also require all terms per doc).  Queries
     whose distinct-term count is 1 are left alone (every block with the
-    term survives — the aggregation would be pure overhead)."""
-    if not any(n >= 2 for n in need.values()):
+    term survives — the aggregation would be pure overhead).
+
+    OFF by default: the two extra narrow jobs per query batch cost more
+    than they save until the corpus is large enough that shuffling
+    non-conjunctive blocks' pos_bytes dominates (measured +1.4 s on the
+    5-block sf0.1 fixture where nothing is prunable, see
+    OPTIMIZATION_r06.md; ``conjunctive_skip_stats`` reports what a
+    corpus would prune — enable ``block_prune`` when
+    blocks_conjunctive << blocks_with_any_term)."""
+    if not enabled or not any(n >= 2 for n in need.values()):
         return hits
     spark = hits.sparkSession
     need_df = spark.createDataFrame(
@@ -246,6 +255,7 @@ def phrase_topk(
     positions: DataFrame,
     phrases: list[tuple[int, str]],
     k: int = 10,
+    block_prune: bool = False,
 ) -> DataFrame:
     """(phrase_id, rank, doc_id, matches) over a positions table.
 
@@ -269,7 +279,8 @@ def phrase_topk(
         F.broadcast(pt), "term"
     )
     hits = _conjunctive_block_prune(
-        hits, {p: len(set(t)) for p, t in term_orders.items()}
+        hits, {p: len(set(t)) for p, t in term_orders.items()},
+        enabled=block_prune,
     )
     cand = hits.groupBy("phrase_id", "doc_block").applyInPandas(
         _phrase_kernel(term_orders), schema=PHRASE_OUT_SCHEMA
@@ -408,6 +419,7 @@ def proximity_topk(
     queries: list[tuple[int, str]],
     slop: int = 2,
     k: int = 10,
+    block_prune: bool = False,
 ) -> DataFrame:
     """(phrase_id, rank, doc_id, matches) — unordered NEAR-with-slop over
     the same positions table phrase search uses.
@@ -448,7 +460,8 @@ def proximity_topk(
         F.broadcast(pt), "term"
     )
     hits = _conjunctive_block_prune(
-        hits, {p: len(t) for p, t in term_sets.items()}
+        hits, {p: len(t) for p, t in term_sets.items()},
+        enabled=block_prune,
     )
     cand = hits.groupBy("phrase_id", "doc_block").applyInPandas(
         _proximity_kernel(term_sets, slops), schema=PHRASE_OUT_SCHEMA
@@ -570,6 +583,7 @@ def ordered_proximity_topk(
     queries: list[tuple[int, str]],
     slop: int = 2,
     k: int = 10,
+    block_prune: bool = False,
 ) -> DataFrame:
     """(phrase_id, rank, doc_id, matches) — in-order NEAR with slop.
 
@@ -601,7 +615,8 @@ def ordered_proximity_topk(
         F.broadcast(pt), "term"
     )
     hits = _conjunctive_block_prune(
-        hits, {p: len(set(t)) for p, t in term_orders.items()}
+        hits, {p: len(set(t)) for p, t in term_orders.items()},
+        enabled=block_prune,
     )
     cand = hits.groupBy("phrase_id", "doc_block").applyInPandas(
         _ordered_proximity_kernel(term_orders, slops),

@@ -370,3 +370,44 @@ def test_span_first_twin(spark):
         ).fetchall()
     )
     assert got == want and got
+
+
+def test_block_prune_rank_identical_and_skip_stats(spark):
+    """The pre-shuffle conjunctive block prune (r6) is a pure prune:
+    block_prune=True must be row-identical to the default path for every
+    conjunctive operator, and conjunctive_skip_stats must report
+    survivors <= candidates with equality exactly when nothing is
+    prunable."""
+    from instructor_embedding_spark import datagen
+    from instructor_embedding_spark.query.phrase import (
+        conjunctive_skip_stats,
+        ordered_proximity_topk,
+        phrase_topk,
+        proximity_topk,
+    )
+
+    docs = datagen.corpus(spark, 300, partitions=3)
+    pos = build_positions(docs, span=8)  # many small blocks -> prunable
+    # rare-term pair (df≈4 each in the 300-doc corpus): most blocks hold
+    # one of the terms but not both, so the prune has something to do
+    qv = [(1, "parse wand"), (2, "scorer gap encoder"), (3, "join"),
+          (4, "zzq parse")]
+
+    for fn, kw in ((phrase_topk, {}), (proximity_topk, {"slop": 2}),
+                   (ordered_proximity_topk, {"slop": 2})):
+        base = sorted(tuple(r) for r in
+                      fn(spark, pos, qv, k=10, **kw).collect())
+        pruned = sorted(tuple(r) for r in
+                        fn(spark, pos, qv, k=10, block_prune=True,
+                           **kw).collect())
+        assert base == pruned, fn.__name__
+
+    stats = {int(r["phrase_id"]): r for r in
+             conjunctive_skip_stats(pos, qv).collect()}
+    for pid, r in stats.items():
+        assert 0 <= r["blocks_conjunctive"] <= r["blocks_with_any_term"]
+    # rare-term conjunctions over 8-doc blocks must actually prune some
+    assert any(
+        r["blocks_conjunctive"] < r["blocks_with_any_term"]
+        for pid, r in stats.items() if pid in (1, 2)
+    ), stats
