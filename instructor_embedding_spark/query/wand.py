@@ -447,9 +447,9 @@ def _grouped_hits(
     batch.  With it, `.explain` shows PushedFilters: [In(term, [...])] and
     row groups that contain none of the query terms are skipped via column
     stats (segments are written term-sorted within files for exactly
-    this).  The tokenized term table is cached around the probe, so the
-    pushdown path's follow-up collect reads the cache — still one
-    tokenize job per query batch.
+    this).  One bounded collect of the term table serves both the
+    emptiness test and (for batches under the row bound) the inlined
+    LocalRelation — one tokenize job per query batch, no cache pin.
 
     Past ``pushdown_max_terms`` distinct terms (default
     :data:`PUSHDOWN_MAX_TERMS`; values < 0 are clamped to 0, which
@@ -474,9 +474,7 @@ def _grouped_hits(
     max_qt_rows = max(0, PUSHDOWN_MAX_QT_ROWS if pushdown_max_qt_rows is None
                       else pushdown_max_qt_rows)
 
-    # Cache the tokenize output: the probe materializes it, the pushdown
-    # branch's full collect then reads memory instead of re-running the
-    # tokenizer.  A limit(0) probe would collect [] even for non-empty
+    # A limit(0) probe would collect [] even for non-empty
     # queries and silently drop all results — the clamp above plus
     # limit(max+1) >= 1 guarantee the emptiness test is meaningful.
     # ``qt_override`` bypasses query tokenization entirely — the caller
@@ -507,51 +505,65 @@ def _grouped_hits(
             ["query_id", "term"],
             "left",
         ).withColumn("boost", F.coalesce(F.col("boost"), F.lit(1.0)))
-    qt = qt.persist()
-    try:
+    # ONE bounded collect decides all three shapes in the common case: a
+    # batch with <= max_qt_rows (query, term) rows yields the rows AND
+    # their distinct term set from a single driver job.  (The r5 form
+    # paid three jobs per batch — distinct-term probe, row-count probe,
+    # full collect — plus a persist/unpersist pin around them; serving
+    # batches are small, so the per-batch driver round-trips were a
+    # measurable slice of warm query latency.)  Only batches past the
+    # row bound fall back to the bounded distinct-terms probe that
+    # chooses between In() pushdown with a distributed qt join and the
+    # plain join path.
+    seg_cols = segments.select(
+        "term", "doc_block", "idf", "doc_bytes", "tf_bytes",
+        "sub_offsets", "sub_max",
+    )
+    qt_schema = ("query_id long, term string, neg boolean"
+                 if boolean_not else "query_id long, term string")
+    if term_boosts is not None:
+        qt_schema += ", boost double"
+    head = qt.limit(max_qt_rows + 1).collect()
+    if not head:
+        return None
+    if len(head) <= max_qt_rows:
+        # head is the COMPLETE (query, term) table
+        term_list = sorted({r["term"] for r in head})
+        if len(term_list) <= max_terms:
+            # bounded row set: inline it as a LocalRelation so the
+            # join broadcasts without a shuffle or a size estimate
+            local_qt = spark.createDataFrame(
+                [tuple(r) for r in head], qt_schema
+            )
+            hits = seg_cols.filter(F.col("term").isin(term_list)).join(
+                F.broadcast(local_qt), "term"
+            )
+        else:
+            # more distinct terms than the In() bound: join path (the
+            # consumer job re-derives the term table inside its own
+            # distributed pipeline — the documented cost of skipping
+            # the driver funnel)
+            hits = seg_cols.join(qt, "term")
+    else:
+        # (query, term) table too large to collect (e.g. 10^6 queries
+        # over a 4k-word vocabulary): the bounded distinct probe still
+        # decides whether the scan gets an In() predicate
         probe = (
             qt.select("term").distinct().limit(max_terms + 1).collect()
         )
         if not probe:
             return None
-        seg_cols = segments.select(
-            "term", "doc_block", "idf", "doc_bytes", "tf_bytes",
-            "sub_offsets", "sub_max",
-        )
-        qt_schema = ("query_id long, term string, neg boolean"
-                     if boolean_not else "query_id long, term string")
-        if term_boosts is not None:
-            qt_schema += ", boost double"
         if len(probe) <= max_terms:
-            # pushdown path: probe holds the FULL distinct term set
+            # keep the scan pushdown, join qt distributed
             term_list = sorted(r["term"] for r in probe)
-            pruned = seg_cols.filter(F.col("term").isin(term_list))
-            if qt.limit(max_qt_rows + 1).count() <= max_qt_rows:
-                # bounded row set: inline it as a LocalRelation so the
-                # join broadcasts without a shuffle or a size estimate
-                qt_rows = [tuple(r) for r in qt.collect()]
-                local_qt = spark.createDataFrame(qt_rows, qt_schema)
-                hits = pruned.join(F.broadcast(local_qt), "term")
-            else:
-                # distinct terms fit the In() predicate but the
-                # (query_id, term) table itself is too large to collect
-                # (e.g. 10^6 queries over a 4k-word vocabulary): keep
-                # the scan pushdown, join qt distributed
-                hits = pruned.join(qt, "term")
+            hits = seg_cols.filter(F.col("term").isin(term_list)).join(
+                qt, "term"
+            )
         else:
             # join path: the term table stays distributed; the segment
             # scan reads fully once, which at this query volume is
-            # amortized over len(qt)/|segments| work anyway.  The
-            # finally-unpersist below means the consumer job re-derives
-            # the terms inside its own distributed pipeline (the
-            # documented cost of skipping the driver funnel) rather
-            # than pinning a 10^5-query term table in executor memory.
+            # amortized over len(qt)/|segments| work anyway
             hits = seg_cols.join(qt, "term")
-    finally:
-        # always release the probe cache — an exception in the probe or
-        # the pushdown collect must not leave the term table pinned in
-        # executor memory for the life of the session
-        qt.unpersist()
     grouped = hits.join(
         doc_lens.select("doc_block", "doc_ids_bin", "dls_bin"), "doc_block"
     )
