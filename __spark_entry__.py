@@ -1031,39 +1031,37 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit) and add ``snippet_start``; span rows carry it NULL."""
     handle = _index_for(spark, sf_dir)
     pos = handle.positions(spark)
-    exact = phrase.phrase_topk(spark, pos, PHRASE_SET, k=TOP_K)
-    near = phrase.proximity_topk(
-        spark, pos, PROXIMITY_SET, slop=PROXIMITY_SLOP, k=TOP_K
-    )
-    near_ord = phrase.ordered_proximity_topk(
-        spark, pos, ORDERED_PROXIMITY_SET, slop=PROXIMITY_SLOP, k=TOP_K
-    )
-    snip = snippet.snippet_topk(
-        spark, pos, SNIPPET_SET, window=SNIPPET_WINDOW, k=TOP_K
-    )
-    first = phrase.span_first_topk(spark, pos, SPAN_FIRST_SET, k=TOP_K)
-    snot = phrase.span_not_topk(
-        spark, pos, SPAN_NOT_SET, pre=SPAN_NOT_PRE, post=SPAN_NOT_POST,
+    # six of the seven families share one fused pipeline (one positions
+    # scan, one broadcast term join, one kernel shuffle, one Python
+    # worker round, one top-k window) instead of six — guide §2.4; the
+    # per-family kernels are untouched and the result is row-identical
+    # to the former six-way union (frozen in tests/test_phrase.py).
+    fused = phrase.positions_family_topk(
+        spark, pos,
+        [
+            {"kind": "phrase", "queries": PHRASE_SET},
+            {"kind": "proximity", "queries": PROXIMITY_SET,
+             "slop": PROXIMITY_SLOP},
+            {"kind": "ordered", "queries": ORDERED_PROXIMITY_SET,
+             "slop": PROXIMITY_SLOP},
+            {"kind": "snippet", "queries": SNIPPET_SET,
+             "window": SNIPPET_WINDOW},
+            {"kind": "span_first", "queries": SPAN_FIRST_SET},
+            {"kind": "span_not", "queries": SPAN_NOT_SET,
+             "pre": SPAN_NOT_PRE, "post": SPAN_NOT_POST},
+        ],
         k=TOP_K,
     )
+    # match_phrase_prefix rides the dictionary/segments surface, not the
+    # positions table — it stays its own (already minimal) pipeline
     mpp = prefix.match_phrase_prefix_topk(
         spark, handle, MPP_SET, k=TOP_K
     ).select(
-        F.col("query_id").alias("phrase_id"), "rank", "doc_id", "matches"
+        F.col("query_id").alias("phrase_id"), "rank", "doc_id", "matches",
+        F.lit(None).cast("long").alias("snippet_start"),
     )
     cols = ["phrase_id", "rank", "doc_id", "matches", "snippet_start"]
-    spans = (
-        exact.unionByName(near).unionByName(near_ord).unionByName(first)
-        .unionByName(snot).unionByName(mpp)
-        .withColumn("snippet_start", F.lit(None).cast("long"))
-        .select(*cols)
-    )
-    return spans.unionByName(
-        snip.select(
-            F.col("query_id").alias("phrase_id"), "rank", "doc_id",
-            F.col("covered").alias("matches"), "snippet_start",
-        )
-    )
+    return fused.select(*cols).unionByName(mpp)
 
 
 def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,8 +85,21 @@ def corpus_stats(toks: DataFrame) -> CorpusStats:
 
 
 def term_stats(tf: DataFrame, stats: CorpusStats) -> DataFrame:
-    """(term, df, idf) with the pinned smooth idf."""
-    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).withColumn(
+    """(term, df, idf) with the pinned smooth idf.
+
+    ``count(when(tf >= 1, 1))`` ≡ ``count(*)`` here — tf is a positive
+    aggregate count in every caller (pinned precondition) — but the
+    non-foldable predicate keeps the ``tf`` column referenced, so this
+    branch's copy of the tf exchange stays column-identical to the
+    scoring branch's and AQE reuses ONE shuffle stage (one
+    tokenize+explode map pass) for both.  With ``count(lit(1))`` (or
+    plain ``count(tf)``, which Catalyst folds back to it because tf is
+    non-nullable) column pruning dropped ``tf`` from this branch and the
+    two exchanges no longer canonicalized equal, recomputing the whole
+    scan→tokenize→explode→aggregate subtree just for df."""
+    return tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).alias("df")
+    ).withColumn(
         "idf",
         F.log(
             F.lit(1.0)
@@ -280,7 +293,13 @@ def bm25_topk_fielded(
     for p in parts[1:]:
         union = union.unionByName(p)
     wtf = union.groupBy("doc_id", "term").agg(F.sum("wtf").alias("wtf"))
-    ts = wtf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).withColumn(
+    # count(when(wtf > 0, 1)) ≡ count(*) (weights are positive, counts
+    # ≥ 1) — keeps this branch column-identical to the scoring branch so
+    # AQE reuses the wtf exchange instead of recomputing the per-field
+    # tokenize unions for df (see term_stats)
+    ts = wtf.groupBy("term").agg(
+        F.count(F.when(F.col("wtf") > 0, 1)).alias("df")
+    ).withColumn(
         "idf",
         F.log(
             F.lit(1.0)

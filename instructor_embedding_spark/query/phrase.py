@@ -951,6 +951,191 @@ def span_not_topk(
     )
 
 
+# ------------------------------------------------- fused family pipeline
+
+
+FAMILY_OUT_SCHEMA = (
+    "phrase_id long, doc_id long, matches long, snippet_start long"
+)
+
+
+def positions_family_topk(
+    spark: SparkSession,
+    positions: DataFrame,
+    specs: list[dict],
+    k: int = 10,
+    block_prune: bool = False,
+) -> DataFrame:
+    """Run several positions-family query sets through ONE fused pipeline
+    (guide §2.4 — the per-family operators each plan an identical
+    scan → broadcast term join → (phrase_id, doc_block) shuffle → Arrow
+    kernel → top-k window; a union of N of them pays N scans, N
+    exchanges, N Python worker rounds and N window sorts for groups that
+    are disjoint by construction).  Here the per-family *kernels* are
+    unchanged — one dispatching applyInPandas routes each
+    (phrase_id, doc_block) group to its family's kernel — so results are
+    row-identical to the union of the individual operators
+    (rank-identity is frozen in tests/test_phrase.py).
+
+    ``specs`` entries (query ids must be globally unique across specs):
+
+    - ``{"kind": "phrase", "queries": [(pid, text), …]}``
+    - ``{"kind": "proximity", "queries": […], "slop": int}``
+    - ``{"kind": "ordered", "queries": […], "slop": int}``
+    - ``{"kind": "snippet", "queries": […], "window": int}``
+    - ``{"kind": "span_first", "queries": [(pid, text, end), …]}``
+    - ``{"kind": "span_not", "queries": [(pid, inc, exc), …],
+         "pre": int, "post": int}``
+
+    Output is the widened family schema (phrase_id, rank, doc_id,
+    matches, snippet_start): span rows carry snippet_start NULL, snippet
+    rows reuse ``matches`` for coverage — exactly the shape the
+    phrase_topk entry's union produced."""
+    from instructor_embedding_spark.query.snippet import _snippet_kernel
+
+    all_pairs: list[tuple[int, str]] = []
+    kernel_by_pid: dict[int, object] = {}
+    snippet_pids: set[int] = set()
+    need: dict[int, int] = {}
+
+    def _register(pid: int, kern) -> None:
+        if pid in kernel_by_pid:
+            raise ValueError(
+                f"duplicate query id {pid} across positions-family specs"
+            )
+        kernel_by_pid[pid] = kern
+
+    for spec in specs:
+        kind = spec["kind"]
+        queries = spec["queries"]
+        if kind == "phrase":
+            term_orders = {pid: tokenize_py(t) for pid, t in queries}
+            term_orders = {p: t for p, t in term_orders.items() if t}
+            kern = _phrase_kernel(term_orders)
+            for pid, terms in term_orders.items():
+                all_pairs += [(pid, t) for t in set(terms)]
+                _register(pid, kern)
+                need[pid] = len(set(terms))
+        elif kind == "proximity":
+            slop = spec["slop"]
+            term_sets = {}
+            for pid, text in queries:
+                toks = sorted(set(tokenize_py(text)))
+                if toks:
+                    term_sets[pid] = toks
+            kern = _proximity_kernel(
+                term_sets, {p: slop for p in term_sets}
+            )
+            for pid, toks in term_sets.items():
+                all_pairs += [(pid, t) for t in toks]
+                _register(pid, kern)
+                need[pid] = len(toks)
+        elif kind == "ordered":
+            slop = spec["slop"]
+            term_orders = {pid: tokenize_py(t) for pid, t in queries}
+            term_orders = {p: t for p, t in term_orders.items() if t}
+            kern = _ordered_proximity_kernel(
+                term_orders, {p: slop for p in term_orders}
+            )
+            for pid, terms in term_orders.items():
+                all_pairs += [(pid, t) for t in set(terms)]
+                _register(pid, kern)
+                need[pid] = len(set(terms))
+        elif kind == "snippet":
+            term_sets = {}
+            for pid, text in queries:
+                toks = sorted(set(tokenize_py(text)))
+                if toks:
+                    term_sets[pid] = toks
+            kern = _snippet_kernel(term_sets, spec["window"])
+            for pid, toks in term_sets.items():
+                all_pairs += [(pid, t) for t in toks]
+                _register(pid, kern)
+                snippet_pids.add(pid)
+                need[pid] = 1  # not conjunctive: any term qualifies
+        elif kind == "span_first":
+            terms: dict[int, str] = {}
+            ends: dict[int, int] = {}
+            for pid, text, end in queries:
+                if int(end) < 1:
+                    raise ValueError(
+                        f"span_first end must be >= 1 (got {end} for "
+                        f"query {pid})"
+                    )
+                toks = tokenize_py(text)
+                if len(toks) > 1:
+                    raise ValueError(
+                        f"span_first wraps a single term (got {toks!r} "
+                        f"for query {pid})"
+                    )
+                if toks:
+                    terms[pid] = toks[0]
+                    ends[pid] = int(end)
+            kern = _span_first_kernel(ends)
+            for pid, t in terms.items():
+                all_pairs.append((pid, t))
+                _register(pid, kern)
+                need[pid] = 1
+        elif kind == "span_not":
+            pre, post = spec["pre"], spec["post"]
+            inc, exc = _validate_span_not(queries, pre, post)
+            kern = _span_not_kernel(exc, pre, post)
+            for pid in inc:
+                all_pairs.append((pid, inc[pid]))
+                all_pairs.append((pid, exc[pid]))
+                _register(pid, kern)
+                need[pid] = 1  # exclude term must NOT gate the block
+        else:
+            raise ValueError(f"unknown positions family kind: {kind!r}")
+
+    if not kernel_by_pid:
+        return spark.createDataFrame(
+            [],
+            "phrase_id long, rank long, doc_id long, matches long, "
+            "snippet_start long",
+        )
+    all_pairs = sorted(set(all_pairs))
+
+    pt = spark.createDataFrame(all_pairs, "phrase_id long, term string")
+    all_terms = sorted({t for _, t in all_pairs})
+    hits = positions.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(pt), "term"
+    )
+    hits = _conjunctive_block_prune(hits, need, enabled=block_prune)
+
+    def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["phrase_id"].iloc[0])
+        kern = kernel_by_pid[pid]
+        if pid in snippet_pids:
+            out = kern(pdf.rename(columns={"phrase_id": "query_id"}))
+            return pd.DataFrame(
+                {
+                    "phrase_id": out["query_id"],
+                    "doc_id": out["doc_id"],
+                    "matches": out["covered"],
+                    "snippet_start": out["snippet_start"].astype("Int64"),
+                }
+            )
+        out = kern(pdf)
+        # never mutate: kernels return the shared _EMPTY_PHRASE by
+        # reference on the block-skip path
+        return out.assign(
+            snippet_start=pd.array([None] * len(out), dtype="Int64")
+        )
+
+    cand = hits.groupBy("phrase_id", "doc_block").applyInPandas(
+        dispatch, schema=FAMILY_OUT_SCHEMA
+    )
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.col("matches").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("phrase_id", "rank", "doc_id", "matches", "snippet_start")
+    )
+
+
 def span_not_topk_sql(table: str, queries: list[tuple[int, str, str]],
                       pre: int = 0, post: int = 0, k: int = 10,
                       text_col: str = "text",

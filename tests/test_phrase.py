@@ -411,3 +411,96 @@ def test_block_prune_rank_identical_and_skip_stats(spark):
         r["blocks_conjunctive"] < r["blocks_with_any_term"]
         for pid, r in stats.items() if pid in (1, 2)
     ), stats
+
+
+def test_positions_family_fused_rank_identical(spark):
+    """The fused multi-family pipeline must be row-identical to the union
+    of the individual operators (the phrase_topk entry rides it)."""
+    from instructor_embedding_spark import datagen
+    from instructor_embedding_spark.query.phrase import (
+        ordered_proximity_topk,
+        positions_family_topk,
+        proximity_topk,
+        span_first_topk,
+        span_not_topk,
+    )
+    from instructor_embedding_spark.query.snippet import snippet_topk
+
+    docs = datagen.corpus(spark, 300, partitions=3)
+    pos = build_positions(docs, span=64)
+
+    phrases = [(1, "parse varint block header"), (2, "merge sort"),
+               (3, "zzq nothing")]
+    near = [(101, "merge sort"), (102, "join"), (103, "zzq nothing")]
+    near_ord = [(201, "merge sort"), (202, "sort merge")]
+    snips = [(301, "merge sort"), (302, "zzqqxv")]
+    firsts = [(401, "merge", 8), (402, "sort", 3)]
+    snots = [(601, "merge", "sort"), (602, "hash", "zzqqxv")]
+
+    fused = positions_family_topk(
+        spark, pos,
+        [
+            {"kind": "phrase", "queries": phrases},
+            {"kind": "proximity", "queries": near, "slop": 2},
+            {"kind": "ordered", "queries": near_ord, "slop": 2},
+            {"kind": "snippet", "queries": snips, "window": 12},
+            {"kind": "span_first", "queries": firsts},
+            {"kind": "span_not", "queries": snots, "pre": 1, "post": 2},
+        ],
+        k=10,
+    )
+    got = sorted(tuple(r) for r in fused.collect())
+
+    want = []
+    for df in (
+        phrase_topk(spark, pos, phrases, k=10),
+        proximity_topk(spark, pos, near, slop=2, k=10),
+        ordered_proximity_topk(spark, pos, near_ord, slop=2, k=10),
+        span_first_topk(spark, pos, firsts, k=10),
+        span_not_topk(spark, pos, snots, pre=1, post=2, k=10),
+    ):
+        want += [
+            (r.phrase_id, r.rank, r.doc_id, r.matches, None)
+            for r in df.collect()
+        ]
+    want += [
+        (r.query_id, r.rank, r.doc_id, r.covered, r.snippet_start)
+        for r in snippet_topk(spark, pos, snips, window=12, k=10).collect()
+    ]
+    assert got == sorted(want)
+    # fused + block_prune stays identical too (pure pre-shuffle prune)
+    pruned = positions_family_topk(
+        spark, pos,
+        [
+            {"kind": "phrase", "queries": phrases},
+            {"kind": "proximity", "queries": near, "slop": 2},
+            {"kind": "ordered", "queries": near_ord, "slop": 2},
+            {"kind": "snippet", "queries": snips, "window": 12},
+            {"kind": "span_first", "queries": firsts},
+            {"kind": "span_not", "queries": snots, "pre": 1, "post": 2},
+        ],
+        k=10, block_prune=True,
+    )
+    assert sorted(tuple(r) for r in pruned.collect()) == got
+
+
+def test_positions_family_duplicate_id_rejected(spark):
+    from instructor_embedding_spark.query.phrase import (
+        positions_family_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta")], "doc_id long, content string"
+    )
+    pos = build_positions(docs, span=4)
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate query id"):
+        positions_family_topk(
+            spark, pos,
+            [
+                {"kind": "phrase", "queries": [(1, "alpha beta")]},
+                {"kind": "proximity", "queries": [(1, "alpha")],
+                 "slop": 2},
+            ],
+        )
