@@ -61,7 +61,11 @@ def tf_pairs_map_side(
     """(doc_id, term, tf, dl) with no shuffle (narrow mapInPandas).
 
     With ``include_doc_rows`` every doc additionally emits one
-    ``term IS NULL`` row, so doc_stats shares the pass."""
+    ``term IS NULL`` row, so doc_stats shares the pass; that row's
+    ``tf`` carries the doc's DISTINCT retained-term count (= the number
+    of posting rows the doc emitted), so per-block build lineage
+    (docs + postings per doc_block) aggregates over the |docs| doc rows
+    instead of re-scanning all |postings| rows."""
     src = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
@@ -135,15 +139,21 @@ def tf_pairs_map_side(
                 }
             if include_doc_rows:
                 # one NULL-term row per doc carries dl (covers zero-token
-                # docs) — doc_stats falls out of the same single pass
+                # docs) — doc_stats falls out of the same single pass;
+                # its tf = the doc's posting-row count (distinct retained
+                # terms), the per-block lineage input
+                if sr.size:
+                    nterms = np.bincount(
+                        sr[gstarts], minlength=n_rows
+                    ).astype(np.int64)
+                else:
+                    nterms = np.zeros(n_rows, dtype=np.int64)
                 out = {
                     "doc_id": np.concatenate([out["doc_id"], doc_ids]),
                     "term": np.concatenate(
                         [out["term"], np.full(n_rows, None, dtype=object)]
                     ),
-                    "tf": np.concatenate(
-                        [out["tf"], np.zeros(n_rows, dtype=np.int64)]
-                    ),
+                    "tf": np.concatenate([out["tf"], nterms]),
                     "dl": np.concatenate([out["dl"], dls]),
                 }
             yield pd.DataFrame(out)

@@ -107,6 +107,18 @@ SEGMENT_SCHEMA = (
     "sub_max array<double>, bytes long"
 )
 
+#: encoder output BEFORE idf is attached: the per-posting shuffle into
+#: the encoder carries no idf column (8 bytes/posting saved, and the
+#: term_stats join moves off the |postings| rows onto the ~|postings|/avgdl
+#: (term, doc_block) segment rows).  idf is constant within a segment
+#: and positive, so idf·max(f) == max(idf·f) bit-for-bit — the stored
+#: sub_max is unchanged (byte-identity restart tests cover it).
+SEGMENT_ENC_SCHEMA = (
+    "term string, doc_block long, df_block long, "
+    "doc_bytes binary, tf_bytes binary, sub_offsets array<int>, "
+    "sub_max array<double>, bytes long"
+)
+
 DOC_LENS_SCHEMA = (
     "doc_block long, doc_ids_bin binary, dls_bin binary, n_docs long, bytes long"
 )
@@ -174,7 +186,6 @@ def _segment_bulk_encoder(params: IndexParams, avgdl: float):
                 {
                     "term": pd.Series([], dtype="object"),
                     "doc_block": pd.Series([], dtype="int64"),
-                    "idf": pd.Series([], dtype="float64"),
                     "df_block": pd.Series([], dtype="int64"),
                     "doc_bytes": pd.Series([], dtype="object"),
                     "tf_bytes": pd.Series([], dtype="object"),
@@ -191,11 +202,13 @@ def _segment_bulk_encoder(params: IndexParams, avgdl: float):
         doc_ids = pdf["doc_id"].to_numpy().astype(np.uint64)
         tfs = pdf["tf"].to_numpy().astype(np.uint64)
         dls = pdf["dl"].to_numpy().astype(np.float64)
-        idfs = pdf["idf"].to_numpy().astype(np.float64)
 
-        # all impacts vectorized once across the partition
+        # idf-free impact factors, vectorized once across the partition;
+        # the true impact is idf * f and idf is constant per (term,
+        # doc_block), so sub_max is attached post-kernel as idf * max(f)
+        # — the identical product (see SEGMENT_ENC_SCHEMA note)
         tff = tfs.astype(np.float64)
-        impacts = idfs * (
+        impacts = (
             tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dls / avgdl))
         )
 
@@ -218,7 +231,7 @@ def _segment_bulk_encoder(params: IndexParams, avgdl: float):
         tf_blobs = varint_encode_segmented(tfs, starts)
 
         out: dict[str, list] = {
-            "term": [], "doc_block": [], "idf": [], "df_block": [],
+            "term": [], "doc_block": [], "df_block": [],
             "doc_bytes": [], "tf_bytes": [], "sub_offsets": [],
             "sub_max": [], "bytes": [],
         }
@@ -239,7 +252,6 @@ def _segment_bulk_encoder(params: IndexParams, avgdl: float):
                 sub_max[nonempty] = red
             out["term"].append(terms[lo])
             out["doc_block"].append(block)
-            out["idf"].append(float(idfs[lo]))
             out["df_block"].append(int(d.size))
             out["doc_bytes"].append(doc_bytes)
             out["tf_bytes"].append(tf_bytes)
@@ -328,20 +340,19 @@ def build_index(
                 .write.mode("overwrite")
                 .parquet(p_docstats)
             )
-        # per-block lineage: one pruned-column scan (doc_block + the
-        # null-term marker) written as a PARQUET side output — never
-        # collected to the driver (at the SCALING.md design point that
-        # would be ~10^6 rows); only the one-row stage totals come back
+        # per-block lineage: aggregated from the |docs| NULL-term rows
+        # alone — their tf carries each doc's posting-row count, so the
+        # old full-table groupBy over ALL |postings| rows (≈100× more at
+        # avgdl≈200, ~10^14 at the SCALING.md design point) is gone;
+        # written as a PARQUET side output, never collected (only the
+        # one-row stage totals come back)
         lin_df = (
             spark.read.parquet(p_raw)
+            .filter(F.col("term").isNull())
             .groupBy(F.col("doc_block").alias("partition"))
             .agg(
-                F.sum(
-                    F.when(F.col("term").isNull(), 1).otherwise(0)
-                ).alias("docs"),
-                F.sum(
-                    F.when(F.col("term").isNotNull(), 1).otherwise(0)
-                ).alias("postings"),
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("tf").alias("postings"),
             )
         )
         tot = _write_lineage(lin_df, index_dir, "postings_raw")
@@ -412,19 +423,37 @@ def build_index(
         with StageTimer() as t:
             raw = spark.read.parquet(p_raw).filter(F.col("term").isNotNull())
             ts = spark.read.parquet(p_termstats).select("term", "idf")
-            joined = raw.join(ts, "term")
             nparts = params.segment_shuffle_partitions or int(
                 spark.conf.get("spark.sql.shuffle.partitions")
             )
             # salted shuffle: hash(term, doc_block) → one partition per
-            # encoder task; the kernel vector-groups within the partition
-            seg = (
-                joined.withColumn(
+            # encoder task; the kernel vector-groups within the
+            # partition.  The shuffle carries only (term, doc_block,
+            # doc_id, tf, dl): idf joins AFTER the encoder onto the
+            # ~|postings|/avgdl segment rows (8 bytes/posting less
+            # through the exchange and the Arrow boundary), and sub_max
+            # — stored as idf * max(f), the bit-identical product —
+            # is finished with one JVM transform()
+            enc = (
+                raw.withColumn(
                     "part", F.pmod(F.hash("term", "doc_block"), F.lit(nparts))
                 )
+                .select("part", "term", "doc_block", "doc_id", "tf", "dl")
                 .groupBy("part")
                 .applyInPandas(
-                    _segment_bulk_encoder(params, avgdl), schema=SEGMENT_SCHEMA
+                    _segment_bulk_encoder(params, avgdl),
+                    schema=SEGMENT_ENC_SCHEMA,
+                )
+            )
+            seg = (
+                enc.join(ts, "term")
+                .withColumn(
+                    "sub_max",
+                    F.transform("sub_max", lambda x: x * F.col("idf")),
+                )
+                .select(
+                    "term", "doc_block", "idf", "df_block", "doc_bytes",
+                    "tf_bytes", "sub_offsets", "sub_max", "bytes",
                 )
             )
             seg.sortWithinPartitions("term").write.mode("overwrite").parquet(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from instructor_embedding_spark.functions.codec import (
     varint_decode,
+    varint_decode_segmented,
     varint_encode_segmented,
 )
 from instructor_embedding_spark.functions.tokenize import (
@@ -204,9 +205,86 @@ def conjunctive_skip_stats(
     )
 
 
+def _decode_group_positions(pdf: pd.DataFrame):
+    """Decode EVERY row's pos_bytes of one kernel group in one segmented
+    pass (guide §4.2 — the per-(doc, term) ``varint_decode`` calls and
+    the per-doc ``pandas.groupby`` dispatch were the positions family's
+    dominant cost; all six kernels are batch-vectorized over the whole
+    group with numpy set/sweep operations instead).
+
+    Returns ``(pos, starts, counts, udocs, dcode)``: ``pos`` uint64
+    positions (0-based, cumsummed within each row's delta-gapped blob),
+    row ``i``'s slice is ``pos[starts[i]:starts[i+1]]``; ``udocs`` the
+    sorted distinct doc_ids, ``dcode`` each row's index into it."""
+    vals, starts = varint_decode_segmented(list(pdf["pos_bytes"]))
+    counts = np.diff(starts)
+    if vals.size:
+        g = np.cumsum(vals, dtype=np.uint64)
+        nz = counts > 0
+        base = np.zeros(counts.size, dtype=np.uint64)
+        first_idx = starts[:-1][nz]
+        base[nz] = g[first_idx] - vals[first_idx]
+        pos = g - np.repeat(base, counts)
+    else:
+        pos = vals
+    dids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    udocs, dcode = np.unique(dids, return_inverse=True)
+    return pos, starts, counts, udocs, dcode
+
+
 def _phrase_kernel(term_orders: dict[int, list[str]]):
-    """One (phrase_id, doc_block) group: adjacency-check each doc that has
-    every phrase term."""
+    """One (phrase_id, doc_block) group, fully vectorized: phrase-start
+    candidates live in a combined (doc, position) keyspace — ordinal i of
+    the phrase contributes the key set {doc·L + p − i : p ∈ P(doc, tᵢ),
+    p ≥ i} — and the adjacency matches per doc are exactly the m-way
+    sorted-set intersection of those key sets (per-doc result identical
+    to the per-doc isin loop, fuzz-tested against it).  A doc missing
+    any term contributes nothing to that term's key set, so the old
+    per-doc require-all check falls out of the intersection."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        phrase_id = int(pdf["phrase_id"].iloc[0])
+        terms = term_orders[phrase_id]
+        m = len(terms)
+        n_distinct = len(set(terms))
+        if pdf["term"].nunique() < n_distinct:
+            return _EMPTY_PHRASE  # block-level require-all (free skip)
+        pos, starts, counts, udocs, dcode = _decode_group_positions(pdf)
+        tvals = pdf["term"].to_numpy()
+        val_doc = np.repeat(dcode.astype(np.uint64), counts)
+        val_term = np.repeat(tvals, counts)
+        big = np.uint64(int(pos.max()) + m + 2) if pos.size else np.uint64(
+            m + 2
+        )
+        inter = None
+        for i, t in enumerate(terms):
+            sel = val_term == t
+            p = pos[sel]
+            d = val_doc[sel]
+            ok = p >= np.uint64(i)  # a phrase cannot start before token 0
+            keys = np.sort(d[ok] * big + (p[ok] - np.uint64(i)))
+            inter = keys if inter is None else np.intersect1d(
+                inter, keys, assume_unique=True
+            )
+            if inter.size == 0:
+                return _EMPTY_PHRASE
+        mdoc = (inter // big).astype(np.int64)
+        cnt = np.bincount(mdoc, minlength=udocs.size)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {
+                "phrase_id": np.full(nz.size, phrase_id, dtype=np.int64),
+                "doc_id": udocs[nz],
+                "matches": cnt[nz].astype(np.int64),
+            }
+        )
+
+    return kernel
+
+
+def _phrase_kernel_perdoc(term_orders: dict[int, list[str]]):
+    """Reference per-doc implementation (pre-r6 vectorization) — kept as
+    the parity twin the vectorized kernel is fuzz-tested against."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         phrase_id = int(pdf["phrase_id"].iloc[0])
@@ -377,9 +455,90 @@ def _window_cover_count(pos_lists: list[np.ndarray], w: int) -> int:
     return int(np.sum((coords[1:] - coords[:-1])[full]))
 
 
+def _sweep_events(pdf: pd.DataFrame, w: int):
+    """Shared proximity/snippet machinery, vectorized over the whole
+    group: per-(doc, term) positions become length-w candidate-start
+    intervals [max(p−w+1, 1), p] (1-based), adjacent/overlapping runs
+    merge within each row (positions ascend, so a single shifted
+    comparison finds run starts), and the merged runs become ±1 coverage
+    events in a combined doc·L + coordinate keyspace.  One stable sort
+    of the events replaces the per-doc sort loop; a doc's events net to
+    zero before the next doc's base key, so the global cumsum needs no
+    per-doc reset.  Returns ``(keys, deltas, udocs, big)`` sorted by
+    key, or None for an all-empty group."""
+    pos, starts, counts, udocs, dcode = _decode_group_positions(pdf)
+    p1 = pos.astype(np.int64) + 1
+    n = p1.size
+    if n == 0:
+        return None
+    lo = np.maximum(p1 - (w - 1), 1)
+    hi = p1
+    new_run = np.zeros(n, dtype=bool)
+    nzrows = counts > 0
+    new_run[starts[:-1][nzrows]] = True
+    new_run[1:] |= lo[1:] > hi[:-1] + 1
+    new_run[0] = True
+    rs = np.flatnonzero(new_run)
+    re = np.append(rs[1:], n) - 1
+    run_doc = np.repeat(dcode, counts)[rs].astype(np.int64)
+    big = np.int64(int(hi.max()) + w + 4)
+    keys = np.concatenate(
+        [run_doc * big + lo[rs], run_doc * big + hi[re] + 1]
+    )
+    deltas = np.concatenate(
+        [
+            np.ones(rs.size, dtype=np.int64),
+            np.full(rs.size, -1, dtype=np.int64),
+        ]
+    )
+    order = np.argsort(keys, kind="stable")
+    return keys[order], deltas[order], udocs, big
+
+
 def _proximity_kernel(term_sets: dict[int, list[str]], slops: dict[int, int]):
-    """One (phrase_id, doc_block) group: window-containment count for each
-    doc that has every query term."""
+    """One (phrase_id, doc_block) group, fully vectorized: the matches
+    per doc are the total length of coordinate stretches whose event
+    coverage equals the distinct-term count (identical semantics to the
+    per-doc interval sweep, fuzz-tested against it).  Docs missing a
+    term can never reach full coverage, so the per-doc require-all check
+    is implicit."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        phrase_id = int(pdf["phrase_id"].iloc[0])
+        terms = term_sets[phrase_id]
+        w = len(terms) + slops[phrase_id]
+        if pdf["term"].nunique() < len(terms):
+            return _EMPTY_PHRASE  # block-level require-all (free skip)
+        sw = _sweep_events(pdf, w)
+        if sw is None:
+            return _EMPTY_PHRASE
+        keys, deltas, udocs, big = sw
+        cover = np.cumsum(deltas)
+        full = cover[:-1] == len(terms)
+        if not full.any():
+            return _EMPTY_PHRASE
+        gaps = (keys[1:] - keys[:-1])[full]
+        docs = (keys[:-1][full] // big).astype(np.int64)
+        per_doc = np.bincount(
+            docs, weights=gaps, minlength=udocs.size
+        ).astype(np.int64)
+        nz = np.flatnonzero(per_doc)
+        return pd.DataFrame(
+            {
+                "phrase_id": np.full(nz.size, phrase_id, dtype=np.int64),
+                "doc_id": udocs[nz],
+                "matches": per_doc[nz],
+            }
+        )
+
+    return kernel
+
+
+def _proximity_kernel_perdoc(
+    term_sets: dict[int, list[str]], slops: dict[int, int]
+):
+    """Reference per-doc implementation (pre-r6 vectorization) — kept as
+    the parity twin the vectorized kernel is fuzz-tested against."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         phrase_id = int(pdf["phrase_id"].iloc[0])
@@ -540,8 +699,68 @@ def _ordered_chain_count(pos_lists: list[np.ndarray], w: int) -> int:
 
 def _ordered_proximity_kernel(term_orders: dict[int, list[str]],
                               slops: dict[int, int]):
-    """One (phrase_id, doc_block) group: greedy chain count per doc that
-    has every query term."""
+    """One (phrase_id, doc_block) group, fully vectorized: every chain
+    start across every doc advances through the greedy
+    first-strictly-greater walk SIMULTANEOUSLY — one keyed
+    (doc·L + position) searchsorted per remaining term replaces the
+    per-doc loop (the walk stays inside its doc because a hit in a
+    different doc fails the same-doc check, exactly like running out of
+    positions; fuzz-tested against the per-doc twin)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        phrase_id = int(pdf["phrase_id"].iloc[0])
+        terms = term_orders[phrase_id]
+        w = len(terms) + slops[phrase_id]
+        n_distinct = len(set(terms))
+        if pdf["term"].nunique() < n_distinct:
+            return _EMPTY_PHRASE  # block-level require-all (free skip)
+        pos, starts, counts, udocs, dcode = _decode_group_positions(pdf)
+        p1 = pos.astype(np.int64) + 1
+        tvals = pdf["term"].to_numpy()
+        val_doc = np.repeat(dcode, counts).astype(np.int64)
+        val_term = np.repeat(tvals, counts)
+        maxp = int(p1.max()) if p1.size else 1
+        big = np.int64(maxp + w + 2)
+        keyed = {}
+        for t in set(terms):
+            sel = val_term == t
+            keyed[t] = np.sort(val_doc[sel] * big + p1[sel])
+        skeys = keyed[terms[0]]
+        sdoc = skeys // big
+        cur = skeys.copy()
+        alive = np.ones(skeys.size, dtype=bool)
+        for t in terms[1:]:
+            arr = keyed[t]
+            if arr.size == 0:
+                return _EMPTY_PHRASE
+            idx = np.searchsorted(arr, cur, side="right")
+            ok = idx < arr.size
+            nxt = arr[np.minimum(idx, arr.size - 1)]
+            ok &= (nxt // big) == sdoc
+            alive &= ok
+            cur = np.where(ok, nxt, cur)
+            if not alive.any():
+                return _EMPTY_PHRASE
+        alive &= (cur % big) <= (skeys % big) + (w - 1)
+        per_doc = np.bincount(
+            sdoc[alive].astype(np.int64), minlength=udocs.size
+        )
+        nz = np.flatnonzero(per_doc)
+        return pd.DataFrame(
+            {
+                "phrase_id": np.full(nz.size, phrase_id, dtype=np.int64),
+                "doc_id": udocs[nz],
+                "matches": per_doc[nz].astype(np.int64),
+            }
+        )
+
+    return kernel
+
+
+def _ordered_proximity_kernel_perdoc(term_orders: dict[int, list[str]],
+                                     slops: dict[int, int]):
+    """Reference per-doc implementation (pre-r6 vectorization) — kept as
+    the parity twin the vectorized kernel is fuzz-tested against."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         phrase_id = int(pdf["phrase_id"].iloc[0])
@@ -687,8 +906,36 @@ SELECT phrase_id, rank, doc_id, matches FROM ranked WHERE rank <= {k}
 
 
 def _span_first_kernel(ends: dict[int, int]):
-    """One (phrase_id, doc_block) group: count the term's occurrences at
-    1-based positions <= end (Lucene SpanFirstQuery containment)."""
+    """One (phrase_id, doc_block) group, fully vectorized: one segmented
+    decode + one per-row prefix-count via ``add.reduceat`` (identical to
+    the per-doc loop, fuzz-tested against it)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        phrase_id = int(pdf["phrase_id"].iloc[0])
+        end = np.uint64(ends[phrase_id])
+        pos, starts, counts, udocs, dcode = _decode_group_positions(pdf)
+        hit = ((pos + np.uint64(1)) <= end).astype(np.int64)
+        m = np.zeros(len(pdf), dtype=np.int64)
+        nz = counts > 0
+        if hit.size:
+            m[nz] = np.add.reduceat(hit, starts[:-1][nz])
+        per_doc = np.zeros(udocs.size, dtype=np.int64)
+        np.add.at(per_doc, dcode, m)
+        k = np.flatnonzero(per_doc)
+        return pd.DataFrame(
+            {
+                "phrase_id": np.full(k.size, phrase_id, dtype=np.int64),
+                "doc_id": udocs[k],
+                "matches": per_doc[k],
+            }
+        )
+
+    return kernel
+
+
+def _span_first_kernel_perdoc(ends: dict[int, int]):
+    """Reference per-doc implementation (pre-r6 vectorization) — kept as
+    the parity twin the vectorized kernel is fuzz-tested against."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         phrase_id = int(pdf["phrase_id"].iloc[0])
@@ -857,8 +1104,47 @@ def _validate_span_not(
 
 
 def _span_not_kernel(exc_terms: dict[int, str], pre: int, post: int):
-    """One (phrase_id, doc_block) group: count include-term occurrences
-    with NO exclude-term occurrence inside [p - pre, p + post]."""
+    """One (phrase_id, doc_block) group, fully vectorized: every doc's
+    include positions probe the keyed (doc·L + position) exclude array
+    with TWO searchsorted calls total — an occurrence survives when its
+    [p−pre, p+post] key window is empty (the key base spacing exceeds
+    max position + pre + post, so windows never cross docs; fuzz-tested
+    against the per-doc twin).  Docs without the exclude term have no
+    keys in range and keep every occurrence."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        phrase_id = int(pdf["phrase_id"].iloc[0])
+        exc_term = exc_terms[phrase_id]
+        pos, starts, counts, udocs, dcode = _decode_group_positions(pdf)
+        tvals = pdf["term"].to_numpy()
+        is_exc_row = tvals == exc_term
+        val_doc = np.repeat(dcode, counts).astype(np.int64)
+        val_exc = np.repeat(is_exc_row, counts)
+        p1 = pos.astype(np.int64) + 1
+        maxp = int(p1.max()) if p1.size else 1
+        big = np.int64(maxp + pre + post + 2)
+        ip_d = val_doc[~val_exc]
+        ikey = ip_d * big + p1[~val_exc]
+        ekeys = np.sort(val_doc[val_exc] * big + p1[val_exc])
+        lo = np.searchsorted(ekeys, ikey - pre, side="left")
+        hi = np.searchsorted(ekeys, ikey + post, side="right")
+        keep = hi == lo
+        per_doc = np.bincount(ip_d[keep], minlength=udocs.size)
+        k = np.flatnonzero(per_doc)
+        return pd.DataFrame(
+            {
+                "phrase_id": np.full(k.size, phrase_id, dtype=np.int64),
+                "doc_id": udocs[k],
+                "matches": per_doc[k].astype(np.int64),
+            }
+        )
+
+    return kernel
+
+
+def _span_not_kernel_perdoc(exc_terms: dict[int, str], pre: int, post: int):
+    """Reference per-doc implementation (pre-r6 vectorization) — kept as
+    the parity twin the vectorized kernel is fuzz-tested against."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         phrase_id = int(pdf["phrase_id"].iloc[0])

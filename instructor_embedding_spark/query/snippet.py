@@ -82,8 +82,62 @@ def _best_window(pos_lists: list[np.ndarray], w: int) -> tuple[int, int]:
 
 
 def _snippet_kernel(term_sets: dict[int, list[str]], w: int):
-    """One (query_id, doc_block) group: best window per doc holding at
-    least one query term."""
+    """One (query_id, doc_block) group, fully vectorized: the same keyed
+    coverage sweep as proximity (query/phrase.py ``_sweep_events``), but
+    per doc it takes the max coverage over the unique event coordinates
+    and the smallest coordinate attaining it (coordinates ascend within
+    a doc, so leftmost == minimum; fuzz-tested against the per-doc
+    twin).  Every doc in the group emits (any term present ⇒ coverage
+    ≥ 1), matching the per-doc loop."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from instructor_embedding_spark.query.phrase import _sweep_events
+
+        query_id = int(pdf["query_id"].iloc[0])
+        sw = _sweep_events(
+            pdf.rename(columns={"query_id": "phrase_id"}), w
+        )
+        if sw is None:  # defensive: groups always carry ≥1 position
+            return pd.DataFrame(
+                {
+                    "query_id": np.empty(0, dtype=np.int64),
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "covered": np.empty(0, dtype=np.int64),
+                    "snippet_start": np.empty(0, dtype=np.int64),
+                }
+            )
+        keys, deltas, udocs, big = sw
+        cover = np.cumsum(deltas)
+        # coverage is only well-defined AFTER all events at a coordinate
+        last = np.append(keys[1:] != keys[:-1], True)
+        ukeys, ucover = keys[last], cover[last]
+        udoc = (ukeys // big).astype(np.int64)
+        ucoord = ukeys % big
+        seg = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+        best = np.maximum.reduceat(ucover, seg)
+        best_of = np.repeat(best, np.diff(np.append(seg, udoc.size)))
+        cand_coord = np.where(
+            ucover == best_of, ucoord, np.iinfo(np.int64).max
+        )
+        start = np.minimum.reduceat(cand_coord, seg)
+        docs_present = udoc[seg]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(
+                    docs_present.size, query_id, dtype=np.int64
+                ),
+                "doc_id": udocs[docs_present],
+                "covered": best.astype(np.int64),
+                "snippet_start": start.astype(np.int64),
+            }
+        )
+
+    return kernel
+
+
+def _snippet_kernel_perdoc(term_sets: dict[int, list[str]], w: int):
+    """Reference per-doc implementation (pre-r6 vectorization) — kept as
+    the parity twin the vectorized kernel is fuzz-tested against."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(pdf["query_id"].iloc[0])

@@ -235,3 +235,31 @@ def test_wand_scan_stats_invariants(spark, built):
     # stats must not disturb the scoring path (rank identity holds after)
     got = wand_topk(spark, handle, qdf, k=5)
     assert got.count() > 0
+
+
+def test_doc_row_tf_carries_posting_count(spark, built):
+    """The NULL-term doc rows' tf = the doc's distinct retained-term
+    count, so per-block lineage aggregates over |docs| rows only; the
+    lineage postings totals must equal the true posting-row counts."""
+    from pyspark.sql import functions as F
+
+    handle, _ = built
+    raw = spark.read.parquet(os.path.join(handle.index_dir, "postings_raw"))
+    per_doc = (
+        raw.filter(F.col("term").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    doc_rows = raw.filter(F.col("term").isNull()).select("doc_id", "tf")
+    joined = doc_rows.join(per_doc, "doc_id", "left").select(
+        "doc_id", "tf", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    bad = joined.filter(F.col("tf") != F.col("n")).count()
+    assert bad == 0
+
+    m = json.load(open(os.path.join(
+        handle.index_dir, "_manifest", "postings_raw.json")))
+    lin = spark.read.parquet(m["metrics"]["lineage_path"])
+    tot = lin.agg(F.sum("docs"), F.sum("postings")).collect()[0]
+    assert int(tot[0]) == N_DOCS
+    assert int(tot[1]) == raw.filter(F.col("term").isNotNull()).count()
