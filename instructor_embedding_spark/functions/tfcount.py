@@ -38,6 +38,7 @@ from instructor_embedding_spark.functions.tokenize import (
     _BOUNDARY_C,
     _SPLIT_C,
     _STOPSET,
+    raw_piece_codes,
 )
 
 TF_SCHEMA = "doc_id long, term string, tf long, dl long"
@@ -74,13 +75,29 @@ def tf_pairs_map_side(
         for pdf in batches:
             n_rows = len(pdf)
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            raw_per_doc = [
-                _SPLIT_C.split(_BOUNDARY_C.sub(" ", t).lower()) if t else []
-                for t in pdf["text"]
-            ]
-            counts = np.fromiter(
-                (len(r) for r in raw_per_doc), dtype=np.int64, count=n_rows
-            )
+            enc = raw_piece_codes(pdf["text"])
+            if enc is not None:
+                # Arrow C++ fast path: camel splits + lower + regex
+                # split + dictionary encode without touching Python
+                # strings (ASCII batches — the common case; measured
+                # ~2× the per-doc re path)
+                codes, uniques, counts = enc
+            else:
+                raw_per_doc = [
+                    _SPLIT_C.split(_BOUNDARY_C.sub(" ", t).lower())
+                    if t else []
+                    for t in pdf["text"]
+                ]
+                counts = np.fromiter(
+                    (len(r) for r in raw_per_doc), dtype=np.int64,
+                    count=n_rows,
+                )
+                flat = np.empty(int(counts.sum()), dtype=object)
+                i = 0
+                for pieces in raw_per_doc:
+                    flat[i:i + len(pieces)] = pieces
+                    i += len(pieces)
+                codes, uniques = pd.factorize(flat)  # C-speed hash
             total = int(counts.sum())
             if total == 0:
                 if include_doc_rows and n_rows:
@@ -96,14 +113,8 @@ def tf_pairs_map_side(
                     yield _EMPTY
                 continue
 
-            # flatten all raw split pieces; group by (doc row, term code)
+            # group by (doc row, term code)
             ridx = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
-            flat = np.empty(total, dtype=object)
-            i = 0
-            for pieces in raw_per_doc:
-                flat[i:i + len(pieces)] = pieces
-                i += len(pieces)
-            codes, uniques = pd.factorize(flat)  # C-speed hash
             # length/stopword filter per UNIQUE term, broadcast via codes
             keep_u = np.fromiter(
                 (len(u) >= MIN_TOKEN_LEN and u not in _STOPSET

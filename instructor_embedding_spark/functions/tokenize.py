@@ -111,6 +111,51 @@ def tokens_col(col: Column | str) -> Column:
     )
 
 
+def raw_piece_codes(texts) -> tuple | None:
+    """Batch tokenizer steps 1-4 (camel splits, lower, regex split) as
+    ONE Arrow C++ pipeline over a pandas Series of texts, returning
+    ``(codes int64, uniques object ndarray, counts int64)``: the
+    dictionary-encoded RAW split pieces (pre length/stopword filter,
+    which callers apply per UNIQUE) and the piece count per row.
+
+    Returns None when the batch contains any non-ASCII text: RE2 and
+    utf8proc agree with the pinned Python spec on ASCII (fuzz-pinned in
+    tests/test_tokenize.py) but CPython's str.lower() differs from
+    utf8proc on a few non-ASCII codepoints (e.g. U+0130), so such
+    batches take the per-doc Python path instead.  The two camel
+    substitutions run as the original two-step form — RE2 has no
+    lookarounds — which is the fuzz-verified equivalent of the combined
+    zero-width _BOUNDARY_C form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.string())
+    if not pc.all(
+        pc.fill_null(pc.string_is_ascii(arr), True)
+    ).as_py():
+        return None
+    # '' must yield ZERO pieces like tokenize_py's falsy guard (a bare
+    # regex split of '' yields one empty piece) — null rows flatten away
+    arr = pc.if_else(pc.equal(arr, ""), pa.scalar(None, pa.string()), arr)
+    s = pc.replace_substring_regex(
+        arr, pattern=_ACRONYM_RE, replacement=r"\1 \2"
+    )
+    s = pc.replace_substring_regex(
+        s, pattern=_CAMEL_RE, replacement=r"\1 \2"
+    )
+    s = pc.utf8_lower(s)
+    lists = pc.split_pattern_regex(s, pattern=_SPLIT_RE)
+    counts = pc.fill_null(
+        pc.list_value_length(lists).cast(pa.int64()), 0
+    ).to_numpy(zero_copy_only=False)
+    dic = pc.dictionary_encode(pc.list_flatten(lists))
+    import numpy as np
+
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+    return codes, uniques, counts
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokens_pandas_udf(texts: pd.Series) -> pd.Series:
     """Vectorized Arrow-batched tokenizer (north-rule pandas-UDF surface).

@@ -58,37 +58,79 @@ def build_positions(docs: DataFrame, span: int,
 
     def gen(batches):
         # Batch-vectorized grouping (same amortization pattern as the tf
-        # kernel, tfcount.py): tokenize per doc (C-speed regex), then one
-        # factorize + lexsort over the WHOLE Arrow batch groups (doc, term)
-        # occurrences with positions ascending — no per-token Python dict
-        # ops, no per-doc pandas dispatch.  Only the per-group varint
-        # encode remains a Python-level loop (one blob per output row).
-        for pdf in batches:
-            toks_per_doc = [tokenize_py(t) for t in pdf["text"]]
-            counts = np.fromiter(
-                (len(t) for t in toks_per_doc),
-                dtype=np.int64, count=len(toks_per_doc),
-            )
-            total = int(counts.sum())
-            if total == 0:
-                yield empty
-                continue
-            dids = np.repeat(
-                pdf["doc_id"].to_numpy(dtype=np.int64), counts
-            )
-            flat_terms = np.empty(total, dtype=object)
-            i = 0
-            for toks in toks_per_doc:
-                flat_terms[i:i + len(toks)] = toks
-                i += len(toks)
-            doc_starts = np.zeros(counts.size, dtype=np.int64)
-            np.cumsum(counts[:-1], out=doc_starts[1:])
-            pos = (
-                np.arange(total, dtype=np.int64)
-                - np.repeat(doc_starts, counts)
-            ).astype(np.uint64)
+        # kernel, tfcount.py): tokenize the whole batch via the Arrow
+        # C++ regex pipeline when it is ASCII (raw_piece_codes; per-doc
+        # Python regex otherwise), then one lexsort over the WHOLE Arrow
+        # batch groups (doc, term) occurrences with positions ascending
+        # — no per-token Python dict ops, no per-doc pandas dispatch.
+        # Only the per-group varint encode remains a Python-level loop
+        # (one blob per output row).
+        from instructor_embedding_spark.functions.tokenize import (
+            MIN_TOKEN_LEN,
+            _STOPSET,
+            raw_piece_codes,
+        )
 
-            codes, uniques = pd.factorize(flat_terms)  # C-speed hash
+        for pdf in batches:
+            n_rows = len(pdf)
+            doc_ids_np = pdf["doc_id"].to_numpy(dtype=np.int64)
+            enc = raw_piece_codes(pdf["text"])
+            if enc is not None:
+                rcodes, uniques, rcounts = enc
+                keep_u = np.fromiter(
+                    (len(u) >= MIN_TOKEN_LEN and u not in _STOPSET
+                     for u in uniques),
+                    dtype=bool, count=len(uniques),
+                )
+                keep = keep_u[rcodes] if rcodes.size else np.zeros(
+                    0, dtype=bool
+                )
+                ridx_all = np.repeat(
+                    np.arange(n_rows, dtype=np.int64), rcounts
+                )
+                kept_row = ridx_all[keep]
+                codes = rcodes[keep]
+                counts = np.bincount(
+                    kept_row, minlength=n_rows
+                ).astype(np.int64)
+                total = int(kept_row.size)
+                if total == 0:
+                    yield empty
+                    continue
+                dids = doc_ids_np[kept_row]
+                doc_starts = np.zeros(counts.size, dtype=np.int64)
+                np.cumsum(counts[:-1], out=doc_starts[1:])
+                # kept pieces stay in row-major order, so the position
+                # among a doc's RETAINED tokens is the running index
+                # minus the doc's start — identical to the tokenize_py
+                # path's within-filtered-list index
+                pos = (
+                    np.arange(total, dtype=np.int64)
+                    - doc_starts[kept_row]
+                ).astype(np.uint64)
+            else:
+                toks_per_doc = [tokenize_py(t) for t in pdf["text"]]
+                counts = np.fromiter(
+                    (len(t) for t in toks_per_doc),
+                    dtype=np.int64, count=len(toks_per_doc),
+                )
+                total = int(counts.sum())
+                if total == 0:
+                    yield empty
+                    continue
+                dids = np.repeat(doc_ids_np, counts)
+                flat_terms = np.empty(total, dtype=object)
+                i = 0
+                for toks in toks_per_doc:
+                    flat_terms[i:i + len(toks)] = toks
+                    i += len(toks)
+                doc_starts = np.zeros(counts.size, dtype=np.int64)
+                np.cumsum(counts[:-1], out=doc_starts[1:])
+                pos = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(doc_starts, counts)
+                ).astype(np.uint64)
+                codes, uniques = pd.factorize(flat_terms)
             order = np.lexsort((codes, dids))  # stable → pos asc in group
             sd, sc, sp = dids[order], codes[order], pos[order]
             new_grp = np.empty(total, dtype=bool)

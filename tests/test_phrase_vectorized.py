@@ -130,3 +130,68 @@ def test_vectorized_kernels_match_perdoc_fuzz():
                 _cmp(_span_not_kernel_perdoc({1: t_exc}, pre, post)(g.copy()),
                      _span_not_kernel({1: t_exc}, pre, post)(g.copy()),
                      "span_not", (trial, t_inc, t_exc, pre, post))
+
+
+def test_raw_piece_codes_matches_python_spec():
+    """Arrow C++ tokenizer steps 1-4 == the pinned Python spec on ASCII;
+    non-ASCII batches return None (callers take the per-doc path)."""
+    import random
+    import string
+
+    from instructor_embedding_spark.functions.tokenize import (
+        _BOUNDARY_C,
+        _SPLIT_C,
+        raw_piece_codes,
+    )
+
+    def raw_py(t):
+        if not t:
+            return []
+        return _SPLIT_C.split(_BOUNDARY_C.sub(" ", t).lower())
+
+    rng = random.Random(9)
+    chars = string.ascii_letters + string.digits + " ._-(){}:\n\t/+#"
+    texts = ["", None, "HTTPServer parseVarint the a", "a..b", ".lead",
+             "trail.", "ABCdefGHI", "XMLHttpRequest"]
+    texts += ["".join(rng.choice(chars)
+                      for _ in range(rng.randrange(0, 60)))
+              for _ in range(3000)]
+    enc = raw_piece_codes(pd.Series(texts))
+    assert enc is not None
+    codes, uniques, counts = enc
+    flat_py, counts_py = [], []
+    for t in texts:
+        p = raw_py(t)
+        flat_py.extend(p)
+        counts_py.append(len(p))
+    assert counts.tolist() == counts_py
+    assert uniques[codes].tolist() == flat_py
+
+    assert raw_piece_codes(pd.Series(["ok", "мир"])) is None
+
+
+def test_build_positions_arrow_matches_python_path(spark):
+    """build_positions output is identical whether a batch takes the
+    Arrow fast path (ASCII) or the per-doc Python path (forced by one
+    non-ASCII row)."""
+    from instructor_embedding_spark.query.phrase import build_positions
+
+    rows = [
+        (0, "alpha beta gamma alpha beta"),
+        (1, "HTTPServer parseVarint the a"),
+        (2, ""),
+        (3, None),
+        (4, "def planted(): zqxprobe zqxband return"),
+    ]
+    ascii_docs = spark.createDataFrame(rows, "doc_id long, content string")
+    # the extra non-ASCII doc forces the WHOLE single-partition batch
+    # down the Python path; its own rows are then excluded from the diff
+    py_docs = spark.createDataFrame(
+        rows + [(99, "мир")], "doc_id long, content string"
+    ).coalesce(1)
+    a = {(r.doc_id, r.term, r.doc_block, bytes(r.pos_bytes))
+         for r in build_positions(ascii_docs, span=4).collect()}
+    b = {(r.doc_id, r.term, r.doc_block, bytes(r.pos_bytes))
+         for r in build_positions(py_docs, span=4).collect()
+         if r.doc_id != 99}
+    assert a == b
