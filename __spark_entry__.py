@@ -1031,37 +1031,53 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit) and add ``snippet_start``; span rows carry it NULL."""
     handle = _index_for(spark, sf_dir)
     pos = handle.positions(spark)
-    # six of the seven families share one fused pipeline (one positions
-    # scan, one broadcast term join, one kernel shuffle, one Python
-    # worker round, one top-k window) instead of six — guide §2.4; the
+    # ALL seven families share one fused candidates pipeline (one
+    # positions scan, one broadcast term join, one kernel shuffle, one
+    # Python worker round) instead of seven — guide §2.4; the
     # per-family kernels are untouched and the result is row-identical
-    # to the former six-way union (frozen in tests/test_phrase.py).
-    fused = phrase.positions_family_topk(
-        spark, pos,
-        [
-            {"kind": "phrase", "queries": PHRASE_SET},
-            {"kind": "proximity", "queries": PROXIMITY_SET,
-             "slop": PROXIMITY_SLOP},
-            {"kind": "ordered", "queries": ORDERED_PROXIMITY_SET,
-             "slop": PROXIMITY_SLOP},
-            {"kind": "snippet", "queries": SNIPPET_SET,
-             "window": SNIPPET_WINDOW},
-            {"kind": "span_first", "queries": SPAN_FIRST_SET},
-            {"kind": "span_not", "queries": SPAN_NOT_SET,
-             "pre": SPAN_NOT_PRE, "post": SPAN_NOT_POST},
-        ],
-        k=TOP_K,
+    # to the former seven-way union (frozen in tests/test_phrase.py +
+    # the oracle gate).  match_phrase_prefix contributes its
+    # dictionary-completed phrases (driver-side bounded expansion, ids
+    # from MPP_SYNTH_BASE) as one more phrase spec; its slice of the
+    # candidates is re-aggregated per query below, the rest take the
+    # ordinary top-k window.
+    synth, back = prefix.mpp_expansion_plan(spark, handle, MPP_SET)
+    specs = [
+        {"kind": "phrase", "queries": PHRASE_SET},
+        {"kind": "proximity", "queries": PROXIMITY_SET,
+         "slop": PROXIMITY_SLOP},
+        {"kind": "ordered", "queries": ORDERED_PROXIMITY_SET,
+         "slop": PROXIMITY_SLOP},
+        {"kind": "snippet", "queries": SNIPPET_SET,
+         "window": SNIPPET_WINDOW},
+        {"kind": "span_first", "queries": SPAN_FIRST_SET},
+        {"kind": "span_not", "queries": SPAN_NOT_SET,
+         "pre": SPAN_NOT_PRE, "post": SPAN_NOT_POST},
+    ]
+    if synth:
+        specs.append({"kind": "phrase", "queries": synth})
+    cand = phrase.positions_family_candidates(spark, pos, specs)
+    span_cand = cand.filter(F.col("phrase_id") < prefix.MPP_SYNTH_BASE)
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.col("matches").desc(), F.col("doc_id").asc()
     )
-    # match_phrase_prefix rides the dictionary/segments surface, not the
-    # positions table — it stays its own (already minimal) pipeline
-    mpp = prefix.match_phrase_prefix_topk(
-        spark, handle, MPP_SET, k=TOP_K
+    spans = (
+        span_cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("phrase_id", "rank", "doc_id", "matches", "snippet_start")
+    )
+    if not synth:
+        return spans
+    mpp = prefix.mpp_rank_from_counts(
+        spark,
+        cand.filter(F.col("phrase_id") >= prefix.MPP_SYNTH_BASE)
+        .select("phrase_id", "doc_id", "matches"),
+        back, TOP_K,
     ).select(
         F.col("query_id").alias("phrase_id"), "rank", "doc_id", "matches",
         F.lit(None).cast("long").alias("snippet_start"),
     )
-    cols = ["phrase_id", "rank", "doc_id", "matches", "snippet_start"]
-    return fused.select(*cols).unionByName(mpp)
+    return spans.unionByName(mpp)
 
 
 def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

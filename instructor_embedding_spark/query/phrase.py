@@ -1287,13 +1287,12 @@ FAMILY_OUT_SCHEMA = (
 )
 
 
-def positions_family_topk(
+def positions_family_candidates(
     spark: SparkSession,
     positions: DataFrame,
     specs: list[dict],
-    k: int = 10,
     block_prune: bool = False,
-) -> DataFrame:
+) -> DataFrame | None:
     """Run several positions-family query sets through ONE fused pipeline
     (guide §2.4 — the per-family operators each plan an identical
     scan → broadcast term join → (phrase_id, doc_block) shuffle → Arrow
@@ -1417,11 +1416,7 @@ def positions_family_topk(
             raise ValueError(f"unknown positions family kind: {kind!r}")
 
     if not kernel_by_pid:
-        return spark.createDataFrame(
-            [],
-            "phrase_id long, rank long, doc_id long, matches long, "
-            "snippet_start long",
-        )
+        return None
     all_pairs = sorted(set(all_pairs))
 
     pt = spark.createDataFrame(all_pairs, "phrase_id long, term string")
@@ -1451,9 +1446,30 @@ def positions_family_topk(
             snippet_start=pd.array([None] * len(out), dtype="Int64")
         )
 
-    cand = hits.groupBy("phrase_id", "doc_block").applyInPandas(
+    return hits.groupBy("phrase_id", "doc_block").applyInPandas(
         dispatch, schema=FAMILY_OUT_SCHEMA
     )
+
+
+def positions_family_topk(
+    spark: SparkSession,
+    positions: DataFrame,
+    specs: list[dict],
+    k: int = 10,
+    block_prune: bool = False,
+) -> DataFrame:
+    """Ranked form of :func:`positions_family_candidates`: one top-k
+    window over the fused candidate table (rank per query id by
+    matches DESC, doc_id ASC — every family's pinned order)."""
+    cand = positions_family_candidates(
+        spark, positions, specs, block_prune=block_prune
+    )
+    if cand is None:
+        return spark.createDataFrame(
+            [],
+            "phrase_id long, rank long, doc_id long, matches long, "
+            "snippet_start long",
+        )
     w = Window.partitionBy("phrase_id").orderBy(
         F.col("matches").desc(), F.col("doc_id").asc()
     )

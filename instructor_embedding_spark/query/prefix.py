@@ -530,8 +530,43 @@ def match_phrase_prefix_topk(
     pinned analyzer, so a prefix that is itself a stopword tokenizes
     away (the preceding token becomes the prefix), exactly as an ES
     analyzer with a stop filter behaves."""
+    synth, back = mpp_expansion_plan(
+        spark, handle, queries, max_expansions
+    )
+    if not synth:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, matches long"
+        )
+    from instructor_embedding_spark.query.phrase import (
+        positions_family_candidates,
+    )
+
+    counts = positions_family_candidates(
+        spark, handle.positions(spark),
+        [{"kind": "phrase", "queries": synth}],
+    ).select("phrase_id", "doc_id", "matches")
+    return mpp_rank_from_counts(spark, counts, back, k)
+
+
+#: synthetic completed-phrase ids start here — far above any caller's
+#: query-id space, so mpp specs can share one fused candidates pipeline
+#: with the other positions families (phrase_topk entry)
+MPP_SYNTH_BASE = 1_000_000
+
+
+def mpp_expansion_plan(
+    spark: SparkSession,
+    handle: IndexHandle,
+    queries: list[tuple[int, str]],
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> tuple[list[tuple[int, str]], dict[int, int]]:
+    """The driver-side half of match_phrase_prefix: tokenize the
+    queries, expand each trailing prefix against the dictionary
+    (bounded collect, ascending-term Lucene rewrite), and synthesize
+    the completed phrases.  Returns ``(synth, back)`` — the
+    (synthetic_phrase_id, completed phrase text) list for the phrase
+    counting kernel and the synthetic-id → query_id map."""
     from instructor_embedding_spark.functions.tokenize import tokenize_py
-    from instructor_embedding_spark.query.phrase import phrase_topk
 
     stems: dict[int, list[str]] = {}
     prefixes: list[tuple[int, str]] = []
@@ -542,9 +577,7 @@ def match_phrase_prefix_topk(
         stems[qid] = toks[:-1]
         prefixes.append((qid, toks[-1]))
     if not prefixes:
-        return spark.createDataFrame(
-            [], "query_id long, rank long, doc_id long, matches long"
-        )
+        return [], {}
     exp = expand_prefixes(
         spark, handle.term_stats(spark), prefixes, max_expansions
     ).collect()
@@ -554,18 +587,24 @@ def match_phrase_prefix_topk(
         sorted((r["query_id"], r["term"]) for r in exp)
     ):
         qid, term = r
-        pid = 1_000_000 + i
+        pid = MPP_SYNTH_BASE + i
         synth.append((pid, " ".join(stems[qid] + [term])))
         back[pid] = qid
-    if not synth:
-        return spark.createDataFrame(
-            [], "query_id long, rank long, doc_id long, matches long"
-        )
+    return synth, back
+
+
+def mpp_rank_from_counts(
+    spark: SparkSession,
+    counts: DataFrame,
+    back: dict[int, int],
+    k: int,
+) -> DataFrame:
+    """The ranking tail of match_phrase_prefix over per-completed-phrase
+    occurrence counts (phrase_id, doc_id, matches): map synthetic ids
+    back to their query, sum occurrence counts across completions per
+    (query, doc), rank by (matches DESC, doc_id ASC), cut at k."""
     bmap = spark.createDataFrame(
         list(back.items()), "phrase_id long, query_id long"
-    )
-    counts = phrase_topk(
-        spark, handle.positions(spark), synth, k=2 ** 62
     )
     agg = (
         counts.join(F.broadcast(bmap), "phrase_id")
